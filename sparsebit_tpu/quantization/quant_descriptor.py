@@ -45,13 +45,15 @@ class QuantDescriptor:
                 return 1
             if layout == "NLC":
                 return 2
+            if layout == "NHWC":  # TPU-native CNN layout
+                return 3
             raise NotImplementedError("unsupported layout {}".format(layout))
         return 0  # weight: out-channel first
 
     def _set_batchsize_axis(self):
         if self._target == QuantTarget.FEATURE:
             layout = self._cfg.OBSERVER.LAYOUT
-            if layout in ("NCHW", "NLC"):
+            if layout in ("NCHW", "NLC", "NHWC"):
                 return 0
             raise NotImplementedError
         return None
