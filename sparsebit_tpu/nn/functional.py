@@ -233,6 +233,28 @@ def detach(x):
     return _maybe_record(Detach(), (x,))
 
 
+# dual-mode shape helpers: work on SymbolicTensors during trace AND on raw
+# jnp arrays in eager float execution (model zoo uses these, not methods)
+def reshape(x, shape):
+    return _maybe_record(Reshape(), (x,), {"shape": tuple(shape)})
+
+
+def transpose(x, dim0, dim1):
+    return _maybe_record(Transpose(), (x,), {"dim0": dim0, "dim1": dim1})
+
+
+def permute(x, dims):
+    return _maybe_record(Permute(), (x,), {"dims": tuple(dims)})
+
+
+def expand(x, shape):
+    return _maybe_record(Expand(), (x,), {"shape": tuple(shape)})
+
+
+def getitem(x, idx):
+    return _maybe_record(GetItem(), (x,), {"idx": idx})
+
+
 def cast(x, dtype):
     return _maybe_record(Cast(), (x,), {"dtype": dtype})
 
