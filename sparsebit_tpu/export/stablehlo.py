@@ -15,6 +15,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def export_graph(graph, path, example_inputs):
+    """Export a bare Graph (e.g. a pruned SparseModel, masks folded) as a
+    StableHLO artifact (reference: sparse_model.py:124 export_onnx)."""
+    params = graph.collect_params()
+
+    def fn(params, *xs):
+        return graph.run(params, *xs)
+
+    exported = jax.export.export(jax.jit(fn))(
+        params, *[jnp.asarray(x) for x in example_inputs]
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    return path
+
+
 def export_quant_model(qmodel, path, example_inputs, extra_info=False):
     qmodel.eval()
     qmodel.set_quant(w_quant=True, a_quant=True)

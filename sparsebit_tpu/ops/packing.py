@@ -1,0 +1,106 @@
+"""Sub-byte weight packing, TPU-native layout.
+
+The reference packs along the input-channel axis into int32 words with a
+3-bit 10-per-word scheme (llama/quantization/utils/quant.py:187-260). That
+layout is built for CUDA shared-memory tiles; on TPU it would force
+cross-sublane interleaves. We instead pack along the **output (N) axis** in
+a *fold* layout ("column planes"):
+
+    b-bit, p = 8//b values per byte, packed shape (K, N//p) uint8
+    byte[k, c] holds q[k, c + j*(N//p)] at bit position j*b, j in [0, p)
+
+Properties (why this layout):
+- Unpacking plane j is a single shift+mask on the whole tile — no
+  interleave, no gather; lanes stay contiguous.
+- The matmul never materialises full W: out.reshape(B, p, N//p)[:, j] is a
+  contiguous column block computed as x @ dequant(plane_j). Output blocks
+  line up with BlockSpec tiling.
+- Group-wise scales live along K (groupsize rows per group), so any K works
+  for any bit-width — no divisibility coupling between bits and groupsize
+  (the reference's 3-bit kernel needs groupsize%minimum==0, cuda_kernel_3bit).
+
+3-bit uses two packed arrays (there is no integral 8//3): a 2-bit plane
+(p=4) for the low bits and a 1-bit plane (p=8) for the high bit; both fold
+over N with p=8 so the planes address the same column blocks:
+    low2[k, c]  holds bits q&3  of columns c + j*(N//8), two js per byte? No:
+    low2 is (K, N//4) with p=4 planes; plane j' of low2 covers output planes
+    {2j', 2j'+1} of the p=8 view, split at column N//8.
+All pack/unpack is pure jnp (runs on device, jittable); kernels re-derive
+the same shifts inline.
+"""
+
+import jax.numpy as jnp
+
+
+def packed_plane_count(bits):
+    """Number of column planes folded into the packed byte array."""
+    if bits == 8:
+        return 1
+    if bits == 4:
+        return 2
+    if bits == 3:
+        return 8  # logical fold of the (low2, high1) pair
+    if bits == 2:
+        return 4
+    raise ValueError("unsupported bits: {}".format(bits))
+
+
+def pack_columns(q, bits):
+    """Pack integer codes q (K, N) in [0, 2^bits) along the N axis.
+
+    Returns a dict of uint8 arrays:
+      bits==8 -> {"w": int8 (K, N)}   (stored as-is, codes offset to int8)
+      bits==4 -> {"w": uint8 (K, N//2)}
+      bits==2 -> {"w": uint8 (K, N//4)}
+      bits==3 -> {"low2": uint8 (K, N//4), "high1": uint8 (K, N//8)}
+    """
+    K, N = q.shape
+    q = q.astype(jnp.uint8)
+    if bits == 8:
+        return {"w": q}
+    if bits in (4, 2):
+        p = 8 // bits
+        assert N % p == 0, "N={} not divisible by fold {}".format(N, p)
+        planes = q.reshape(K, p, N // p)
+        out = jnp.zeros((K, N // p), jnp.uint8)
+        for j in range(p):
+            out = out | (planes[:, j, :] << (j * bits))
+        return {"w": out}
+    if bits == 3:
+        assert N % 8 == 0, "3-bit packing needs N divisible by 8"
+        low = q & 3
+        high = (q >> 2) & 1
+        low_planes = low.reshape(K, 4, N // 4)
+        low2 = jnp.zeros((K, N // 4), jnp.uint8)
+        for j in range(4):
+            low2 = low2 | (low_planes[:, j, :] << (j * 2))
+        high_planes = high.reshape(K, 8, N // 8)
+        high1 = jnp.zeros((K, N // 8), jnp.uint8)
+        for j in range(8):
+            high1 = high1 | (high_planes[:, j, :] << j)
+        return {"low2": low2, "high1": high1}
+    raise ValueError("unsupported bits: {}".format(bits))
+
+
+def unpack_columns(packed, bits, N):
+    """Inverse of pack_columns -> uint8 codes (K, N)."""
+    if bits == 8:
+        return packed["w"]
+    if bits in (4, 2):
+        p = 8 // bits
+        w = packed["w"]
+        K = w.shape[0]
+        mask = (1 << bits) - 1
+        planes = [(w >> (j * bits)) & mask for j in range(p)]
+        return jnp.stack(planes, axis=1).reshape(K, N)
+    if bits == 3:
+        low2, high1 = packed["low2"], packed["high1"]
+        K = low2.shape[0]
+        low = jnp.stack(
+            [(low2 >> (j * 2)) & 3 for j in range(4)], axis=1
+        ).reshape(K, N)
+        high = jnp.stack(
+            [(high1 >> j) & 1 for j in range(8)], axis=1
+        ).reshape(K, N)
+        return low | (high << 2)
+    raise ValueError("unsupported bits: {}".format(bits))
