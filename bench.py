@@ -1,0 +1,142 @@
+"""Headline benchmark: LLaMA INT4-g128 decode throughput, single chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
+
+vs_baseline is measured tokens/s vs the speed-of-light estimate for
+dequant-matmul decode on this chip (decode is HBM-bandwidth bound: every
+generated token must stream all packed weight bytes once; BASELINE.json's
+north star is "speed-of-light dequant+matmul per chip"). SoL =
+HBM_bw / bytes_streamed_per_token, so vs_baseline ~= fraction of roofline.
+
+On TPU (axon) this runs LLaMA-7B-shaped INT4-g128 packed weights (random
+codes — throughput does not depend on values). On CPU it falls back to a
+tiny config so the script stays runnable anywhere.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+HBM_BW = {  # GB/s, per chip
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v4": 1228.0,
+    "v6e": 1640.0,
+}
+
+
+def packed_param_bytes(params):
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def build_quantized_llama(cfg, bits=4, groupsize=128):
+    """Random packed weights directly (no dense init: 7B f32 would not fit
+    alongside; codes are uniform random — bandwidth identical)."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.ops.packing import pack_columns
+
+    key = jax.random.PRNGKey(0)
+
+    def qlin(key, K, N):
+        k1, k2 = jax.random.split(key)
+        codes = jax.random.randint(k1, (K, N), 0, 2**bits, jnp.int32)
+        G = K // groupsize
+        scales = jax.random.uniform(k2, (G, N), jnp.float32, 0.001, 0.01)
+        zeros = jnp.full((G, N), float(2 ** (bits - 1)), jnp.float32)
+        return QuantLinear(pack_columns(codes, bits), scales, zeros, bits,
+                           groupsize, N)
+
+    dt = cfg.jnp_dtype
+    hd = cfg.head_dim
+    keys = jax.random.split(key, cfg.n_layers + 2)
+    layers = []
+    for i in range(cfg.n_layers):
+        ks = jax.random.split(keys[i], 7)
+        layers.append({
+            "attn_norm": jnp.ones((cfg.dim,), dt),
+            "wq": qlin(ks[0], cfg.dim, cfg.n_heads * hd),
+            "wk": qlin(ks[1], cfg.dim, cfg.n_kv_heads * hd),
+            "wv": qlin(ks[2], cfg.dim, cfg.n_kv_heads * hd),
+            "wo": qlin(ks[3], cfg.n_heads * hd, cfg.dim),
+            "ffn_norm": jnp.ones((cfg.dim,), dt),
+            "w1": qlin(ks[4], cfg.dim, cfg.ffn_dim),
+            "w3": qlin(ks[5], cfg.dim, cfg.ffn_dim),
+            "w2": qlin(ks[6], cfg.ffn_dim, cfg.dim),
+        })
+    from sparsebit_tpu.llm.quant import DenseLinear
+
+    emb = (jax.random.normal(keys[-2], (cfg.vocab_size, cfg.dim), jnp.float32)
+           * 0.02).astype(dt)
+    return {
+        "tok_embed": emb,
+        "layers": layers,
+        "norm": jnp.ones((cfg.dim,), dt),
+        "lm_head": DenseLinear(emb.T),  # tied head (fp16-equiv, like reference)
+    }
+
+
+def main():
+    from sparsebit_tpu.llm.decode import decode_step, prefill
+    from sparsebit_tpu.llm.kv_cache import init_kv_cache
+    from sparsebit_tpu.llm import llama as L
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if on_tpu:
+        cfg = L.LlamaConfig(max_seq_len=512)  # 7B
+        batch, warmup, iters = 1, 3, 30
+    else:
+        cfg = L.llama_tiny()
+        batch, warmup, iters = 1, 2, 10
+
+    params = build_quantized_llama(cfg, bits=4, groupsize=128)
+    cache = init_kv_cache(cfg, batch, max_len=cfg.max_seq_len, quantized=True)
+    prompt = jnp.zeros((batch, 16), jnp.int32)
+    logits, cache = prefill(params, prompt, cache, cfg)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # warmup (compile)
+    for _ in range(warmup):
+        logits, cache = decode_step(params, tok, cache, cfg)
+    jax.block_until_ready(logits)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        logits, cache = decode_step(params, tok, cache, cfg)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    jax.block_until_ready(logits)
+    dt = time.perf_counter() - t0
+    toks_per_s = iters * batch / dt
+
+    # roofline: bytes streamed per token = all packed layer weights + head
+    layer_bytes = packed_param_bytes(params["layers"])
+    head_bytes = packed_param_bytes(params["lm_head"])
+    bytes_per_tok = layer_bytes + head_bytes
+    kind = None
+    if on_tpu:
+        dev = jax.devices()[0]
+        kindstr = getattr(dev, "device_kind", "").lower()
+        for k in HBM_BW:
+            if k in kindstr:
+                kind = k
+    bw = HBM_BW.get(kind, 819.0)
+    sol = bw * 1e9 / bytes_per_tok
+    print(json.dumps({
+        "metric": "llama{}_int4g128_decode_tokens_per_s_chip".format(
+            "7b" if on_tpu else "_tiny"
+        ),
+        "value": round(toks_per_s, 3),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_s / sol, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

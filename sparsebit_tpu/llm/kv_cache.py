@@ -1,0 +1,102 @@
+"""KV cache: bf16 or INT8 (per-token-per-head dynamic scales).
+
+Reference has no KV cache abstraction (HF eager attention re-reads full
+fp16 K/V); the INT8 cache is part of the BASELINE.json north star. Layout
+(B, S_max, n_kv, hd) with the sequence axis second so decode-step
+dynamic_update_slice touches one contiguous row per (batch, layer), and the
+head axis is shardable for tensor parallelism.
+
+Quant scheme: symmetric int8, scale per (token, head) = absmax/127 — the
+value distribution varies most across tokens and heads, not within a head's
+128 lanes. Dequant happens inside the attention matmuls; XLA fuses the
+scale multiply into the operand read, so the HBM traffic is the int8 bytes
+(the 2x win over bf16 is the point: decode attention is cache-bandwidth
+bound).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k", "v", "k_scale", "v_scale", "length"],
+         meta_fields=["quantized"])
+@dataclass
+class KVCache:
+    k: list  # per layer: (B, S, n_kv, hd) int8|bf16
+    v: list
+    k_scale: list  # per layer: (B, S, n_kv) f32 (empty list if not quantized)
+    v_scale: list
+    length: jnp.ndarray  # (B,) int32 — tokens filled per sequence
+    quantized: bool
+
+
+def init_kv_cache(cfg, batch, max_len=None, quantized=True):
+    S = max_len or cfg.max_seq_len
+    shape = (batch, S, cfg.n_kv_heads, cfg.head_dim)
+    if quantized:
+        k = [jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layers)]
+        v = [jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layers)]
+        ks = [jnp.zeros(shape[:3], jnp.float32) for _ in range(cfg.n_layers)]
+        vs = [jnp.zeros(shape[:3], jnp.float32) for _ in range(cfg.n_layers)]
+    else:
+        k = [jnp.zeros(shape, cfg.jnp_dtype) for _ in range(cfg.n_layers)]
+        v = [jnp.zeros(shape, cfg.jnp_dtype) for _ in range(cfg.n_layers)]
+        ks, vs = [], []
+    return KVCache(k, v, ks, vs, jnp.zeros((batch,), jnp.int32), quantized)
+
+
+def _quant_heads(x):
+    """(B, S, H, hd) -> int8 codes + (B, S, H) scales."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -128, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _dequant_heads(q, scale, dtype):
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def cache_update(cache, layer_idx, k_new, v_new, positions):
+    """Write k/v (B, S_new, n_kv, hd) at ``positions`` (B,) per sequence.
+
+    S_new is static (1 for decode, prompt length for prefill). Returns the
+    updated per-layer arrays (callers rebuild the KVCache once per step).
+    """
+    B = k_new.shape[0]
+
+    def upd(buf, val):
+        def one(b_buf, b_val, p):
+            return jax.lax.dynamic_update_slice(
+                b_buf, b_val, (p,) + (0,) * (b_buf.ndim - 1)
+            )
+        return jax.vmap(one)(buf, val, positions)
+
+    if cache.quantized:
+        kq, ks = _quant_heads(k_new)
+        vq, vs = _quant_heads(v_new)
+        return (
+            upd(cache.k[layer_idx], kq),
+            upd(cache.v[layer_idx], vq),
+            upd(cache.k_scale[layer_idx], ks),
+            upd(cache.v_scale[layer_idx], vs),
+        )
+    return (
+        upd(cache.k[layer_idx], k_new.astype(cache.k[layer_idx].dtype)),
+        upd(cache.v[layer_idx], v_new.astype(cache.v[layer_idx].dtype)),
+        None,
+        None,
+    )
+
+
+def cache_read(cache, layer_idx, dtype):
+    """Full (dequantized) K, V for a layer: (B, S, n_kv, hd)."""
+    if cache.quantized:
+        k = _dequant_heads(cache.k[layer_idx], cache.k_scale[layer_idx], dtype)
+        v = _dequant_heads(cache.v[layer_idx], cache.v_scale[layer_idx], dtype)
+        return k, v
+    return cache.k[layer_idx].astype(dtype), cache.v[layer_idx].astype(dtype)

@@ -1,0 +1,191 @@
+"""LLM weight quantizer + packed linear containers.
+
+Reference: large_language_models/llama/quantization/utils/quant.py —
+``Quantizer.configure/find_params`` (:24-133, minmax + optional MSE shrink
+grid, per-channel/group, asymmetric with integer zero) and ``QuantLinear``
+(:147-419, packed storage + CUDA matvec dispatch). Here the packed storage
+is the TPU column-plane layout (ops/packing.py) and the matmul is the
+Pallas groupwise dequant kernel (ops/quant_matmul.py).
+
+Weight convention: (in_features K, out_features N), matching the rest of
+the framework (x @ w). Quantization granularity is along K (per-out-channel
+= one group of size K; groupsize g = K//g groups), so scales/zeros are
+(G, N).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from sparsebit_tpu.ops.packing import pack_columns
+from sparsebit_tpu.ops.quant_matmul import dequant_weights, quant_matmul
+
+
+class LLMQuantizer:
+    """find_params over a (K, N) weight (or a (n, N) slice during GPTQ)."""
+
+    def __init__(self, bits=4, sym=False, mse=False, groupsize=-1,
+                 maxshrink=0.8, grid=100, norm=2.4):
+        self.bits = bits
+        self.sym = sym
+        self.mse = mse
+        self.groupsize = groupsize
+        self.maxshrink = maxshrink
+        self.grid = grid
+        self.norm = norm
+        self.qmax = 2**bits - 1
+
+    def find_params(self, w):
+        """w: (n, N) rows to share qparams column-wise -> scale/zero (1, N)
+        when called per group, or (G, N) when given the reshaped stack."""
+        wmin = jnp.minimum(jnp.min(w, axis=0, keepdims=True), 0.0)
+        wmax = jnp.maximum(jnp.max(w, axis=0, keepdims=True), 0.0)
+        if self.sym:
+            wmax = jnp.maximum(jnp.abs(wmin), wmax)
+            wmin = -wmax
+        degenerate = (wmin == 0) & (wmax == 0)
+        wmin = jnp.where(degenerate, -1.0, wmin)
+        wmax = jnp.where(degenerate, 1.0, wmax)
+
+        if self.mse:
+            scale, zero = self._mse_search(w, wmin, wmax)
+        else:
+            scale, zero = self._params_from_range(wmin, wmax)
+        return scale, zero
+
+    def _params_from_range(self, wmin, wmax):
+        scale = (wmax - wmin) / self.qmax
+        if self.sym:
+            zero = jnp.full_like(scale, (self.qmax + 1) / 2.0)
+        else:
+            zero = jnp.round(-wmin / scale)
+        return scale, zero
+
+    def _mse_search(self, w, wmin, wmax):
+        """Shrink-grid search p = 1 - i/grid (reference quant.py:84-110),
+        vectorised over the grid on device."""
+        def loss_for(p):
+            s, z = self._params_from_range(wmin * p, wmax * p)
+            q = jnp.clip(jnp.round(w / s) + z, 0, self.qmax)
+            deq = (q - z) * s
+            return jnp.sum(jnp.abs(deq - w) ** self.norm, axis=0)  # (N,)
+
+        ps = 1.0 - jnp.arange(int(self.grid * self.maxshrink)) / self.grid
+        losses = jax.vmap(loss_for)(ps)  # (grid, N)
+        best = jnp.argmin(losses, axis=0)  # (N,)
+        p_best = ps[best][None, :]  # (1, N)
+        return self._params_from_range(wmin * p_best, wmax * p_best)
+
+    def quantize(self, w, scale, zero):
+        """Round to codes and dequantize (fake-quant in f32)."""
+        q = jnp.clip(jnp.round(w / scale) + zero, 0, self.qmax)
+        return (q - zero) * scale
+
+    def codes(self, w, scale, zero):
+        return jnp.clip(jnp.round(w / scale) + zero, 0, self.qmax).astype(jnp.uint8)
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseLinear:
+    """Plain dense linear, pytree-compatible sibling of QuantLinear."""
+
+    def __init__(self, w, bias=None):
+        self.w = w
+        self.bias = bias
+
+    @property
+    def in_features(self):
+        return self.w.shape[0]
+
+    @property
+    def out_features(self):
+        return self.w.shape[1]
+
+    def __call__(self, x):
+        out = jnp.dot(x, self.w.astype(x.dtype))
+        if self.bias is not None:
+            out = out + self.bias
+        return out
+
+    def tree_flatten(self):
+        return (self.w, self.bias), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantLinear:
+    """Packed low-bit linear (reference QuantLinear, quant.py:147-419).
+
+    Weights are packed uint8 column planes; scales/zeros (G, N) f32.
+    bits/groupsize/out_features are static (pytree aux data) so jit traces
+    specialise per configuration, not per value.
+    """
+
+    def __init__(self, packed, scales, zeros, bits, groupsize, out_features,
+                 bias=None, impl="auto"):
+        self.packed = packed
+        self.scales = scales
+        self.zeros = zeros
+        self.bits = bits
+        self.groupsize = groupsize
+        self.out_features = out_features
+        self.bias = bias
+        self.impl = impl
+
+    @classmethod
+    def from_dense(cls, w, bits=4, groupsize=-1, sym=False, mse=False, bias=None,
+                   impl="auto"):
+        """Quantize + pack a dense (K, N) weight (RTN baseline; GPTQ produces
+        codes itself and calls ``from_codes``)."""
+        K, N = w.shape
+        gs = groupsize if groupsize > 0 else K
+        quantizer = LLMQuantizer(bits=bits, sym=sym, mse=mse)
+        wg = w.reshape(K // gs, gs, N)
+        scales, zeros = jax.vmap(quantizer.find_params)(wg)  # (G,1,N) each
+        scales = scales.reshape(K // gs, N)
+        zeros = zeros.reshape(K // gs, N)
+        codes = quantizer.codes(
+            w, jnp.repeat(scales, gs, axis=0), jnp.repeat(zeros, gs, axis=0)
+        )
+        return cls.from_codes(codes, scales, zeros, bits, groupsize, bias, impl)
+
+    @classmethod
+    def from_codes(cls, codes, scales, zeros, bits, groupsize, bias=None,
+                   impl="auto"):
+        K, N = codes.shape
+        packed = pack_columns(codes, bits)
+        return cls(packed, scales, zeros, bits, groupsize, N, bias, impl)
+
+    @property
+    def in_features(self):
+        first = next(iter(self.packed.values()))
+        return first.shape[0]
+
+    def dequantize(self):
+        return dequant_weights(
+            self.packed, self.scales, self.zeros, self.bits,
+            self.out_features, self.groupsize,
+        )
+
+    def __call__(self, x):
+        out = quant_matmul(
+            x, self.packed, self.scales, self.zeros,
+            self.bits, self.groupsize, self.out_features, self.impl,
+        )
+        if self.bias is not None:
+            out = out + self.bias
+        return out.astype(x.dtype)
+
+    def tree_flatten(self):
+        return (
+            (self.packed, self.scales, self.zeros, self.bias),
+            (self.bits, self.groupsize, self.out_features, self.impl),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        packed, scales, zeros, bias = children
+        bits, groupsize, out_features, impl = aux
+        return cls(packed, scales, zeros, bits, groupsize, out_features, bias, impl)

@@ -63,11 +63,12 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
     wb = w_ref[...]  # (K_BLK, NT) uint8 packed
     p = 8 // bits if bits != 8 else 1
     mask = (1 << bits) - 1
+    wb_i32 = wb.astype(jnp.int32)  # Mosaic has no uint8->f32 cast
     for j in range(p):  # static unroll over column planes
         if bits == 8:
-            codes = wb.astype(jnp.float32)
+            codes = wb_i32.astype(jnp.float32)
         else:
-            codes = ((wb >> (j * bits)) & mask).astype(jnp.float32)
+            codes = ((wb_i32 >> (j * bits)) & mask).astype(jnp.float32)
         s = s_ref[:, j, :]  # (G_BLK, NT)
         z = z_ref[:, j, :]
         if g_blk > 1 or gs > 1:
@@ -189,7 +190,9 @@ def _qmm_bwd(bits, groupsize, N, impl, res, g):
     W = dequant_weights(packed, scales, zeros, bits, N, groupsize)
     g2 = g.reshape(-1, N).astype(jnp.float32)
     dx = jnp.dot(g2, W.T, preferred_element_type=jnp.float32).reshape(x_shape)
-    zero_packed = jax.tree.map(jnp.zeros_like, packed)
+    from sparsebit_tpu.ops.int8_matmul import zero_cotangent
+
+    zero_packed = jax.tree.map(zero_cotangent, packed)
     return dx, zero_packed, jnp.zeros_like(scales), jnp.zeros_like(zeros)
 
 

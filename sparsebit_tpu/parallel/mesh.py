@@ -1,0 +1,25 @@
+"""Mesh construction + data-parallel helpers."""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp=1, tp=1, devices=None):
+    """Mesh(('dp','tp')) over the available devices (ICI within a slice)."""
+    devices = devices if devices is not None else jax.devices()
+    assert dp * tp <= len(devices), "need {} devices, have {}".format(
+        dp * tp, len(devices)
+    )
+    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, ("dp", "tp"))
+
+
+def dp_shard_batch(mesh, x):
+    """Place a batch leading-axis-sharded over dp, replicated over tp."""
+    return jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+
+def replicate(mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))

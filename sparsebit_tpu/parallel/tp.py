@@ -1,0 +1,226 @@
+"""Tensor parallelism for (quantized) LLaMA via shard_map.
+
+Megatron-style sharding, packed-weight aware (the BASELINE.json north star:
+weights + KV-cache tensor-sharded, collectives overlapped with
+dequant-matmul):
+
+- wq/wk/wv, w1/w3, lm_head: column-parallel — each device packs its own
+  contiguous output-column block (head groups for attention), so the
+  sub-byte column-plane layout stays device-local and the Pallas kernel
+  needs no cross-device awareness.
+- wo, w2: row-parallel — inputs arrive already column-sharded from the
+  producer, local matmul yields a partial sum, one psum per residual
+  branch rides ICI (XLA's latency-hiding scheduler overlaps it with the
+  next layer's dequant work).
+- lm_head stays vocab-sharded; cross-entropy is computed with a
+  pmax/psum-logsumexp so full logits are never materialised.
+
+Sharding is done AT PACK TIME (shard_quantlinear): quantization groups are
+along K, so column splits never cut a group; row splits land on group
+boundaries because groupsize | K/T is validated.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from sparsebit_tpu.llm import llama as L
+from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
+
+
+@jax.tree_util.register_pytree_node_class
+class TPLinear:
+    """Per-device shards of a linear, stacked on a leading tp axis.
+
+    ``stacked`` is a DenseLinear/QuantLinear whose every array leaf has a
+    leading T axis; ``kind`` is "col" (output columns sharded) or "row"
+    (input rows sharded, psum after).
+    """
+
+    def __init__(self, stacked, kind):
+        self.stacked = stacked
+        self.kind = kind
+
+    def local(self):
+        """Inside shard_map: strip the (length-1) shard axis."""
+        return jax.tree.map(lambda x: x[0], self.stacked)
+
+    def tree_flatten(self):
+        return (self.stacked,), (self.kind,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+
+def _stack_linears(lins):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *lins)
+
+
+def shard_linear(lin, T, kind, bits=None, groupsize=-1):
+    """Split a DenseLinear along columns/rows into T shards; quantize+pack
+    each shard independently when ``bits`` is set."""
+    w = lin.w if isinstance(lin, DenseLinear) else lin.dequantize()
+    K, N = w.shape
+    shards = []
+    for t in range(T):
+        if kind == "col":
+            assert N % T == 0
+            ws = w[:, t * (N // T) : (t + 1) * (N // T)]
+            bs = (
+                lin.bias[t * (N // T) : (t + 1) * (N // T)]
+                if lin.bias is not None
+                else None
+            )
+        else:
+            assert K % T == 0
+            gs_eff = groupsize if groupsize and groupsize > 0 else K
+            assert (K // T) % gs_eff == 0 or bits is None, (
+                "row shard {} not aligned to groupsize {}".format(K // T, gs_eff)
+            )
+            ws = w[t * (K // T) : (t + 1) * (K // T), :]
+            # bias added once after the psum: fold 1/T into each shard
+            bs = lin.bias / T if lin.bias is not None else None
+        if bits is None:
+            shards.append(DenseLinear(ws, bs))
+        else:
+            shards.append(
+                QuantLinear.from_dense(ws, bits=bits, groupsize=groupsize, bias=bs)
+            )
+    return TPLinear(_stack_linears(shards), kind)
+
+
+_COL = ("wq", "wk", "wv", "w1", "w3")
+_ROW = ("wo", "w2")
+
+
+def shard_llama_params_tp(params, cfg, T, bits=None, groupsize=-1):
+    """Transform a (dense or quantized->dequantized) LLaMA params pytree
+    into a TP-sharded one. n_heads and n_kv_heads must divide by T so
+    column blocks align with head groups."""
+    assert cfg.n_heads % T == 0 and cfg.n_kv_heads % T == 0
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        new_layer = dict(layer)
+        for name in _COL:
+            new_layer[name] = shard_linear(layer[name], T, "col", bits, groupsize)
+        for name in _ROW:
+            new_layer[name] = shard_linear(layer[name], T, "row", bits, groupsize)
+        out["layers"].append(new_layer)
+    out["lm_head"] = shard_linear(params["lm_head"], T, "col", bits, groupsize)
+    return out
+
+
+# ---- local (per-device) forward ---------------------------------------------
+
+
+def _tp_attn(layer, x, cfg, inv_freq, positions, mask, T):
+    B, S, _ = x.shape
+    hd = cfg.head_dim
+    h_loc = cfg.n_heads // T
+    kv_loc = cfg.n_kv_heads // T
+    wq, wk, wv = (layer[n].local() for n in ("wq", "wk", "wv"))
+    q = wq(x).reshape(B, S, h_loc, hd)
+    k = wk(x).reshape(B, S, kv_loc, hd)
+    v = wv(x).reshape(B, S, kv_loc, hd)
+    q = L.apply_rope(q, positions, inv_freq)
+    k = L.apply_rope(k, positions, inv_freq)
+    n_rep = h_loc // kv_loc
+    out = L.attention_scores(q, L.repeat_kv(k, n_rep), L.repeat_kv(v, n_rep), mask)
+    out = out.reshape(B, S, h_loc * hd)
+    partial_o = layer["wo"].local()(out)  # row-parallel partial
+    return jax.lax.psum(partial_o, "tp")
+
+
+def _tp_ffn(layer, x):
+    h = jax.nn.silu(layer["w1"].local()(x)) * layer["w3"].local()(x)
+    return jax.lax.psum(layer["w2"].local()(h), "tp")
+
+
+def _tp_forward_local(params, tokens, cfg, T):
+    """Runs inside shard_map; x replicated across tp, batch sharded dp.
+    Returns vocab-sharded logits (B, S, V/T)."""
+    B, S = tokens.shape
+    x = params["tok_embed"][tokens]
+    inv_freq = L.rope_frequencies(cfg)
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    mask = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+    for layer in params["layers"]:
+        h = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        x = x + _tp_attn(layer, h, cfg, inv_freq, positions, mask, T)
+        h = L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+        x = x + _tp_ffn(layer, h)
+    x = L.rms_norm(x, params["norm"], cfg.rms_eps)
+    return params["lm_head"].local()(x).astype(jnp.float32)
+
+
+def _vocab_parallel_nll(logits_loc, targets, V_loc):
+    """Cross-entropy over vocab-sharded logits without gathering.
+
+    logits_loc: (B, S, V/T) — this device's vocab columns.
+    """
+    r = jax.lax.axis_index("tp")
+    # stability shift only — stop_gradient BEFORE pmax (no pmax diff rule)
+    m = jax.lax.pmax(
+        jax.lax.stop_gradient(jnp.max(logits_loc, axis=-1)), "tp"
+    )  # (B, S)
+    z = jax.lax.psum(
+        jnp.sum(jnp.exp(logits_loc - m[..., None]), axis=-1), "tp"
+    )
+    logz = m + jnp.log(z)
+    lo = r * V_loc
+    owned = (targets >= lo) & (targets < lo + V_loc)
+    idx = jnp.clip(targets - lo, 0, V_loc - 1)
+    tgt_logit = jnp.take_along_axis(logits_loc, idx[..., None], axis=-1)[..., 0]
+    tgt_logit = jax.lax.psum(jnp.where(owned, tgt_logit, 0.0), "tp")
+    return logz - tgt_logit  # (B, S)
+
+
+def _spec_tree(params, lin_spec, rep_spec):
+    return jax.tree.map(
+        lambda x: lin_spec if isinstance(x, TPLinear) else rep_spec,
+        params,
+        is_leaf=lambda x: isinstance(x, TPLinear),
+    )
+
+
+def tp_llama_forward(params_tp, tokens, cfg, mesh):
+    """Full logits (B, S, V), batch sharded over dp, vocab gathered."""
+    T = mesh.shape["tp"]
+    in_specs = (_spec_tree(params_tp, P("tp"), P()), P("dp"))
+
+    fn = shard_map(
+        partial(_tp_forward_local, cfg=cfg, T=T),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P("dp", None, "tp"),
+        check_vma=False,
+    )
+    return fn(params_tp, tokens)
+
+
+def tp_llama_loss(params_tp, tokens, cfg, mesh):
+    """Mean next-token NLL with vocab-parallel softmax (never materialises
+    full logits)."""
+    T = mesh.shape["tp"]
+    V_loc = cfg.vocab_size // T
+    in_specs = (_spec_tree(params_tp, P("tp"), P()), P("dp"))
+
+    def local(params, toks):
+        logits = _tp_forward_local(params, toks[:, :-1], cfg, T)
+        nll = _vocab_parallel_nll(logits, toks[:, 1:], V_loc)
+        # mean over the dp-sharded batch
+        return jax.lax.pmean(jnp.mean(nll), "dp")[None]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(None),
+        check_vma=False,
+    )
+    return fn(params_tp, tokens)[0]

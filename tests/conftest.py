@@ -2,9 +2,17 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
 # without TPU hardware (multi-chip validated separately by dryrun_multichip).
-os.environ["JAX_PLATFORMS"] = "cpu"  # env presets axon (TPU tunnel); force CPU
+#
+# NOTE: the env presets a remote-TPU (axon) backend whose sitecustomize
+# overrides JAX_PLATFORMS, so the env var alone is NOT enough — the config
+# must be forced after importing jax, before any computation.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

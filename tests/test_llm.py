@@ -1,0 +1,205 @@
+"""LLM pipeline tests: quantizer, GPTQ solver, decode engine, QLoRA.
+
+Oracles mirror the reference's kernel test pattern (test_cuda_kernel.py):
+packed QuantLinear == fake-quantized dense linear; GPTQ must beat
+round-to-nearest on Hessian-weighted error; cached decode == full forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsebit_tpu.llm import llama as L
+from sparsebit_tpu.llm.decode import decode_step, generate, prefill
+from sparsebit_tpu.llm.gptq import HessianAccumulator, gptq_quantize, gptq_quantize_mixed
+from sparsebit_tpu.llm.kv_cache import init_kv_cache
+from sparsebit_tpu.llm.quant import DenseLinear, LLMQuantizer, QuantLinear
+from sparsebit_tpu.llm.qlora import (
+    extract_lora,
+    inject_lora,
+    merge_llama_lora,
+    qlora_train_step,
+    wrap_llama_lora,
+)
+
+CFG = L.llama_tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return L.init_llama_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_quantlinear_matches_fakequant_dense():
+    """pack-then-matmul == dequantized-dense matmul (test_cuda_kernel.py:21)."""
+    K, N, gs = 128, 64, 32
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N)) * 0.1
+    qlin = QuantLinear.from_dense(w, bits=4, groupsize=gs)
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, K))
+    ref = x @ qlin.dequantize()
+    np.testing.assert_allclose(np.asarray(qlin(x)), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    # 4-bit quantization error is small relative to the weight scale
+    # 4-bit/g32 asymmetric RTN on N(0,1): expected rel-L2 ~ step/sqrt(12) ~ 0.1
+    rel = float(jnp.linalg.norm(qlin.dequantize() - w) / jnp.linalg.norm(w))
+    assert rel < 0.12, rel
+
+
+def test_llm_quantizer_mse_beats_minmax_on_outliers():
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(key, (256, 16))
+    w = w.at[0, :].set(20.0)  # outlier row stretches the minmax range
+    for mse, label in ((False, "minmax"), (True, "mse")):
+        q = LLMQuantizer(bits=4, mse=mse)
+        s, z = q.find_params(w)
+        err = float(jnp.sum((q.quantize(w, s, z) - w) ** 2))
+        if mse:
+            assert err < minmax_err
+        else:
+            minmax_err = err
+
+
+def test_gptq_beats_rtn_on_hessian_loss():
+    """GPTQ's error propagation must reduce Hessian-weighted output error
+    vs round-to-nearest (the whole point of gptq.py:101-136)."""
+    K, N = 64, 32
+    key = jax.random.PRNGKey(4)
+    w = jax.random.normal(key, (K, N)) * 0.5
+    # correlated activations -> non-diagonal Hessian (where GPTQ wins)
+    base = jax.random.normal(jax.random.PRNGKey(5), (2048, K // 4))
+    x = jnp.tile(base, (1, 4)) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(6), (2048, K)
+    )
+    acc = HessianAccumulator(K)
+    acc.add_batch(x)
+    res = gptq_quantize(w, acc.H, bits=3, groupsize=32, blocksize=32)
+
+    rtn = QuantLinear.from_dense(w, bits=3, groupsize=32)
+    err_gptq = float(jnp.mean((x @ res["wq"] - x @ w) ** 2))
+    err_rtn = float(jnp.mean((x @ rtn.dequantize() - x @ w) ** 2))
+    assert err_gptq < err_rtn, (err_gptq, err_rtn)
+
+    # codes/scales reconstruct wq exactly
+    qlin = QuantLinear.from_codes(res["codes"], res["scales"], res["zeros"], 3, 32)
+    np.testing.assert_allclose(
+        np.asarray(qlin.dequantize()), np.asarray(res["wq"]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_gptq_mixed_precision_candidates():
+    K, N = 64, 16
+    w = jax.random.normal(jax.random.PRNGKey(7), (K, N)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(8), (512, K))
+    acc = HessianAccumulator(K)
+    acc.add_batch(x)
+    # tight threshold: should fall through 2-bit to 4-bit
+    res = gptq_quantize_mixed(
+        w, acc.H, candidate_bits=(2, 4), loss_threshold=1e-6,
+        groupsize=32, blocksize=32,
+    )
+    res2 = gptq_quantize(w, acc.H, bits=2, groupsize=32, blocksize=32)
+    assert res["bits"] == 4
+    assert res["loss"] <= res2["loss"]
+
+
+def test_gptq_bias_correction():
+    K, N = 32, 8
+    w = jax.random.normal(jax.random.PRNGKey(9), (K, N))
+    b = jnp.zeros((N,))
+    x = jax.random.normal(jax.random.PRNGKey(10), (256, K)) + 1.0  # nonzero mean
+    acc = HessianAccumulator(K)
+    acc.add_batch(x)
+    res = gptq_quantize(
+        w, acc.H, bits=2, groupsize=-1, blocksize=32, mean_x=acc.mean_x, bias=b
+    )
+    # corrected bias shrinks the mean output error
+    err_plain = jnp.mean(jnp.abs(jnp.mean(x @ res["wq"] - x @ w, axis=0)))
+    err_corr = jnp.mean(
+        jnp.abs(jnp.mean(x @ res["wq"] + res["bias"] - x @ w, axis=0))
+    )
+    assert float(err_corr) < float(err_plain)
+
+
+def test_forward_and_loss(params):
+    tokens = jax.random.randint(jax.random.PRNGKey(11), (2, 16), 0, CFG.vocab_size)
+    logits = L.llama_forward(params, tokens, CFG)
+    assert logits.shape == (2, 16, CFG.vocab_size)
+    loss = L.llama_loss(params, tokens, CFG)
+    assert float(loss) > 0
+
+
+@pytest.mark.parametrize("kv_quantized", [False, True])
+def test_cached_decode_matches_full_forward(params, kv_quantized):
+    """prefill+decode_step logits == uncached full forward logits."""
+    B, S = 2, 12
+    tokens = jax.random.randint(jax.random.PRNGKey(12), (B, S), 0, CFG.vocab_size)
+    full = L.llama_forward(params, tokens, CFG)
+
+    cache = init_kv_cache(CFG, B, max_len=32, quantized=kv_quantized)
+    logits, cache = prefill(params, tokens[:, :-1], cache, CFG)
+    step_logits, cache = decode_step(params, tokens[:, -1], cache, CFG)
+
+    # bf16 params: batched-prefill vs single-token matmul rounding differs
+    tol = 0.08 if kv_quantized else 0.03
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full[:, -1]), rtol=tol, atol=tol
+    )
+    assert int(cache.length[0]) == S
+
+
+def test_generate_greedy_deterministic(params):
+    prompt = jax.random.randint(jax.random.PRNGKey(13), (1, 8), 0, CFG.vocab_size)
+    out1 = generate(params, prompt, CFG, max_new_tokens=5, kv_quantized=False)
+    out2 = generate(params, prompt, CFG, max_new_tokens=5, kv_quantized=False)
+    assert out1.shape == (1, 5)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_quantized_llama_end_to_end(params):
+    """RTN-quantize every linear -> forward still sane, logits close-ish."""
+    tokens = jax.random.randint(jax.random.PRNGKey(14), (1, 8), 0, CFG.vocab_size)
+    ref = L.llama_forward(params, tokens, CFG)
+
+    def quantize(path, lin):
+        return QuantLinear.from_dense(
+            lin.w.astype(jnp.float32), bits=8, groupsize=64
+        )
+
+    qparams = L.quantize_llama_params(params, quantize)
+    out = L.llama_forward(qparams, tokens, CFG)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.05, rel
+
+
+def test_qlora_training_updates_only_lora(params):
+    import optax
+
+    lparams = wrap_llama_lora(params, r=4, targets=("wq", "wv"))
+    lora = extract_lora(lparams)
+    assert len(lora) == 2 * CFG.n_layers
+    tokens = jax.random.randint(jax.random.PRNGKey(15), (1, 16), 0, CFG.vocab_size)
+
+    opt = optax.sgd(1e-2)
+    state = opt.init(lora)
+    ref = L.llama_forward(lparams, tokens, CFG)
+    lora2, state, loss = qlora_train_step(lora, state, lparams, tokens, CFG, opt)
+    assert float(loss) > 0
+    # B starts at zero => initial wrap is identity
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(L.llama_forward(params, tokens, CFG)),
+        rtol=1e-4, atol=1e-4,
+    )
+    # after a step the adapters changed and the output moved
+    changed = jax.tree.map(
+        lambda a, b: bool(jnp.any(a != b)), lora, lora2
+    )
+    assert any(jax.tree.leaves(changed))
+    out2 = L.llama_forward(inject_lora(lparams, lora2), tokens, CFG)
+    assert not jnp.allclose(out2, ref)
+
+    merged = merge_llama_lora(inject_lora(lparams, lora2))
+    np.testing.assert_allclose(
+        np.asarray(L.llama_forward(merged, tokens, CFG)),
+        np.asarray(out2),
+        rtol=2e-2, atol=2e-2,
+    )

@@ -1,0 +1,132 @@
+"""Kernel-layer tests.
+
+Port of the reference's kernel oracle (test_cuda_kernel.py:21-126):
+pack-then-matmul must equal dequantized-dense matmul, across bits
+{2,3,4,8}, irregular shapes, groupsize variants. Pallas kernels run in
+interpreter mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsebit_tpu.ops import (
+    int8_matmul_dynamic,
+    pack_columns,
+    quant_matmul,
+    tokenwise_quant,
+    unpack_columns,
+)
+from sparsebit_tpu.ops.int8_matmul import requantize_per_input_channel
+from sparsebit_tpu.ops.quant_matmul import dequant_weights, _quant_matmul_pallas
+
+
+def _rand_quantized(key, K, N, bits, gs):
+    """Random packed weights + qparams + the dense f32 oracle W."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    qmax = 2**bits - 1
+    q = jax.random.randint(k1, (K, N), 0, qmax + 1, jnp.int32)
+    G = K // gs if gs > 0 else 1
+    scales = jax.random.uniform(k2, (G, N), jnp.float32, 0.01, 0.1)
+    zeros = jax.random.randint(k3, (G, N), 0, qmax + 1).astype(jnp.float32)
+    packed = pack_columns(q, bits)
+    gs_eff = gs if gs > 0 else K
+    W = (q.astype(jnp.float32) - jnp.repeat(zeros, gs_eff, axis=0)[:K]) * (
+        jnp.repeat(scales, gs_eff, axis=0)[:K]
+    )
+    return packed, scales, zeros, W
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
+def test_pack_roundtrip(bits):
+    key = jax.random.PRNGKey(0)
+    q = jax.random.randint(key, (16, 64), 0, 2**bits, jnp.int32).astype(jnp.uint8)
+    packed = pack_columns(q, bits)
+    back = unpack_columns(packed, bits, 64)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(q))
+    # packed size is the whole point
+    total_bytes = sum(int(np.prod(v.shape)) for v in packed.values())
+    assert total_bytes == 16 * 64 * bits // 8
+
+
+@pytest.mark.parametrize("bits,gs", [(2, 32), (3, 32), (4, 32), (4, -1), (8, 64)])
+def test_quant_matmul_xla_matches_oracle(bits, gs):
+    K, N = 64, 64
+    packed, scales, zeros, W = _rand_quantized(jax.random.PRNGKey(1), K, N, bits, gs)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, K))
+    ref = x @ W
+    out = quant_matmul(x, packed, scales, zeros, bits, gs, N, "xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "bits,gs,K,N,B",
+    [
+        (4, 128, 256, 256, 4),
+        (4, 128, 512, 256, 1),
+        (2, 128, 256, 512, 8),
+        (8, 128, 256, 256, 3),
+        (4, -1, 256, 256, 4),
+    ],
+)
+def test_quant_matmul_pallas_interpret(bits, gs, K, N, B, monkeypatch):
+    packed, scales, zeros, W = _rand_quantized(jax.random.PRNGKey(3), K, N, bits, gs)
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, K))
+    ref = x @ W
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = _quant_matmul_pallas(x, packed["w"], scales, zeros, bits, gs, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_quant_matmul_grad_is_dense_grad():
+    K, N, gs, bits = 64, 64, 32, 4
+    packed, scales, zeros, W = _rand_quantized(jax.random.PRNGKey(5), K, N, bits, gs)
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, K))
+
+    def f(x):
+        return jnp.sum(quant_matmul(x, packed, scales, zeros, bits, gs, N, "xla") ** 2)
+
+    def f_ref(x):
+        return jnp.sum((x @ W) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(x)), np.asarray(jax.grad(f_ref)(x)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_tokenwise_quant_error_bound():
+    x = jax.random.normal(jax.random.PRNGKey(7), (8, 128)) * 3
+    q, s = tokenwise_quant(x)
+    deq = q.astype(jnp.float32) * s
+    # max error is half a quantization step per token
+    step = np.asarray(s)[:, 0]
+    err = np.max(np.abs(np.asarray(deq - x)), axis=1)
+    assert (err <= step * 0.5 + 1e-6).all()
+
+
+def test_int8_matmul_dynamic_close_to_dense():
+    K, N = 128, 64
+    key = jax.random.PRNGKey(8)
+    w = jax.random.normal(key, (K, N)) * 0.05
+    w_absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)
+    w_scale = w_absmax / 127.0
+    wq = jnp.clip(jnp.round(w / w_scale), -128, 127).astype(jnp.int8)
+    bwd_wq, bwd_scale = requantize_per_input_channel(wq, w_scale)
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, K))
+    out = int8_matmul_dynamic(x, wq, w_scale, bwd_wq, bwd_scale)
+    ref = x @ (wq.astype(jnp.float32) * w_scale)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+    # backward: dx close to g @ W^T
+    def f(x):
+        return jnp.sum(int8_matmul_dynamic(x, wq, w_scale, bwd_wq, bwd_scale))
+
+    g = jnp.ones((4, N))
+    dx_ref = g @ (wq.astype(jnp.float32) * w_scale).T
+    dx = jax.grad(f)(x)
+    rel = float(jnp.linalg.norm(dx - dx_ref) / jnp.linalg.norm(dx_ref))
+    assert rel < 0.02, rel
