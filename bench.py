@@ -96,22 +96,21 @@ def main():
         cfg = L.llama_tiny()
         batch, warmup, iters = 1, 2, 10
 
+    from sparsebit_tpu.llm.decode import decode_tokens
+
     params = build_quantized_llama(cfg, bits=4, groupsize=128)
     cache = init_kv_cache(cfg, batch, max_len=cfg.max_seq_len, quantized=True)
     prompt = jnp.zeros((batch, 16), jnp.int32)
     logits, cache = prefill(params, prompt, cache, cfg)
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # warmup (compile)
-    for _ in range(warmup):
-        logits, cache = decode_step(params, tok, cache, cfg)
-    jax.block_until_ready(logits)
-
+    # whole decode loop runs on device (lax.scan) — timing is per-token
+    # device throughput, not host/tunnel dispatch latency
+    toks, cache = decode_tokens(params, tok, cache, cfg, iters)  # compile
+    jax.block_until_ready(toks)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        logits, cache = decode_step(params, tok, cache, cfg)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    jax.block_until_ready(logits)
+    toks, cache = decode_tokens(params, toks[:, -1], cache, cfg, iters)
+    jax.block_until_ready(toks)
     dt = time.perf_counter() - t0
     toks_per_s = iters * batch / dt
 

@@ -108,6 +108,22 @@ def decode_step(params, tokens, cache, cfg):
     return logits[:, 0], cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def decode_tokens(params, tok0, cache, cfg, n_tokens):
+    """Greedy-decode n_tokens entirely on device (lax.scan over
+    decode steps) — the serving inner loop: one dispatch, no host
+    round-trip per token. Returns (tokens (B, n_tokens), cache)."""
+
+    def body(carry, _):
+        tok, cache = carry
+        logits, cache = decode_step(params, tok, cache, cfg)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (tok, cache), tok
+
+    (tok, cache), toks = jax.lax.scan(body, (tok0, cache), None, length=n_tokens)
+    return jnp.swapaxes(toks, 0, 1), cache
+
+
 # ---- sampling ---------------------------------------------------------------
 
 

@@ -290,6 +290,25 @@ class Graph:
             if n.name in params:
                 n.op.load_state_dict(params[n.name])
 
+    def clone(self):
+        """Structural copy: new Node/SymbolicTensor objects, SHARED op
+        modules (callers swap ops on the clone, e.g. the int8 deploy pass)."""
+        g2 = Graph()
+        mapping = {}
+        for n in self.nodes:
+            new_args = []
+            for a in n.args:
+                if isinstance(a, SymbolicTensor):
+                    new_args.append(mapping[a.node.name].symbolic(a.index))
+                else:
+                    new_args.append(a)
+            n2 = Node(n.name, n.op, new_args, dict(n.kwargs), n.out_aval)
+            n2.graph = g2
+            g2.nodes.append(n2)
+            g2._names.add(n.name)
+            mapping[n.name] = n2
+        return g2
+
     # ---- introspection ----------------------------------------------------
     def print_tabular(self):
         rows = []

@@ -53,6 +53,16 @@ def dequant_weights(packed, scales, zeros, bits, N, gs):
 
 
 def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
+    """Group-factored dequant-matmul: within a group g every row shares
+    (s_g, z_g) per column, so
+
+        x_g @ ((C_g - z_g) * s_g)  ==  (x_g @ C_g - sum(x_g) * z_g) * s_g
+
+    — the dequantized weight tile is never materialised and the per-element
+    scale multiply collapses to one (B, NT) epilogue per group. (The
+    reference CUDA kernel dequantizes per element in registers,
+    cuda_kernel_4bit.cu:89-180; on TPU the epilogue form keeps the VPU out
+    of the inner loop entirely.)"""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -60,44 +70,88 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
         o_ref[...] = jnp.zeros_like(o_ref)
 
     xb = x_ref[...].astype(jnp.float32)  # (B, K_BLK)
-    wb = w_ref[...]  # (K_BLK, NT) uint8 packed
     p = 8 // bits if bits != 8 else 1
     mask = (1 << bits) - 1
-    wb_i32 = wb.astype(jnp.int32)  # Mosaic has no uint8->f32 cast
+    wb_i32 = w_ref[...].astype(jnp.int32)  # Mosaic has no uint8->f32 cast
     for j in range(p):  # static unroll over column planes
         if bits == 8:
             codes = wb_i32.astype(jnp.float32)
         else:
             codes = ((wb_i32 >> (j * bits)) & mask).astype(jnp.float32)
-        s = s_ref[:, j, :]  # (G_BLK, NT)
-        z = z_ref[:, j, :]
-        if g_blk > 1 or gs > 1:
-            s = jnp.repeat(s, gs, axis=0)
-            z = jnp.repeat(z, gs, axis=0)
-        wf = (codes - z) * s  # (K_BLK, NT)
-        o_ref[:, j, :] += jnp.dot(
-            xb, wf, preferred_element_type=jnp.float32
-        )
+        acc = None
+        for g in range(g_blk):  # static unroll over quant groups
+            xg = xb[:, g * gs : (g + 1) * gs]  # (B, gs)
+            cg = codes[g * gs : (g + 1) * gs, :]  # (gs, NT)
+            dot_g = jnp.dot(xg, cg, preferred_element_type=jnp.float32)
+            xsum = jnp.sum(xg, axis=1, keepdims=True)  # (B, 1)
+            contrib = (dot_g - xsum * z_ref[g, j, :][None, :]) * s_ref[g, j, :][None, :]
+            acc = contrib if acc is None else acc + contrib
+        o_ref[:, j, :] += acc
 
 
-def _quant_matmul_pallas(x, w, scales, zeros, bits, gs, N):
+_TILE_CELL_BUDGET = 1 << 20  # K_BLK * NT cells per weight tile (~5 MB VMEM live)
+
+
+def _pick_tiles(K, NP, gs_eff, per_channel):
+    """(K_BLK, NT): K_BLK nests with the groupsize; NT as wide as possible
+    (full packed rows -> contiguous HBM DMA; narrow tiles measured ~1/30th
+    of HBM bandwidth on v5e) under the VMEM cell budget."""
+    if per_channel:
+        K_BLK = 512
+        while K % K_BLK != 0 and K_BLK > 8:
+            K_BLK //= 2
+        if K % K_BLK != 0:
+            K_BLK = K
+    else:
+        K_BLK = gs_eff
+    # widest lane-aligned divisor of NP fitting the budget
+    NT = NP
+    for cand in sorted(
+        {d for d in range(128, NP + 1, 128) if NP % d == 0} | {NP},
+        reverse=True,
+    ):
+        if K_BLK * cand <= _TILE_CELL_BUDGET:
+            NT = cand
+            break
+    else:
+        NT = 128 if NP % 128 == 0 else NP
+    # grow K_BLK (grouped case) while budget allows
+    while (
+        not per_channel
+        and K_BLK < 512
+        and K % (K_BLK * 2) == 0
+        and K_BLK * 2 * NT <= _TILE_CELL_BUDGET
+    ):
+        K_BLK *= 2
+    return K_BLK, NT
+
+
+def _quant_matmul_pallas(x, w, scales, zeros, bits, gs, N, nt=None, k_blk=None):
     """x (B, K) f32/bf16; w packed uint8 (K, NP); scales/zeros (G, N)."""
     B, K = x.shape
     p = 8 // bits if bits != 8 else 1
     NP = N // p
     G = scales.shape[0]
+    per_channel = gs <= 0
     gs_eff = gs if gs > 0 else K
 
-    # tile sizes: K_BLK a multiple of the groupsize, NT | NP
-    K_BLK = gs_eff
-    while K_BLK < 512 and K % (K_BLK * 2) == 0 and (K_BLK * 2) % gs_eff == 0:
-        K_BLK *= 2
+    K_BLK, NT = _pick_tiles(K, NP, gs_eff, per_channel)
+    if k_blk:
+        K_BLK = k_blk
+    if nt:
+        NT = nt
     if K % K_BLK != 0:
         raise ValueError("K={} not tileable by {}".format(K, K_BLK))
-    NT = 256 if NP % 256 == 0 else 128
     if NP % NT != 0:
-        raise ValueError("packed N={} not tileable".format(NP))
-    G_BLK = K_BLK // gs_eff
+        raise ValueError("packed N={} not tileable by {}".format(NP, NT))
+    if per_channel:
+        # every k-tile applies the same (1, N) qparams; the kernel treats
+        # the whole K_BLK panel as one group
+        G_BLK, gs_kernel = 1, K_BLK
+        s_index = lambda i, k: (0, 0, i)
+    else:
+        G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
+        s_index = lambda i, k: (k, 0, i)
 
     # pad batch to sublane granularity
     B_pad = max(8, ((B + 7) // 8) * 8)
@@ -109,13 +163,13 @@ def _quant_matmul_pallas(x, w, scales, zeros, bits, gs, N):
 
     grid = (NP // NT, K // K_BLK)
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, bits=bits, gs=gs_eff, g_blk=G_BLK),
+        functools.partial(_qmm_kernel, bits=bits, gs=gs_kernel, g_blk=G_BLK),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B_pad, K_BLK), lambda i, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((K_BLK, NT), lambda i, k: (k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_BLK, p, NT), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_BLK, p, NT), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, p, NT), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, p, NT), s_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (B_pad, p, NT), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM
