@@ -142,6 +142,38 @@ def attention_scores(q, k, v, mask):
     return out.astype(q.dtype)
 
 
+def _flash_ok(q):
+    B, S, H, hd = q.shape
+    return (
+        jax.default_backend() == "tpu"
+        and S % 128 == 0
+        and S >= 128
+        and hd in (64, 128, 256)
+    )
+
+
+def causal_attention(q, k, v):
+    """Causal self-attention for prefill/scoring: Pallas flash attention on
+    TPU (online-softmax tiling — never materialises the (S, S) score
+    matrix), einsum+mask fallback elsewhere."""
+    B, S, H, hd = q.shape
+    if _flash_ok(q):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        out = flash_attention(
+            jnp.swapaxes(q, 1, 2).astype(jnp.float32),
+            jnp.swapaxes(k, 1, 2).astype(jnp.float32),
+            jnp.swapaxes(v, 1, 2).astype(jnp.float32),
+            causal=True,
+            sm_scale=float(hd) ** -0.5,
+        )
+        return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+    mask = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+    return attention_scores(q, k, v, mask)
+
+
 def _attn_block(layer, x, cfg, inv_freq, positions, mask, kv=None):
     """Returns (attn_out, (k, v) for cache)."""
     B, S, _ = x.shape
@@ -156,7 +188,14 @@ def _attn_block(layer, x, cfg, inv_freq, positions, mask, kv=None):
     else:
         k_all, v_all = k, v
     n_rep = cfg.n_heads // cfg.n_kv_heads
-    out = attention_scores(q, repeat_kv(k_all, n_rep), repeat_kv(v_all, n_rep), mask)
+    if kv is None and mask is None:
+        out = causal_attention(
+            q, repeat_kv(k_all, n_rep), repeat_kv(v_all, n_rep)
+        )
+    else:
+        out = attention_scores(
+            q, repeat_kv(k_all, n_rep), repeat_kv(v_all, n_rep), mask
+        )
     out = out.reshape(B, S, cfg.n_heads * hd)
     return layer["wo"](out), (k, v)
 
@@ -184,10 +223,10 @@ def llama_forward(params, tokens, cfg, return_kv=False):
     x = params["tok_embed"][tokens]
     inv_freq = rope_frequencies(cfg)
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-    mask = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
     kvs = []
     for layer in params["layers"]:
-        x, kv = decoder_layer(layer, x, cfg, inv_freq, positions, mask)
+        # mask=None selects the causal flash-attention path on TPU
+        x, kv = decoder_layer(layer, x, cfg, inv_freq, positions, None)
         if return_kv:
             kvs.append(kv)
     x = rms_norm(x, params["norm"], cfg.rms_eps)

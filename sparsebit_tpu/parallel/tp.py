@@ -203,6 +203,95 @@ def tp_llama_forward(params_tp, tokens, cfg, mesh):
     return fn(params_tp, tokens)
 
 
+def _tp_decode_local(params, tokens, cache, cfg, T):
+    """One decode step per device: heads and KV cache locally sharded,
+    row-parallel psums as in _tp_forward_local. Returns (vocab-sharded
+    logits, updated local cache)."""
+    from sparsebit_tpu.llm.kv_cache import KVCache, cache_read, cache_update
+
+    B = tokens.shape[0]
+    S_max = cache.k[0].shape[1]
+    positions = cache.length[:, None]
+    valid = jnp.arange(S_max, dtype=jnp.int32)[None, :] <= positions
+    mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+    x = params["tok_embed"][tokens[:, None]]
+    inv_freq = L.rope_frequencies(cfg)
+    hd = cfg.head_dim
+    h_loc = cfg.n_heads // T
+    kv_loc = cfg.n_kv_heads // T
+
+    new_k, new_v = list(cache.k), list(cache.v)
+    new_ks, new_vs = list(cache.k_scale), list(cache.v_scale)
+    for li, layer in enumerate(params["layers"]):
+        h = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q = layer["wq"].local()(h).reshape(B, 1, h_loc, hd)
+        k = layer["wk"].local()(h).reshape(B, 1, kv_loc, hd)
+        v = layer["wv"].local()(h).reshape(B, 1, kv_loc, hd)
+        q = L.apply_rope(q, positions, inv_freq)
+        k = L.apply_rope(k, positions, inv_freq)
+        tmp = KVCache(new_k, new_v, new_ks, new_vs, cache.length, cache.quantized)
+        upd = cache_update(tmp, li, k, v, positions[:, 0])
+        new_k[li], new_v[li] = upd[0], upd[1]
+        if cache.quantized:
+            new_ks[li], new_vs[li] = upd[2], upd[3]
+        tmp = KVCache(new_k, new_v, new_ks, new_vs, cache.length, cache.quantized)
+        k_all, v_all = cache_read(tmp, li, x.dtype)
+        n_rep = h_loc // kv_loc
+        out = L.attention_scores(
+            q, L.repeat_kv(k_all, n_rep), L.repeat_kv(v_all, n_rep), mask
+        ).reshape(B, 1, h_loc * hd)
+        x = x + jax.lax.psum(layer["wo"].local()(out), "tp")
+        h2 = L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+        x = x + jax.lax.psum(
+            layer["w2"].local()(
+                jax.nn.silu(layer["w1"].local()(h2)) * layer["w3"].local()(h2)
+            ),
+            "tp",
+        )
+    x = L.rms_norm(x, params["norm"], cfg.rms_eps)
+    logits = params["lm_head"].local()(x).astype(jnp.float32)[:, 0]
+    new_cache = KVCache(
+        new_k, new_v, new_ks, new_vs, cache.length + 1, cache.quantized
+    )
+    return logits, new_cache
+
+
+def _cache_specs(cache):
+    from sparsebit_tpu.llm.kv_cache import KVCache
+
+    L_n = len(cache.k)
+    kv = [P(None, None, "tp", None)] * L_n
+    sc = [P(None, None, "tp")] * L_n if cache.quantized else []
+    return KVCache(list(kv), list(kv), sc, list(sc), P(None), cache.quantized)
+
+
+def tp_decode_step(params_tp, tokens, cache, cfg, mesh):
+    """Tensor-parallel decode step: packed weight shards + head-sharded
+    INT8 KV cache (the north star's serving configuration). Batch is
+    replicated across dp for simplicity (decode batches are small)."""
+    T = mesh.shape["tp"]
+    cspec = _cache_specs(cache)
+    in_specs = (_spec_tree(params_tp, P("tp"), P()), P(None), cspec)
+    fn = shard_map(
+        partial(_tp_decode_local, cfg=cfg, T=T),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(None, "tp"), cspec),
+        check_vma=False,
+    )
+    return fn(params_tp, tokens, cache)
+
+
+def shard_kv_cache_tp(cache, mesh):
+    """Place a KVCache with heads sharded over tp."""
+    from jax.sharding import NamedSharding
+
+    cspec = _cache_specs(cache)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), cache, cspec
+    )
+
+
 def tp_llama_loss(params_tp, tokens, cfg, mesh):
     """Mean next-token NLL with vocab-parallel softmax (never materialises
     full logits)."""

@@ -67,6 +67,36 @@ def test_tp_grads_flow(params, tokens):
     assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
 
 
+@pytest.mark.parametrize("kv_quantized", [False, True])
+def test_tp_decode_matches_single_device(params, kv_quantized):
+    from sparsebit_tpu.llm.decode import decode_step, prefill
+    from sparsebit_tpu.llm.kv_cache import init_kv_cache
+    from sparsebit_tpu.parallel.tp import shard_kv_cache_tp, tp_decode_step
+
+    mesh = make_mesh(dp=1, tp=2)
+    params_tp = shard_llama_params_tp(params, CFG, 2)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 5), 0, CFG.vocab_size)
+
+    cache = init_kv_cache(CFG, 2, 16, quantized=kv_quantized)
+    logits, cache = prefill(params, tokens, cache, CFG)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    ref_logits, ref_cache = decode_step(params, tok, cache, CFG)
+
+    # TP path shares the same prefilled cache, head-sharded
+    cache_tp = shard_kv_cache_tp(cache, mesh)
+    out_logits, out_cache = tp_decode_step(params_tp, tok, cache_tp, CFG, mesh)
+    tol = 0.05 if kv_quantized else 1e-3
+    np.testing.assert_allclose(
+        np.asarray(out_logits), np.asarray(ref_logits), rtol=tol, atol=tol
+    )
+    assert int(out_cache.length[0]) == int(ref_cache.length[0])
+    # two more steps stay in agreement
+    tok2 = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+    r2, _ = decode_step(params, tok2, ref_cache, CFG)
+    o2, _ = tp_decode_step(params_tp, tok2, out_cache, CFG, mesh)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(r2), rtol=tol, atol=tol)
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__
 
