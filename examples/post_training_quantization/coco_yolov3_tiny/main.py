@@ -1,0 +1,54 @@
+"""Detection PTQ (reference: examples/post_training_quantization/coco2017/
+yolo_series/main.py). Quantizes the detector graph; box decode/NMS/mAP are
+downstream of the quantized network.
+
+    python main.py [--data coco_imgs.npz] [--ckpt yolo.npz]
+"""
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from sparsebit_tpu import QuantModel, parse_qconfig
+from sparsebit_tpu.models import create_model
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--qconfig", default="qconfig.yaml")
+    ap.add_argument("--data", default=None, help="npz x (N,H,W,3) float")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--imgsize", type=int, default=416)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--calib-batches", type=int, default=8)
+    args = ap.parse_args()
+
+    model = create_model("yolov3_tiny")
+    if args.ckpt:
+        model.load_full_state_dict(dict(np.load(args.ckpt)))
+    model.eval()
+
+    if args.data:
+        x = np.load(args.data)["x"].astype(np.float32)
+    else:
+        print("[warn] no --data; random tensors (flow demo)")
+        x = np.random.default_rng(0).normal(
+            size=(args.calib_batches * args.batch, args.imgsize, args.imgsize, 3)
+        ).astype(np.float32)
+
+    cfg = parse_qconfig(args.qconfig)
+    qmodel = QuantModel(model, cfg, (jnp.asarray(x[: args.batch]),))
+    qmodel.prepare_calibration()
+    for i in range(args.calib_batches):
+        qmodel(jnp.asarray(x[i * args.batch : (i + 1) * args.batch]))
+    qmodel.calc_qparams()
+    qmodel.set_quant(True, True)
+    p1, p2 = qmodel(jnp.asarray(x[: args.batch]))
+    print("quantized prediction maps:", p1.shape, p2.shape)
+    err = qmodel.get_quantization_error(jnp.asarray(x[: args.batch]))
+    print("mean per-layer quant error:", float(np.mean(list(err.values()))))
+
+
+if __name__ == "__main__":
+    main()

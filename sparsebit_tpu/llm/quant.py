@@ -170,10 +170,18 @@ class QuantLinear:
         )
 
     def __call__(self, x):
-        out = quant_matmul(
-            x, self.packed, self.scales, self.zeros,
-            self.bits, self.groupsize, self.out_features, self.impl,
-        )
+        if self.impl == "a8":
+            from sparsebit_tpu.ops.quant_matmul import quant_matmul_a8
+
+            out = quant_matmul_a8(
+                x, self.packed, self.scales, self.zeros,
+                self.bits, self.groupsize, self.out_features,
+            )
+        else:
+            out = quant_matmul(
+                x, self.packed, self.scales, self.zeros,
+                self.bits, self.groupsize, self.out_features, self.impl,
+            )
         if self.bias is not None:
             out = out + self.bias
         return out.astype(x.dtype)

@@ -18,7 +18,7 @@ def create_model(name, **kwargs):
     return MODEL_REGISTRY[name](**kwargs)
 
 
-from sparsebit_tpu.models import resnet, mobilenet, vit, bert, gpt2  # noqa: E402,F401
+from sparsebit_tpu.models import resnet, mobilenet, vit, bert, gpt2, yolo  # noqa: E402,F401
 from sparsebit_tpu.models.resnet import (  # noqa: E402,F401
     resnet18,
     resnet20,

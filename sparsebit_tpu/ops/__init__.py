@@ -14,7 +14,7 @@ from sparsebit_tpu.ops.packing import (  # noqa: F401
     unpack_columns,
     packed_plane_count,
 )
-from sparsebit_tpu.ops.quant_matmul import quant_matmul  # noqa: F401
+from sparsebit_tpu.ops.quant_matmul import quant_matmul, quant_matmul_a8  # noqa: F401
 from sparsebit_tpu.ops.int8_matmul import (  # noqa: F401
     int8_matmul_dynamic,
     tokenwise_quant,

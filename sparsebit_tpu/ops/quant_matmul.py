@@ -198,6 +198,128 @@ def _supports_pallas(bits, K, N, gs):
     return True
 
 
+# ---- W4A8 kernel: int8 activations, codes stay int8 into the MXU -----------
+
+
+def _qmm_a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
+    """Same group-factored math as _qmm_kernel but on the int8 MXU:
+
+        out_g = (x8_g @ C_g - sum(x8_g) * z_g) * s_g        (epilogue f32)
+
+    The unpacked codes never leave int8, so the per-element VPU work is
+    just shift+mask (the f32-cast variant measured VPU-bound at ~20x the
+    DMA time on v5e; this is the speed-of-light path for decode).
+    Caller rescales by the per-token activation scale.
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    xb = x_ref[...]  # (B, K_BLK) int8
+    p = 8 // bits if bits != 8 else 1
+    mask = (1 << bits) - 1
+    # Mosaic cannot legalize u8 shifts (arith.shrui); shift in i32.
+    # 8-bit codes [0,255] don't fit s8: shift by -128 and fold into z.
+    zshift = 128 if bits == 8 else 0
+    wb = w_ref[...].astype(jnp.int32)  # (K_BLK, NT)
+    for j in range(p):
+        if bits == 8:
+            codes = (wb - zshift).astype(jnp.int8)
+        else:
+            codes = ((wb >> (j * bits)) & mask).astype(jnp.int8)
+        acc = None
+        for g in range(g_blk):
+            xg = xb[:, g * gs : (g + 1) * gs]
+            cg = codes[g * gs : (g + 1) * gs, :]
+            dot_g = jax.lax.dot_general(
+                xg, cg,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(
+                jnp.float32
+            )
+            z_eff = z_ref[g, j, :][None, :] - zshift
+            contrib = (dot_g - xsum * z_eff) * s_ref[g, j, :][None, :]
+            acc = contrib if acc is None else acc + contrib
+        o_ref[:, j, :] += acc
+
+
+def _quant_matmul_pallas_a8(x8, w, scales, zeros, bits, gs, N):
+    """x8 (B, K) int8 (per-token pre-quantized); returns UNSCALED f32 out
+    (caller multiplies by the per-token activation scale)."""
+    B, K = x8.shape
+    p = 8 // bits if bits != 8 else 1
+    NP = N // p
+    G = scales.shape[0]
+    per_channel = gs <= 0
+    gs_eff = gs if gs > 0 else K
+    K_BLK, NT = _pick_tiles(K, NP, gs_eff, per_channel)
+    if per_channel:
+        G_BLK, gs_kernel = 1, K_BLK
+        s_index = lambda i, k: (0, 0, i)
+    else:
+        G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
+        s_index = lambda i, k: (k, 0, i)
+
+    B_pad = max(8, ((B + 7) // 8) * 8)
+    if B_pad != B:
+        x8 = jnp.pad(x8, ((0, B_pad - B), (0, 0)))
+
+    s3 = scales.reshape(G, p, NP).astype(jnp.float32)
+    z3 = zeros.reshape(G, p, NP).astype(jnp.float32)
+    grid = (NP // NT, K // K_BLK)
+    out = pl.pallas_call(
+        functools.partial(_qmm_a8_kernel, bits=bits, gs=gs_kernel, g_blk=G_BLK),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B_pad, K_BLK), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_BLK, NT), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, p, NT), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, p, NT), s_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B_pad, p, NT), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B_pad, p, NP), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B_pad * K * N,
+            bytes_accessed=K * NP + G * N * 8 + B_pad * K + B_pad * N * 4,
+            transcendentals=0,
+        ),
+    )(x8, w, s3, z3)
+    return out.reshape(B_pad, N)[:B]
+
+
+def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
+    """W4A8 matmul: per-token dynamic int8 activations + packed sub-byte
+    weights on the int8 MXU. ~accuracy of LLM.int8-style per-token quant;
+    use for decode serving (the f32 path remains the exact oracle)."""
+    from sparsebit_tpu.ops.int8_matmul import tokenwise_quant
+
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    xq, x_scale = tokenwise_quant(x2.astype(jnp.float32))
+    if (
+        _supports_pallas(bits, K, N, groupsize)
+        and bits != 3
+        and jax.default_backend() == "tpu"
+    ):
+        out = _quant_matmul_pallas_a8(
+            xq, packed["w"], scales, zeros, bits, groupsize, N
+        )
+    else:
+        # x8 @ dequant(W) == the kernel's int-dot + epilogue, exactly
+        W = dequant_weights(packed, scales, zeros, bits, N, groupsize)
+        out = jnp.dot(
+            xq.astype(jnp.float32), W, preferred_element_type=jnp.float32
+        )
+    return (out * x_scale).reshape(lead + (N,))
+
+
 # ---- public op with custom_vjp ----------------------------------------------
 
 

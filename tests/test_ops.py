@@ -81,6 +81,40 @@ def test_quant_matmul_pallas_interpret(bits, gs, K, N, B, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("bits,gs,K,N,B", [(4, 128, 256, 256, 2), (2, 64, 256, 512, 8)])
+def test_quant_matmul_a8_close_to_f32(bits, gs, K, N, B):
+    """W4A8 path: int8 activation quant adds <~1% relative error."""
+    from sparsebit_tpu.ops.quant_matmul import quant_matmul_a8
+
+    packed, scales, zeros, W = _rand_quantized(jax.random.PRNGKey(11), K, N, bits, gs)
+    x = jax.random.normal(jax.random.PRNGKey(12), (B, K))
+    ref = x @ W
+    out = quant_matmul_a8(x, packed, scales, zeros, bits, gs, N)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+@pytest.mark.parametrize("bits,gs,K,N,B", [(4, 128, 256, 256, 2)])
+def test_quant_matmul_a8_pallas_matches_fallback(bits, gs, K, N, B):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparsebit_tpu.ops.int8_matmul import tokenwise_quant
+    from sparsebit_tpu.ops.quant_matmul import (
+        _quant_matmul_pallas_a8,
+        dequant_weights,
+    )
+
+    packed, scales, zeros, W = _rand_quantized(jax.random.PRNGKey(13), K, N, bits, gs)
+    x = jax.random.normal(jax.random.PRNGKey(14), (B, K))
+    xq, x_scale = tokenwise_quant(x)
+    ref = (xq.astype(jnp.float32) @ W) * x_scale
+    with pltpu.force_tpu_interpret_mode():
+        out = _quant_matmul_pallas_a8(
+            xq, packed["w"], scales, zeros, bits, gs, N
+        ) * x_scale
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_quant_matmul_grad_is_dense_grad():
     K, N, gs, bits = 64, 64, 32, 4
     packed, scales, zeros, W = _rand_quantized(jax.random.PRNGKey(5), K, N, bits, gs)
