@@ -27,9 +27,7 @@ def _layer_with_cache(layer, x, cfg, inv_freq, positions, mask, cache, li):
     h_in = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
     B, S, _ = x.shape
     hd = cfg.head_dim
-    q = layer["wq"](h_in).reshape(B, S, cfg.n_heads, hd)
-    k = layer["wk"](h_in).reshape(B, S, cfg.n_kv_heads, hd)
-    v = layer["wv"](h_in).reshape(B, S, cfg.n_kv_heads, hd)
+    q, k, v = L.qkv_proj(layer, h_in, cfg)
     q = L.apply_rope(q, positions, inv_freq)
     k = L.apply_rope(k, positions, inv_freq)
 

@@ -44,9 +44,7 @@ def _layer_step(layer, x, rope_mask, k_l, v_l, ks_l, vs_l, positions, cfg):
     h = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
     B, S, _ = x.shape
     hd = cfg.head_dim
-    q = layer["wq"](h).reshape(B, S, cfg.n_heads, hd)
-    k = layer["wk"](h).reshape(B, S, cfg.n_kv_heads, hd)
-    v = layer["wv"](h).reshape(B, S, cfg.n_kv_heads, hd)
+    q, k, v = L.qkv_proj(layer, h, cfg)
     q = L.apply_rope(q, positions, inv_freq)
     k = L.apply_rope(k, positions, inv_freq)
 

@@ -171,6 +171,30 @@ def test_quantized_llama_end_to_end(params):
     assert rel < 0.05, rel
 
 
+def test_fused_qkv_matches_unfused(params):
+    tokens = jax.random.randint(jax.random.PRNGKey(20), (2, 12), 0, CFG.vocab_size)
+    ref = L.llama_forward(params, tokens, CFG)
+    fused = L.fuse_llama_params(params)
+    assert "wqkv" in fused["layers"][0] and "w13" in fused["layers"][0]
+    out = L.llama_forward(fused, tokens, CFG)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+    # fused + quantized + cached decode end-to-end
+    from sparsebit_tpu.llm.decode import decode_step, prefill
+    from sparsebit_tpu.llm.kv_cache import init_kv_cache
+
+    qfused = L.quantize_llama_params(
+        fused,
+        lambda p, lin: QuantLinear.from_dense(
+            lin.w.astype(jnp.float32), bits=8, groupsize=64
+        ),
+    )
+    cache = init_kv_cache(CFG, 2, 32, quantized=True)
+    logits, cache = prefill(qfused, tokens, cache, CFG)
+    step, _ = decode_step(qfused, jnp.argmax(logits, -1).astype(jnp.int32), cache, CFG)
+    assert step.shape == (2, CFG.vocab_size)
+
+
 def test_qlora_training_updates_only_lora(params):
     import optax
 
