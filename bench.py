@@ -36,9 +36,10 @@ def packed_param_bytes(params):
     return total
 
 
-def build_quantized_llama(cfg, bits=4, groupsize=128):
+def build_quantized_llama(cfg, bits=4, groupsize=128, impl="a8", fused=True):
     """Random packed weights directly (no dense init: 7B f32 would not fit
-    alongside; codes are uniform random — bandwidth identical)."""
+    alongside; codes are uniform random — bandwidth identical). Serving
+    configuration: fused wqkv/w13 (fewer kernel launches) + W4A8 kernel."""
     from sparsebit_tpu.llm.quant import QuantLinear
     from sparsebit_tpu.ops.packing import pack_columns
 
@@ -51,7 +52,7 @@ def build_quantized_llama(cfg, bits=4, groupsize=128):
         scales = jax.random.uniform(k2, (G, N), jnp.float32, 0.001, 0.01)
         zeros = jnp.full((G, N), float(2 ** (bits - 1)), jnp.float32)
         return QuantLinear(pack_columns(codes, bits), scales, zeros, bits,
-                           groupsize, N)
+                           groupsize, N, impl=impl)
 
     dt = cfg.jnp_dtype
     hd = cfg.head_dim
@@ -59,17 +60,24 @@ def build_quantized_llama(cfg, bits=4, groupsize=128):
     layers = []
     for i in range(cfg.n_layers):
         ks = jax.random.split(keys[i], 7)
-        layers.append({
+        layer = {
             "attn_norm": jnp.ones((cfg.dim,), dt),
-            "wq": qlin(ks[0], cfg.dim, cfg.n_heads * hd),
-            "wk": qlin(ks[1], cfg.dim, cfg.n_kv_heads * hd),
-            "wv": qlin(ks[2], cfg.dim, cfg.n_kv_heads * hd),
-            "wo": qlin(ks[3], cfg.n_heads * hd, cfg.dim),
             "ffn_norm": jnp.ones((cfg.dim,), dt),
-            "w1": qlin(ks[4], cfg.dim, cfg.ffn_dim),
-            "w3": qlin(ks[5], cfg.dim, cfg.ffn_dim),
+            "wo": qlin(ks[3], cfg.n_heads * hd, cfg.dim),
             "w2": qlin(ks[6], cfg.ffn_dim, cfg.dim),
-        })
+        }
+        if fused:
+            layer["wqkv"] = qlin(
+                ks[0], cfg.dim, (cfg.n_heads + 2 * cfg.n_kv_heads) * hd
+            )
+            layer["w13"] = qlin(ks[4], cfg.dim, 2 * cfg.ffn_dim)
+        else:
+            layer["wq"] = qlin(ks[0], cfg.dim, cfg.n_heads * hd)
+            layer["wk"] = qlin(ks[1], cfg.dim, cfg.n_kv_heads * hd)
+            layer["wv"] = qlin(ks[2], cfg.dim, cfg.n_kv_heads * hd)
+            layer["w1"] = qlin(ks[4], cfg.dim, cfg.ffn_dim)
+            layer["w3"] = qlin(ks[5], cfg.dim, cfg.ffn_dim)
+        layers.append(layer)
     from sparsebit_tpu.llm.quant import DenseLinear
 
     emb = (jax.random.normal(keys[-2], (cfg.vocab_size, cfg.dim), jnp.float32)
@@ -83,6 +91,13 @@ def build_quantized_llama(cfg, bits=4, groupsize=128):
 
 
 def main():
+    import os
+
+    # axon sitecustomize force-registers the TPU backend; honor an explicit
+    # cpu request (sanity runs) the same way conftest does
+    if os.environ.get("JAX_PLATFORMS") == "cpu" and jax.default_backend() != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from sparsebit_tpu.llm.decode import decode_step, prefill
     from sparsebit_tpu.llm.kv_cache import init_kv_cache
     from sparsebit_tpu.llm import llama as L
