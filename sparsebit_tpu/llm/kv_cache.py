@@ -35,9 +35,21 @@ class KVCache:
 
 
 def init_kv_cache(cfg, batch, max_len=None, quantized=True):
+    """quantized: False (bf16), True/"int8", or "int4" (packed pairs along
+    head_dim — 4x smaller than bf16; decode attention is cache-bandwidth
+    bound, so the compression is throughput)."""
     S = max_len or cfg.max_seq_len
+    if quantized is True:
+        quantized = "int8"
     shape = (batch, S, cfg.n_kv_heads, cfg.head_dim)
-    if quantized:
+    if quantized == "int4":
+        assert cfg.head_dim % 2 == 0
+        pshape = shape[:3] + (cfg.head_dim // 2,)
+        k = [jnp.zeros(pshape, jnp.uint8) for _ in range(cfg.n_layers)]
+        v = [jnp.zeros(pshape, jnp.uint8) for _ in range(cfg.n_layers)]
+        ks = [jnp.zeros(shape[:3], jnp.float32) for _ in range(cfg.n_layers)]
+        vs = [jnp.zeros(shape[:3], jnp.float32) for _ in range(cfg.n_layers)]
+    elif quantized == "int8":
         k = [jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layers)]
         v = [jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layers)]
         ks = [jnp.zeros(shape[:3], jnp.float32) for _ in range(cfg.n_layers)]
@@ -49,15 +61,30 @@ def init_kv_cache(cfg, batch, max_len=None, quantized=True):
     return KVCache(k, v, ks, vs, jnp.zeros((batch,), jnp.int32), quantized)
 
 
-def _quant_heads(x):
-    """(B, S, H, hd) -> int8 codes + (B, S, H) scales."""
+def _quant_heads(x, mode="int8"):
+    """(B, S, H, hd) -> codes + (B, S, H) scales. int8: symmetric s8;
+    int4: symmetric 4-bit pairs packed into uint8 along head_dim."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    if mode == "int4":
+        scale = jnp.maximum(absmax, 1e-8) / 7.0
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7
+        ).astype(jnp.int32) + 8  # [1, 15]
+        lo = q[..., 0::2]
+        hi = q[..., 1::2]
+        return (lo | (hi << 4)).astype(jnp.uint8), scale
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -128, 127)
     return q.astype(jnp.int8), scale
 
 
-def _dequant_heads(q, scale, dtype):
+def _dequant_heads(q, scale, dtype, mode="int8"):
+    if mode == "int4":
+        w = q.astype(jnp.int32)
+        lo = (w & 0xF) - 8
+        hi = ((w >> 4) & 0xF) - 8
+        full = jnp.stack([lo, hi], axis=-1).reshape(q.shape[:-1] + (-1,))
+        return (full.astype(jnp.float32) * scale[..., None]).astype(dtype)
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
@@ -77,8 +104,8 @@ def cache_update(cache, layer_idx, k_new, v_new, positions):
         return jax.vmap(one)(buf, val, positions)
 
     if cache.quantized:
-        kq, ks = _quant_heads(k_new)
-        vq, vs = _quant_heads(v_new)
+        kq, ks = _quant_heads(k_new, cache.quantized)
+        vq, vs = _quant_heads(v_new, cache.quantized)
         return (
             upd(cache.k[layer_idx], kq),
             upd(cache.v[layer_idx], vq),
@@ -96,7 +123,12 @@ def cache_update(cache, layer_idx, k_new, v_new, positions):
 def cache_read(cache, layer_idx, dtype):
     """Full (dequantized) K, V for a layer: (B, S, n_kv, hd)."""
     if cache.quantized:
-        k = _dequant_heads(cache.k[layer_idx], cache.k_scale[layer_idx], dtype)
-        v = _dequant_heads(cache.v[layer_idx], cache.v_scale[layer_idx], dtype)
+        mode = cache.quantized
+        k = _dequant_heads(
+            cache.k[layer_idx], cache.k_scale[layer_idx], dtype, mode
+        )
+        v = _dequant_heads(
+            cache.v[layer_idx], cache.v_scale[layer_idx], dtype, mode
+        )
         return k, v
     return cache.k[layer_idx].astype(dtype), cache.v[layer_idx].astype(dtype)

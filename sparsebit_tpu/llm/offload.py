@@ -125,6 +125,9 @@ class StreamingLlama:
         return x, cache
 
     def prefill(self, tokens, cache):
+        assert cache.quantized != "int4", (
+            "StreamingLlama supports bf16/int8 caches (int4 pending)"
+        )
         B, S = tokens.shape
         S_max = cache.k[0].shape[1]
         positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))

@@ -149,6 +149,13 @@ class DeployedModel:
             self._jit = jax.jit(lambda p, *xs: self.graph.run(p, *xs))
         return self._jit(self.params(), *inputs)
 
+    def export(self, path, *example_inputs):
+        """Serialize the integer-compute graph as StableHLO (the deployable
+        serving artifact; replaces the reference's ONNX->TensorRT handoff)."""
+        from sparsebit_tpu.export.stablehlo import export_graph
+
+        return export_graph(self.graph, path, example_inputs)
+
 
 def deploy(qmodel):
     """Lower a calibrated QuantModel to integer compute. The QuantModel is
