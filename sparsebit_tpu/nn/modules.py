@@ -385,9 +385,9 @@ class BatchNorm2d(Module):
             mean = jnp.mean(x, axis=axes)
             var = jnp.var(x, axis=axes)
             # eager-only running-stat update (used by batchnorm_tuning);
-            # inside jit these assignments trace but the module copy is
-            # discarded, matching "no cross-step state" functional semantics.
-            try:
+            # under a jit trace the update is skipped — persisting a tracer
+            # into module state would leak it out of the transformation
+            if not isinstance(mean, jax.core.Tracer):
                 m = self.momentum
                 self._buffers["running_mean"] = (
                     (1 - m) * self._buffers["running_mean"] + m * mean
@@ -395,8 +395,6 @@ class BatchNorm2d(Module):
                 self._buffers["running_var"] = (
                     (1 - m) * self._buffers["running_var"] + m * var
                 )
-            except Exception:
-                pass
         else:
             mean = self.get(params, "running_mean")
             var = self.get(params, "running_var")

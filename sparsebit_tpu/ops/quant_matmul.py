@@ -52,7 +52,7 @@ def dequant_weights(packed, scales, zeros, bits, N, gs):
 # ---- Pallas kernel ----------------------------------------------------------
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
+def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, g_blk):
     """Group-factored dequant-matmul: within a group g every row shares
     (s_g, z_g) per column, so
 
@@ -62,12 +62,17 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
     scale multiply collapses to one (B, NT) epilogue per group. (The
     reference CUDA kernel dequantizes per element in registers,
     cuda_kernel_4bit.cu:89-180; on TPU the epilogue form keeps the VPU out
-    of the inner loop entirely.)"""
+    of the inner loop entirely.)
+
+    Accumulation uses a VMEM scratch, NOT read-modify-write on o_ref:
+    RMW on a revisited output block serializes the grid pipeline (measured
+    ~10us un-hidden DMA latency per k-step on v5e); write-only o_ref lets
+    Mosaic double-buffer the weight tile DMA."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     xb = x_ref[...].astype(jnp.float32)  # (B, K_BLK)
     p = 8 // bits if bits != 8 else 1
@@ -86,7 +91,8 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
             xsum = jnp.sum(xg, axis=1, keepdims=True)  # (B, 1)
             contrib = (dot_g - xsum * z_ref[g, j, :][None, :]) * s_ref[g, j, :][None, :]
             acc = contrib if acc is None else acc + contrib
-        o_ref[:, j, :] += acc
+        acc_ref[:, j, :] += acc
+    o_ref[...] = acc_ref[...]
 
 
 _TILE_CELL_BUDGET = 1 << 20  # K_BLK * NT cells per weight tile (~5 MB VMEM live)
@@ -175,6 +181,10 @@ def _quant_matmul_pallas(x, w, scales, zeros, bits, gs, N, nt=None, k_blk=None):
             (B_pad, p, NT), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B_pad, p, NP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B_pad, p, NT), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_pad * K * N,
             bytes_accessed=K * NP + G * N * 8 + B_pad * K * 4 + B_pad * N * 4,
@@ -201,7 +211,7 @@ def _supports_pallas(bits, K, N, gs):
 # ---- W4A8 kernel: int8 activations, codes stay int8 into the MXU -----------
 
 
-def _qmm_a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
+def _qmm_a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, g_blk):
     """Same group-factored math as _qmm_kernel but on the int8 MXU:
 
         out_g = (x8_g @ C_g - sum(x8_g) * z_g) * s_g        (epilogue f32)
@@ -215,7 +225,7 @@ def _qmm_a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
 
     @pl.when(k == 0)
     def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     xb = x_ref[...]  # (B, K_BLK) int8
     p = 8 // bits if bits != 8 else 1
@@ -244,7 +254,8 @@ def _qmm_a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, *, bits, gs, g_blk):
             z_eff = z_ref[g, j, :][None, :] - zshift
             contrib = (dot_g - xsum * z_eff) * s_ref[g, j, :][None, :]
             acc = contrib if acc is None else acc + contrib
-        o_ref[:, j, :] += acc
+        acc_ref[:, j, :] += acc
+    o_ref[...] = acc_ref[...]
 
 
 def _quant_matmul_pallas_a8(x8, w, scales, zeros, bits, gs, N):
@@ -284,6 +295,10 @@ def _quant_matmul_pallas_a8(x8, w, scales, zeros, bits, gs, N):
             (B_pad, p, NT), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B_pad, p, NP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B_pad, p, NT), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_pad * K * N,
             bytes_accessed=K * NP + G * N * 8 + B_pad * K + B_pad * N * 4,

@@ -139,10 +139,13 @@ class QuantModel:
     def batchnorm_tuning(self):
         """Re-estimate BN stats under quantization (arXiv 2006.10518;
         reference quant_model.py:160-179). Forward batches inside the context;
-        they run eagerly in train mode so BN buffers update."""
+        they run EAGERLY in train mode so BN running stats update (jit would
+        trace the stat writes and leak tracers)."""
         self.train()
         self.set_quant(w_quant=True, a_quant=True)
+        self._force_eager = True
         yield
+        self._force_eager = False
         self.eval()
         update_config(self.cfg.SCHEDULE, ["FUSE_BN", True])
         fuse_operations(self.graph, self.cfg.SCHEDULE)
@@ -215,6 +218,10 @@ class QuantModel:
         if getattr(self, "_capture_mode", False):
             self.calibration_runner.capture(*inputs)
             return None
+        if getattr(self, "_force_eager", False):
+            return self.graph.run(
+                self.params(), *inputs, training=getattr(self, "_training", False)
+            )
         sig = self._signature()
         if sig not in self._jit_cache:
             training = getattr(self, "_training", False)

@@ -179,3 +179,27 @@ def test_export(tmp_path):
 
     assert os.path.exists(os.path.join(out_dir, "model.stablehlo"))
     assert os.path.exists(os.path.join(out_dir, "quant_meta.json"))
+
+
+def test_batchnorm_tuning():
+    """BN-tuning context (arXiv 2006.10518): re-estimate BN stats under
+    quantization, then fuse (reference quant_model.py:160-179)."""
+    model = ResBlockNet().eval()
+    cfg = cnn_config(SCHEDULE={"BN_TUNING": True, "FUSE_BN": True})
+    x = get_x()
+    qmodel = QuantModel(model, cfg, (x,))
+    # BN_TUNING defers fusion: BN nodes still present
+    from sparsebit_tpu.quantization.modules.normalization import QBatchNorm2d
+
+    assert any(isinstance(n.op, QBatchNorm2d) for n in qmodel.graph.op_nodes)
+    qmodel.prepare_calibration()
+    qmodel(x)
+    qmodel.calc_qparams()
+    before = np.asarray(qmodel.get_qmodule("bn1").module._buffers["running_mean"])
+    with qmodel.batchnorm_tuning():
+        for seed in range(3):
+            qmodel(rand((2, 8, 8, 3), seed))
+    # stats moved, BN now fused away, quant off again
+    assert not any(isinstance(n.op, QBatchNorm2d) for n in qmodel.graph.op_nodes)
+    out = qmodel(x)
+    assert out.shape == (2, 4)
