@@ -146,19 +146,29 @@ class DecodeEngine:
         logits, self.cache = decode_step(
             self.params, self.next_tok, self.cache, self.cfg
         )
-        self._key, sub = jax.random.split(self._key)
-        # per-slot temperature: greedy unless any slot sampled (simple: use
-        # slot-0 temperature semantics per request at sample time)
-        toks = np.asarray(sample_logits(logits, sub, 0.0))
+        logits_np = np.asarray(logits, np.float32)
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            t = int(toks[slot])
+            t = self._sample_host(logits_np[slot], req.temperature)
             req.generated.append(t)
             emitted.setdefault(req.rid, []).append(t)
             self.next_tok = self.next_tok.at[slot].set(t)
             self._maybe_finish(slot)
         return emitted
+
+    def _sample_host(self, logits, temperature):
+        """Per-request sampling on host (per-slot temperatures differ; the
+        device step stays one compiled call)."""
+        if temperature <= 0.0:
+            return int(np.argmax(logits))
+        self._key, sub = jax.random.split(self._key)
+        rng = np.random.default_rng(int(jax.random.randint(sub, (), 0, 2**31 - 1)))
+        z = logits / temperature
+        z = z - z.max()
+        p = np.exp(z)
+        p /= p.sum()
+        return int(rng.choice(len(p), p=p))
 
     def _maybe_finish(self, slot):
         req = self.slots[slot]
