@@ -68,6 +68,7 @@ def quantize_llama_gptq(
     loss_threshold=1e-3,
     batch_size=1,
     quantize_lm_head=False,
+    act_order=False,
     verbose=True,
 ):
     """calib_tokens: (n_samples, seqlen) int32 (reference: 128 x 2048
@@ -117,12 +118,13 @@ def quantize_llama_gptq(
                 percdamp=percdamp,
                 mean_x=acc.mean_x,
                 bias=lin.bias,
+                act_order=act_order,
             )
             path = "layers.{}.{}".format(li, name)
             layers_bit[path] = res["bits"]
             new_layer[name] = QuantLinear.from_codes(
                 res["codes"], res["scales"], res["zeros"], res["bits"],
-                groupsize, bias=res.get("bias", lin.bias),
+                groupsize, bias=res.get("bias", lin.bias), perm=res["perm"],
             )
             if verbose:
                 print(
@@ -182,6 +184,8 @@ def save_quant_checkpoint(path, quant_params, layers_bit, cfg, groupsize):
                 flat["{}.packed.{}".format(prefix, k)] = arr(v)
             flat[prefix + ".scales"] = arr(lin.scales)
             flat[prefix + ".zeros"] = arr(lin.zeros)
+            if lin.perm is not None:
+                flat[prefix + ".perm"] = np.asarray(lin.perm)
             if lin.bias is not None:
                 flat[prefix + ".bias"] = arr(lin.bias)
         else:
@@ -237,6 +241,9 @@ def load_quant_checkpoint(path):
             for k in z.files
             if k.startswith(prefix + ".packed.")
         }
+        perm = (
+            jnp.asarray(z[prefix + ".perm"]) if prefix + ".perm" in z else None
+        )
         return QuantLinear(
             packed,
             jnp.asarray(z[prefix + ".scales"]),
@@ -245,6 +252,7 @@ def load_quant_checkpoint(path):
             gs,
             int(z[prefix + ".scales"].shape[1]),
             bias,
+            perm=perm,
         )
 
     params = {

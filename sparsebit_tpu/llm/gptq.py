@@ -194,14 +194,26 @@ def gptq_quantize(
     blocksize=128,
     mean_x=None,
     bias=None,
+    act_order=False,
 ):
     """Quantize one (K, N) weight against Hessian H (K, K).
 
     Returns dict with codes (K, N) uint8, scales/zeros (G, N), fake-quant
     weight wq (K, N), per-weight mean loss, and bias-corrected bias
     (gptq.py:151-159) when ``bias``/``mean_x`` given.
+
+    ``act_order`` (GPTQ --act-order / desc_act): quantize columns in
+    decreasing diag(H) order — high-salience channels first see the least
+    accumulated error. codes/scales stay in PERMUTED row order with
+    contiguous groups (kernel-friendly); the returned "perm" must be
+    applied to activations at matmul time (x[..., perm]).
     """
     K, N = w.shape
+    perm = None
+    if act_order:
+        perm = jnp.argsort(-jnp.diag(H))
+        H = H[perm][:, perm]
+        w = w[perm, :]
     bs = min(blocksize, K)
     gs_eff = groupsize if groupsize > 0 else K
     assert K % bs == 0, "K={} must be divisible by blocksize {}".format(K, bs)
@@ -214,15 +226,24 @@ def gptq_quantize(
         w.astype(jnp.float32).T, U, dead, bits, groupsize, bs, sym
     )
     out = {
-        "codes": codes_t.T,  # (K, N)
+        "codes": codes_t.T,  # (K, N) — permuted row order when act_order
         "scales": scales_t.T,  # (G, N)
         "zeros": zeros_t.T,
         "wq": Q_t.T,
         "loss": float(err) / (K * N),
         "bits": bits,
+        "perm": perm,
     }
+    if act_order:
+        # report wq in the ORIGINAL row order for loss/oracle comparisons
+        invperm = jnp.argsort(perm)
+        out["wq"] = out["wq"][invperm, :]
     if bias is not None and mean_x is not None:
-        dw = w.astype(jnp.float32) - out["wq"]  # (K, N)
+        dw = None
+        if act_order:
+            dw = w.astype(jnp.float32)[jnp.argsort(perm), :] - out["wq"]
+        else:
+            dw = w.astype(jnp.float32) - out["wq"]
         out["bias"] = bias + jnp.dot(mean_x.astype(jnp.float32), dw)
     return out
 

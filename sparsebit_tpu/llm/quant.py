@@ -124,7 +124,7 @@ class QuantLinear:
     """
 
     def __init__(self, packed, scales, zeros, bits, groupsize, out_features,
-                 bias=None, impl="auto"):
+                 bias=None, impl="auto", perm=None):
         self.packed = packed
         self.scales = scales
         self.zeros = zeros
@@ -133,6 +133,7 @@ class QuantLinear:
         self.out_features = out_features
         self.bias = bias
         self.impl = impl
+        self.perm = perm  # act-order input permutation (K,), or None
 
     @classmethod
     def from_dense(cls, w, bits=4, groupsize=-1, sym=False, mse=False, bias=None,
@@ -153,10 +154,10 @@ class QuantLinear:
 
     @classmethod
     def from_codes(cls, codes, scales, zeros, bits, groupsize, bias=None,
-                   impl="auto"):
+                   impl="auto", perm=None):
         K, N = codes.shape
         packed = pack_columns(codes, bits)
-        return cls(packed, scales, zeros, bits, groupsize, N, bias, impl)
+        return cls(packed, scales, zeros, bits, groupsize, N, bias, impl, perm)
 
     @property
     def in_features(self):
@@ -164,12 +165,17 @@ class QuantLinear:
         return first.shape[0]
 
     def dequantize(self):
-        return dequant_weights(
+        W = dequant_weights(
             self.packed, self.scales, self.zeros, self.bits,
             self.out_features, self.groupsize,
         )
+        if self.perm is not None:
+            W = W[jnp.argsort(self.perm), :]  # back to original row order
+        return W
 
     def __call__(self, x):
+        if self.perm is not None:
+            x = x[..., self.perm]  # act-order channel permutation
         if self.impl == "a8":
             from sparsebit_tpu.ops.quant_matmul import quant_matmul_a8
 
@@ -188,12 +194,13 @@ class QuantLinear:
 
     def tree_flatten(self):
         return (
-            (self.packed, self.scales, self.zeros, self.bias),
+            (self.packed, self.scales, self.zeros, self.bias, self.perm),
             (self.bits, self.groupsize, self.out_features, self.impl),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        packed, scales, zeros, bias = children
+        packed, scales, zeros, bias, perm = children
         bits, groupsize, out_features, impl = aux
-        return cls(packed, scales, zeros, bits, groupsize, out_features, bias, impl)
+        return cls(packed, scales, zeros, bits, groupsize, out_features, bias,
+                   impl, perm)

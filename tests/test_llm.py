@@ -227,3 +227,35 @@ def test_qlora_training_updates_only_lora(params):
         np.asarray(out2),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_gptq_act_order():
+    """act-order (desc_act) must not hurt — and the permuted QuantLinear
+    reproduces the solver's fake-quant weight exactly."""
+    K, N = 64, 32
+    w = jax.random.normal(jax.random.PRNGKey(30), (K, N)) * 0.5
+    # heterogeneous channel salience -> act-order matters
+    x = jax.random.normal(jax.random.PRNGKey(31), (1024, K)) * (
+        jnp.arange(K) / K + 0.1
+    )
+    acc = HessianAccumulator(K)
+    acc.add_batch(x)
+    res_std = gptq_quantize(w, acc.H, bits=2, groupsize=32, blocksize=32)
+    res_ao = gptq_quantize(
+        w, acc.H, bits=2, groupsize=32, blocksize=32, act_order=True
+    )
+    err_std = float(jnp.mean((x @ res_std["wq"] - x @ w) ** 2))
+    err_ao = float(jnp.mean((x @ res_ao["wq"] - x @ w) ** 2))
+    assert err_ao <= err_std * 1.1, (err_ao, err_std)
+
+    qlin = QuantLinear.from_codes(
+        res_ao["codes"], res_ao["scales"], res_ao["zeros"], 2, 32,
+        perm=res_ao["perm"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(qlin.dequantize()), np.asarray(res_ao["wq"]), rtol=1e-5, atol=1e-5
+    )
+    xt = jax.random.normal(jax.random.PRNGKey(32), (4, K))
+    np.testing.assert_allclose(
+        np.asarray(qlin(xt)), np.asarray(xt @ res_ao["wq"]), rtol=1e-4, atol=1e-4
+    )
