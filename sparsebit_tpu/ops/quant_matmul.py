@@ -195,8 +195,14 @@ def _quant_matmul_pallas(x, w, scales, zeros, bits, gs, N, nt=None, k_blk=None):
     return out[:B]
 
 
-def _supports_pallas(bits, K, N, gs):
+def _supports_pallas(bits, K, N, gs, B=1):
     if bits not in (2, 4, 8):
+        return False
+    if B > 64:
+        # the kernel is a decode/matvec kernel: its output block is
+        # (B_pad, p, NT) f32 resident in VMEM. Big-batch (prefill/GPTQ
+        # re-run) matmuls are MXU-bound, where XLA's dense path on the
+        # dequantized weight is already the right schedule.
         return False
     p = 8 // bits if bits != 8 else 1
     NP = N // p
@@ -319,7 +325,7 @@ def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
     x2 = x.reshape(-1, K)
     xq, x_scale = tokenwise_quant(x2.astype(jnp.float32))
     if (
-        _supports_pallas(bits, K, N, groupsize)
+        _supports_pallas(bits, K, N, groupsize, xq.shape[0])
         and bits != 3
         and jax.default_backend() == "tpu"
     ):
@@ -355,7 +361,7 @@ def _qmm_fwd_impl(x, packed, scales, zeros, bits, groupsize, N, impl):
     x2 = x.reshape(-1, K)
     use_pallas = impl == "pallas" or (
         impl == "auto"
-        and _supports_pallas(bits, K, N, groupsize)
+        and _supports_pallas(bits, K, N, groupsize, x2.shape[0])
         and jax.default_backend() == "tpu"
     )
     if use_pallas and bits != 3:

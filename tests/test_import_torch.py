@@ -94,3 +94,48 @@ def test_resnet_import_from_torch_layout():
     np.testing.assert_allclose(
         w_ours, tv_sd["conv1.weight"].transpose(2, 3, 1, 0), rtol=1e-6
     )
+
+
+def test_deit_import_from_timm_layout():
+    """Fabricate a timm-style DeiT state_dict and verify layout mapping."""
+    from sparsebit_tpu.models.import_torch import load_deit_from_timm
+
+    ours = create_model("deit_tiny", img_size=32)
+    rng = np.random.default_rng(0)
+    dim, depth, heads = 192, 12, 3
+    sd = {
+        "patch_embed.proj.weight": rng.normal(size=(dim, 3, 16, 16), scale=0.02).astype(np.float32),
+        "patch_embed.proj.bias": np.zeros(dim, np.float32),
+        "cls_token": rng.normal(size=(1, 1, dim), scale=0.02).astype(np.float32),
+        "pos_embed": rng.normal(size=(1, 5, dim), scale=0.02).astype(np.float32),
+        "norm.weight": np.ones(dim, np.float32),
+        "norm.bias": np.zeros(dim, np.float32),
+        "head.weight": rng.normal(size=(1000, dim), scale=0.02).astype(np.float32),
+        "head.bias": np.zeros(1000, np.float32),
+    }
+    for i in range(depth):
+        p = "blocks.{}.".format(i)
+        for ln in ("norm1", "norm2"):
+            sd[p + ln + ".weight"] = np.ones(dim, np.float32)
+            sd[p + ln + ".bias"] = np.zeros(dim, np.float32)
+        sd[p + "attn.qkv.weight"] = rng.normal(size=(3 * dim, dim), scale=0.02).astype(np.float32)
+        sd[p + "attn.qkv.bias"] = np.zeros(3 * dim, np.float32)
+        sd[p + "attn.proj.weight"] = rng.normal(size=(dim, dim), scale=0.02).astype(np.float32)
+        sd[p + "attn.proj.bias"] = np.zeros(dim, np.float32)
+        sd[p + "mlp.fc1.weight"] = rng.normal(size=(4 * dim, dim), scale=0.02).astype(np.float32)
+        sd[p + "mlp.fc1.bias"] = np.zeros(4 * dim, np.float32)
+        sd[p + "mlp.fc2.weight"] = rng.normal(size=(dim, 4 * dim), scale=0.02).astype(np.float32)
+        sd[p + "mlp.fc2.bias"] = np.zeros(dim, np.float32)
+    load_deit_from_timm(ours, sd)
+    np.testing.assert_allclose(
+        np.asarray(ours.patch_embed.proj._params["weight"]),
+        sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.blocks[0].attn.qkv._params["weight"]),
+        sd["blocks.0.attn.qkv.weight"].T,
+        rtol=1e-6,
+    )
+    out = ours.eval()(jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 1000)
