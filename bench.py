@@ -145,7 +145,13 @@ def main():
     # device throughput, not host/tunnel dispatch latency
     toks, cache = decode_tokens(params, tok, cache, cfg, iters)  # compile
     jax.block_until_ready(toks)
+    # wall measurement first (untraced: trace streaming wrecks wall time)
     t0 = time.perf_counter()
+    toks, cache = decode_tokens(params, toks[:, -1], cache, cfg, iters)
+    jax.block_until_ready(toks)
+    dt = time.perf_counter() - t0
+    wall_toks_per_s = iters * batch / dt
+
     trace_dir = "/tmp/bench_trace"
     traced = False
     try:
@@ -154,10 +160,7 @@ def main():
             jax.block_until_ready(toks)
         traced = True
     except Exception:
-        toks, cache = decode_tokens(params, toks[:, -1], cache, cfg, iters)
-        jax.block_until_ready(toks)
-    dt = time.perf_counter() - t0
-    wall_toks_per_s = iters * batch / dt
+        pass
 
     # device-timeline throughput: the tunnel runtime stalls between scan
     # iterations (device idles ~95% of wall time; see docs/perf_notes.md),

@@ -35,6 +35,11 @@ class DataCache:
         assert granularity in (Granularity.LAYERWISE, Granularity.CHANNELWISE)
         if granularity == Granularity.CHANNELWISE:
             ch_axis = self.qdesc.ch_axis
+            if ch_axis >= self._data_cache[0].ndim:
+                # channels-last layouts (NHWC ch_axis=3 / NLC ch_axis=2) on
+                # lower-rank data (e.g. a pooled (B, C) fc input): the
+                # channel axis is simply the last one
+                ch_axis = self._data_cache[0].ndim - 1
             data = jnp.concatenate(self._data_cache, axis=ch_axis)
             if ch_axis != 0:
                 data = jnp.swapaxes(data, 0, ch_axis)

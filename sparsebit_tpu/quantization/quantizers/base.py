@@ -51,7 +51,10 @@ class Quantizer:
             return params.reshape(())
         assert self.dims is not None, "call update_observer before calc_qparams"
         shape = [1] * self.dims
-        shape[self.qdesc.ch_axis] = -1
+        ch_axis = self.qdesc.ch_axis
+        if ch_axis >= self.dims:
+            ch_axis = self.dims - 1  # channels-last on lower-rank data
+        shape[ch_axis] = -1
         return params.reshape(shape)
 
     # ---- state toggles ----------------------------------------------------

@@ -1,0 +1,78 @@
+"""QAT training-step tests: LSQ learnable scales actually train."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import sparsebit_tpu.nn as nn
+from sparsebit_tpu import QuantModel, parse_qconfig
+from sparsebit_tpu.quantization.tools import (
+    commit_qat_params,
+    cross_entropy,
+    init_qat_state,
+    make_qat_step,
+)
+
+
+class TinyNet(nn.Module):
+    def __init__(self):
+        super().__init__()
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        self.conv = nn.Conv2d(3, 8, 3, padding=1, key=ks[0])
+        self.relu = nn.ReLU()
+        self.pool = nn.AdaptiveAvgPool2d(1)
+        self.flat = nn.Flatten()
+        self.fc = nn.Linear(8, 4, key=ks[1])
+
+    def forward(self, x):
+        return self.fc(self.flat(self.pool(self.relu(self.conv(x)))))
+
+
+def _qat_cfg(qtype):
+    return parse_qconfig({
+        "BACKEND": "virtual",
+        "W": {"QSCHEME": "per-channel-symmetric",
+              "QUANTIZER": {"TYPE": qtype, "BIT": 4}},
+        "A": {"QSCHEME": "per-tensor-affine",
+              "QUANTIZER": {"TYPE": qtype if qtype != "dorefa" else "pact", "BIT": 4},
+              "OBSERVER": {"LAYOUT": "NHWC"}},
+    })
+
+
+def test_lsq_qat_trains():
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 8, 3))
+    y = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 4)
+    qmodel = QuantModel(TinyNet().eval(), _qat_cfg("lsq"), (x,))
+    qmodel.prepare_calibration()
+    qmodel(x)
+    qmodel.init_QAT()
+    qmodel.train()
+
+    opt = optax.adam(5e-3)
+    step = make_qat_step(qmodel, cross_entropy, opt)
+    trainable, state = init_qat_state(qmodel, opt)
+    # LSQ exposes learnable scales
+    assert any(
+        "quantizer.scale" in k for node in trainable.values() for k in node
+    )
+    losses = []
+    for i in range(30):
+        trainable, state, loss = step(trainable, state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses[::10]
+
+    # trained quantizer scales differ from their init
+    before = {
+        n: dict(p) for n, p in qmodel.trainable_params().items()
+    }
+    commit_qat_params(qmodel, trainable)
+    after = qmodel.trainable_params()
+    moved = False
+    for n in after:
+        for k in after[n]:
+            if "quantizer.scale" in k and not np.allclose(
+                np.asarray(before[n][k]), np.asarray(after[n][k])
+            ):
+                moved = True
+    assert moved, "LSQ scales did not train"
