@@ -133,6 +133,9 @@ def main():
         cfg = L.llama_tiny()
         batch, warmup, iters = 1, 2, 10
 
+    # unrolled layers: ~35 min compile but full runtime throughput (the
+    # scanned path compiles in minutes yet re-copies each layer's stacked
+    # weights every token — 140 -> 73 tok/s; see decode.stack_layers)
     from sparsebit_tpu.llm.decode import decode_tokens
 
     params = build_quantized_llama(cfg, bits=4, groupsize=128)

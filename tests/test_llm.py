@@ -259,3 +259,31 @@ def test_gptq_act_order():
     np.testing.assert_allclose(
         np.asarray(qlin(xt)), np.asarray(xt @ res_ao["wq"]), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("kv_quantized", [True, False])
+def test_scanned_decode_matches_unrolled(params, kv_quantized):
+    """scan-over-layers decode == unrolled decode (same weights)."""
+    from sparsebit_tpu.llm.decode import (
+        decode_step_scanned,
+        decode_tokens,
+        decode_tokens_scanned,
+        prefill_scanned,
+        stack_layers,
+    )
+
+    tokens = jax.random.randint(jax.random.PRNGKey(40), (2, 6), 0, CFG.vocab_size)
+    cache = init_kv_cache(CFG, 2, 32, quantized=kv_quantized)
+    ref_logits, ref_cache = prefill(params, tokens, cache, CFG)
+    tok = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+    ref_toks, _ = decode_tokens(params, tok, ref_cache, CFG, 5)
+
+    stacked = stack_layers(params)
+    cache2 = init_kv_cache(CFG, 2, 32, quantized=kv_quantized)
+    logits2, cache2 = prefill_scanned(stacked, tokens, cache2, CFG)
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(ref_logits), rtol=2e-2, atol=2e-2
+    )
+    tok2 = jnp.argmax(logits2, -1).astype(jnp.int32)
+    toks2, _ = decode_tokens_scanned(stacked, tok2, cache2, CFG, 5)
+    np.testing.assert_array_equal(np.asarray(toks2), np.asarray(ref_toks))
