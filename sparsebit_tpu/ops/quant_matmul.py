@@ -196,6 +196,14 @@ def _quant_matmul_pallas(x, w, scales, zeros, bits, gs, N, nt=None, k_blk=None):
 
 
 def _supports_pallas(bits, K, N, gs, B=1):
+    if bits == 3:
+        gs_eff = gs if gs > 0 else K
+        return (
+            B <= 64
+            and N % 8 == 0
+            and (N // 8) % 128 == 0
+            and K % gs_eff == 0
+        )
     if bits not in (2, 4, 8):
         return False
     if B > 64:
@@ -212,6 +220,108 @@ def _supports_pallas(bits, K, N, gs, B=1):
     if K % gs_eff != 0:
         return False
     return True
+
+
+# ---- 3-bit kernel: two packed planes (low2 + high1) -------------------------
+
+
+def _qmm3_kernel(x_ref, lo_ref, hi_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                 gs, g_blk, a8):
+    """3-bit dequant-matmul over the two-plane packing (ops/packing.py):
+    low2 (K, N/4) holds bits 0-1 in 4 column planes; high1 (K, N/8) holds
+    bit 2 in 8 planes. Output plane j of the p=8 view takes its low bits
+    from low2 plane j//2, column half j%2. Same group-factored epilogue as
+    the 4/2-bit kernels; ``a8`` switches the dots to the int8 MXU.
+    (Replaces the reference's 10-codes-per-int32 3-bit CUDA scheme,
+    cuda_kernel_3bit.cu — that layout would force cross-lane gathers here.)
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    NT = o_ref.shape[2]
+    xb = x_ref[...] if a8 else x_ref[...].astype(jnp.float32)
+    lo32 = lo_ref[...].astype(jnp.int32)  # (K_BLK, 4*NT... full low2 tile)
+    hi32 = hi_ref[...].astype(jnp.int32)  # (K_BLK, NT*? full high1 tile)
+    for j in range(8):
+        jl, half = j // 2, j % 2
+        low = (lo32[:, half * NT : (half + 1) * NT] >> (2 * jl)) & 3
+        high = (hi32 >> j) & 1
+        codes_i = low | (high << 2)
+        codes = codes_i.astype(jnp.int8) if a8 else codes_i.astype(jnp.float32)
+        acc = None
+        for g in range(g_blk):
+            xg = xb[:, g * gs : (g + 1) * gs]
+            cg = codes[g * gs : (g + 1) * gs, :]
+            if a8:
+                dot_g = jax.lax.dot_general(
+                    xg, cg,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                xsum = jnp.sum(
+                    xg.astype(jnp.int32), axis=1, keepdims=True
+                ).astype(jnp.float32)
+            else:
+                dot_g = jnp.dot(xg, cg, preferred_element_type=jnp.float32)
+                xsum = jnp.sum(xg, axis=1, keepdims=True)
+            contrib = (dot_g - xsum * z_ref[g, j, :][None, :]) * s_ref[g, j, :][None, :]
+            acc = contrib if acc is None else acc + contrib
+        acc_ref[:, j, :] += acc
+    o_ref[...] = acc_ref[...]
+
+
+def _quant_matmul_pallas_3bit(x, packed, scales, zeros, gs, N, a8=False):
+    """x (B, K) f32 (or int8 when a8); packed {"low2","high1"}."""
+    B, K = x.shape
+    NP = N // 8  # output column planes of the p=8 view
+    G = scales.shape[0]
+    per_channel = gs <= 0
+    gs_eff = gs if gs > 0 else K
+    if per_channel:
+        K_BLK = 512
+        while K % K_BLK != 0 and K_BLK > 8:
+            K_BLK //= 2
+        G_BLK, gs_kernel = 1, K_BLK
+        s_index = lambda i, k: (0, 0, i)
+    else:
+        K_BLK = gs_eff
+        G_BLK, gs_kernel = 1, gs_eff
+        s_index = lambda i, k: (k, 0, i)
+    if K % K_BLK != 0:
+        raise ValueError("K={} not tileable by {}".format(K, K_BLK))
+
+    B_pad = max(8, ((B + 7) // 8) * 8)
+    if B_pad != B:
+        x = jnp.pad(x, ((0, B_pad - B), (0, 0)))
+    s3 = scales.reshape(G, 8, NP).astype(jnp.float32)
+    z3 = zeros.reshape(G, 8, NP).astype(jnp.float32)
+
+    grid = (1, K // K_BLK)  # full-width tiles (NP is small: N/8)
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm3_kernel, gs=gs_kernel, g_blk=G_BLK, a8=a8
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B_pad, K_BLK), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_BLK, 2 * NP), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_BLK, NP), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, 8, NP), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, 8, NP), s_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B_pad, 8, NP), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B_pad, 8, NP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B_pad, 8, NP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x, packed["low2"], packed["high1"], s3, z3)
+    return out.reshape(B_pad, N)[:B]
 
 
 # ---- W4A8 kernel: int8 activations, codes stay int8 into the MXU -----------
@@ -326,12 +436,16 @@ def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
     xq, x_scale = tokenwise_quant(x2.astype(jnp.float32))
     if (
         _supports_pallas(bits, K, N, groupsize, xq.shape[0])
-        and bits != 3
         and jax.default_backend() == "tpu"
     ):
-        out = _quant_matmul_pallas_a8(
-            xq, packed["w"], scales, zeros, bits, groupsize, N
-        )
+        if bits == 3:
+            out = _quant_matmul_pallas_3bit(
+                xq, packed, scales, zeros, groupsize, N, a8=True
+            )
+        else:
+            out = _quant_matmul_pallas_a8(
+                xq, packed["w"], scales, zeros, bits, groupsize, N
+            )
     else:
         # x8 @ dequant(W) == the kernel's int-dot + epilogue, exactly
         W = dequant_weights(packed, scales, zeros, bits, N, groupsize)
@@ -364,7 +478,9 @@ def _qmm_fwd_impl(x, packed, scales, zeros, bits, groupsize, N, impl):
         and _supports_pallas(bits, K, N, groupsize, x2.shape[0])
         and jax.default_backend() == "tpu"
     )
-    if use_pallas and bits != 3:
+    if use_pallas and bits == 3:
+        out = _quant_matmul_pallas_3bit(x2, packed, scales, zeros, groupsize, N)
+    elif use_pallas:
         out = _quant_matmul_pallas(
             x2, packed["w"], scales, zeros, bits, groupsize, N
         )

@@ -115,6 +115,30 @@ def test_quant_matmul_a8_pallas_matches_fallback(bits, gs, K, N, B):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("gs,a8", [(128, False), (128, True), (-1, False)])
+def test_quant_matmul_3bit_pallas_interpret(gs, a8):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparsebit_tpu.ops.int8_matmul import tokenwise_quant
+    from sparsebit_tpu.ops.quant_matmul import _quant_matmul_pallas_3bit
+
+    K, N, B = 256, 1024, 4
+    packed, scales, zeros, W = _rand_quantized(
+        jax.random.PRNGKey(21), K, N, 3, gs
+    )
+    x = jax.random.normal(jax.random.PRNGKey(22), (B, K))
+    if a8:
+        xq, xs = tokenwise_quant(x)
+        ref = (xq.astype(jnp.float32) @ W)
+        with pltpu.force_tpu_interpret_mode():
+            out = _quant_matmul_pallas_3bit(xq, packed, scales, zeros, gs, N, a8=True)
+    else:
+        ref = x @ W
+        with pltpu.force_tpu_interpret_mode():
+            out = _quant_matmul_pallas_3bit(x, packed, scales, zeros, gs, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_quant_matmul_grad_is_dense_grad():
     K, N, gs, bits = 64, 64, 32, 4
     packed, scales, zeros, W = _rand_quantized(jax.random.PRNGKey(5), K, N, bits, gs)
