@@ -95,7 +95,11 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, g_blk):
     o_ref[...] = acc_ref[...]
 
 
-_TILE_CELL_BUDGET = 1 << 20  # K_BLK * NT cells per weight tile (~5 MB VMEM live)
+# K_BLK * NT cells per weight tile. Live VMEM ~= tile (x2 buffers) + the
+# i32 unpack temp (4 bytes/cell) + f32 accumulator: 1.6M cells ~= 10 MB.
+# Measured on v5e (wqkv 4096x12288): K_BLK 128 -> 256 at full-width NT cut
+# per-call time 44.3 -> 39.9 us (ideal 29); K_BLK 512 OOMs on the temp.
+_TILE_CELL_BUDGET = 1_600_000
 
 
 def _pick_tiles(K, NP, gs_eff, per_channel):
@@ -374,7 +378,7 @@ def _qmm_a8_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, g_bl
     o_ref[...] = acc_ref[...]
 
 
-def _quant_matmul_pallas_a8(x8, w, scales, zeros, bits, gs, N):
+def _quant_matmul_pallas_a8(x8, w, scales, zeros, bits, gs, N, k_blk=None, nt=None):
     """x8 (B, K) int8 (per-token pre-quantized); returns UNSCALED f32 out
     (caller multiplies by the per-token activation scale)."""
     B, K = x8.shape
@@ -384,6 +388,10 @@ def _quant_matmul_pallas_a8(x8, w, scales, zeros, bits, gs, N):
     per_channel = gs <= 0
     gs_eff = gs if gs > 0 else K
     K_BLK, NT = _pick_tiles(K, NP, gs_eff, per_channel)
+    if k_blk:
+        K_BLK = k_blk
+    if nt:
+        NT = nt
     if per_channel:
         G_BLK, gs_kernel = 1, K_BLK
         s_index = lambda i, k: (0, 0, i)
