@@ -32,13 +32,12 @@ from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
 
 
 def _layer_intermediates(layer, x, cfg, inv_freq, positions, mask):
-    """Returns inputs feeding each linear group of one decoder layer."""
-    h1 = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)  # -> wq, wk, wv
+    """Returns inputs feeding each linear group of one decoder layer
+    (handles both separate wq/wk/wv/w1/w3 and fused wqkv/w13 layers)."""
+    h1 = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)  # -> wq/wk/wv|wqkv
     B, S, _ = x.shape
     hd = cfg.head_dim
-    q = layer["wq"](h1).reshape(B, S, cfg.n_heads, hd)
-    k = layer["wk"](h1).reshape(B, S, cfg.n_kv_heads, hd)
-    v = layer["wv"](h1).reshape(B, S, cfg.n_kv_heads, hd)
+    q, k, v = L.qkv_proj(layer, h1, cfg)
     q = L.apply_rope(q, positions, inv_freq)
     k = L.apply_rope(k, positions, inv_freq)
     n_rep = cfg.n_heads // cfg.n_kv_heads
@@ -46,14 +45,18 @@ def _layer_intermediates(layer, x, cfg, inv_freq, positions, mask):
         q, L.repeat_kv(k, n_rep), L.repeat_kv(v, n_rep), mask
     ).reshape(B, S, cfg.n_heads * hd)  # -> wo
     x2 = x + layer["wo"](attn)
-    h2 = L.rms_norm(x2, layer["ffn_norm"], cfg.rms_eps)  # -> w1, w3
-    ffn_mid = jax.nn.silu(layer["w1"](h2)) * layer["w3"](h2)  # -> w2
+    h2 = L.rms_norm(x2, layer["ffn_norm"], cfg.rms_eps)  # -> w1/w3|w13
+    if "w13" in layer:
+        g, u = jnp.split(layer["w13"](h2), 2, axis=-1)
+        ffn_mid = jax.nn.silu(g) * u  # -> w2
+    else:
+        ffn_mid = jax.nn.silu(layer["w1"](h2)) * layer["w3"](h2)
     return {"qkv": h1, "wo": attn, "ffn_in": h2, "w2": ffn_mid}
 
 
 _GROUP_OF = {
-    "wq": "qkv", "wk": "qkv", "wv": "qkv",
-    "wo": "wo", "w1": "ffn_in", "w3": "ffn_in", "w2": "w2",
+    "wq": "qkv", "wk": "qkv", "wv": "qkv", "wqkv": "qkv",
+    "wo": "wo", "w1": "ffn_in", "w3": "ffn_in", "w13": "ffn_in", "w2": "w2",
 }
 
 
@@ -103,9 +106,10 @@ def quantize_llama_gptq(
             for g, acc in accs.items():
                 acc.add_batch(feats[g])
 
-        # 3: GPTQ-solve each linear
+        # 3: GPTQ-solve each linear (fused or separate layout)
         new_layer = dict(layer)
-        for name in ("wq", "wk", "wv", "wo", "w1", "w3", "w2"):
+        lin_names = [n for n in L._LINEAR_NAMES if n in layer]
+        for name in lin_names:
             lin = layer[name]
             acc = accs[_GROUP_OF[name]]
             res = gptq_quantize_mixed(
@@ -198,8 +202,9 @@ def save_quant_checkpoint(path, quant_params, layers_bit, cfg, groupsize):
     for i, layer in enumerate(quant_params["layers"]):
         flat["layers.{}.attn_norm".format(i)] = arr(layer["attn_norm"])
         flat["layers.{}.ffn_norm".format(i)] = arr(layer["ffn_norm"])
-        for name in ("wq", "wk", "wv", "wo", "w1", "w3", "w2"):
-            put("layers.{}.{}".format(i, name), layer[name])
+        for name in L._LINEAR_NAMES:
+            if name in layer:
+                put("layers.{}.{}".format(i, name), layer[name])
     put("lm_head", quant_params["lm_head"])
     np.savez(os.path.join(path, "weights.npz"), **flat)
     meta = {
@@ -265,9 +270,10 @@ def load_quant_checkpoint(path):
             "attn_norm": jnp.asarray(z["layers.{}.attn_norm".format(i)], dt),
             "ffn_norm": jnp.asarray(z["layers.{}.ffn_norm".format(i)], dt),
         }
-        for name in ("wq", "wk", "wv", "wo", "w1", "w3", "w2"):
+        for name in L._LINEAR_NAMES:
             p = "layers.{}.{}".format(i, name)
-            layer[name] = get_lin(p, layers_bit.get(p))
+            if any(f.startswith(p + ".") for f in z.files):
+                layer[name] = get_lin(p, layers_bit.get(p))
         params["layers"].append(layer)
     params["lm_head"] = get_lin("lm_head", layers_bit.get("lm_head"))
     return params, cfg, layers_bit

@@ -287,3 +287,31 @@ def test_scanned_decode_matches_unrolled(params, kv_quantized):
     tok2 = jnp.argmax(logits2, -1).astype(jnp.int32)
     toks2, _ = decode_tokens_scanned(stacked, tok2, cache2, CFG, 5)
     np.testing.assert_array_equal(np.asarray(toks2), np.asarray(ref_toks))
+
+
+def test_gptq_fused_layers_roundtrip(tmp_path, params):
+    """GPTQ over fused wqkv/w13 layers + checkpoint roundtrip + decode."""
+    from sparsebit_tpu.llm.convert import (
+        load_quant_checkpoint,
+        quantize_llama_gptq,
+        save_quant_checkpoint,
+    )
+    from sparsebit_tpu.llm.decode import generate
+
+    fused = L.fuse_llama_params(
+        jax.tree.map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a,
+            params,
+        )
+    )
+    calib = jax.random.randint(jax.random.PRNGKey(50), (2, 32), 0, CFG.vocab_size)
+    qp, lb = quantize_llama_gptq(
+        fused, calib, CFG, candidate_bits=(4,), groupsize=64, verbose=False
+    )
+    assert any("wqkv" in k for k in lb)
+    path = str(tmp_path / "fused_ckpt")
+    save_quant_checkpoint(path, qp, lb, CFG, 64)
+    qp2, cfg2, lb2 = load_quant_checkpoint(path)
+    assert "wqkv" in qp2["layers"][0] and "w13" in qp2["layers"][0]
+    out = generate(qp2, jnp.ones((1, 4), jnp.int32), cfg2, max_new_tokens=3)
+    assert out.shape == (1, 3)
