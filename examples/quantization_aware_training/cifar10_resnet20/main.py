@@ -44,21 +44,19 @@ def main():
     cfg = parse_qconfig(args.qconfig)
     qmodel = QuantModel(model, cfg, (jnp.asarray(x[: args.batch]),))
 
-    # calibrate + QAT init (LSQ inits its scale from observer stats)
-    qmodel.prepare_calibration()
-    for i in range(0, min(len(x), 4 * args.batch), args.batch):
-        qmodel(jnp.asarray(x[i : i + args.batch]))
-    qmodel.init_QAT()
-
-    # 8-bit head/tail override (QAT main.py:236-250)
+    # 8-bit head/tail override BEFORE calibration (QAT main.py:236-250)
     names = [n for n, _ in qmodel.qmodules()]
     for name in (names[0], names[-1]):
         op = qmodel.get_qmodule(name)
         for q in (op.input_quantizer, op.weight_quantizer):
             if q is not None:
                 q.set_bit(8)
-    qmodel.calc_qparams()
-    qmodel.set_quant(True, True)
+
+    # calibrate + QAT init (LSQ inits its scale from observer stats)
+    qmodel.prepare_calibration()
+    for i in range(0, min(len(x), 4 * args.batch), args.batch):
+        qmodel(jnp.asarray(x[i : i + args.batch]))
+    qmodel.init_QAT()
 
     opt = optax.adam(args.lr)
     step = make_qat_step(qmodel, cross_entropy, opt)

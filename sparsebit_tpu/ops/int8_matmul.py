@@ -69,13 +69,17 @@ def int8_matmul_dynamic(x, wq, w_scale, bwd_wq, bwd_scale):
 
 def _fwd(x, wq, w_scale, bwd_wq, bwd_scale):
     out = int8_matmul_dynamic(x, wq, w_scale, bwd_wq, bwd_scale)
-    return out, (bwd_wq, bwd_scale)
+    # residuals must be jax types: a zero-size array carries the primal dtype
+    return out, (bwd_wq, bwd_scale, jnp.zeros((0,), x.dtype))
 
 
 def _bwd(res, g):
-    bwd_wq, bwd_scale = res
+    bwd_wq, bwd_scale, x_proto = res
+    x_dtype = x_proto.dtype
     gq, g_scale = tokenwise_quant(g)
-    dx = int8_gemm(gq, bwd_wq).astype(jnp.float32) * g_scale * bwd_scale
+    dx = (int8_gemm(gq, bwd_wq).astype(jnp.float32) * g_scale * bwd_scale).astype(
+        x_dtype
+    )
     wq_shape = (bwd_wq.shape[1], bwd_wq.shape[0])
     return (
         dx,

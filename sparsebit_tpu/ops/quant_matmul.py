@@ -502,15 +502,20 @@ def _qmm_fwd_impl(x, packed, scales, zeros, bits, groupsize, N, impl):
 
 def _qmm_fwd(x, packed, scales, zeros, bits, groupsize, N, impl):
     out = _qmm_fwd_impl(x, packed, scales, zeros, bits, groupsize, N, impl)
-    return out, (packed, scales, zeros, x.shape)
+    return out, (packed, scales, zeros, x.shape, jnp.zeros((0,), x.dtype))
 
 
 def _qmm_bwd(bits, groupsize, N, impl, res, g):
-    packed, scales, zeros, x_shape = res
+    packed, scales, zeros, x_shape, x_proto = res
+    x_dtype = x_proto.dtype
     K = x_shape[-1]
     W = dequant_weights(packed, scales, zeros, bits, N, groupsize)
     g2 = g.reshape(-1, N).astype(jnp.float32)
-    dx = jnp.dot(g2, W.T, preferred_element_type=jnp.float32).reshape(x_shape)
+    dx = (
+        jnp.dot(g2, W.T, preferred_element_type=jnp.float32)
+        .reshape(x_shape)
+        .astype(x_dtype)  # cotangent must match the primal dtype
+    )
     from sparsebit_tpu.ops.int8_matmul import zero_cotangent
 
     zero_packed = jax.tree.map(zero_cotangent, packed)
