@@ -116,8 +116,9 @@ def main():
     import os
 
     # axon sitecustomize force-registers the TPU backend; honor an explicit
-    # cpu request (sanity runs) the same way conftest does
-    if os.environ.get("JAX_PLATFORMS") == "cpu" and jax.default_backend() != "cpu":
+    # cpu request (sanity runs). Must precede any backend query — a
+    # jax.devices()/default_backend() call would lock the platform.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
     from sparsebit_tpu.llm.decode import decode_step, prefill
