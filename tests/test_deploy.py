@@ -74,3 +74,33 @@ def test_deploy_integer_path_really_int8():
     ]
     assert len(wqs) == 3
     assert all(w.dtype == jnp.int8 for w in wqs)
+
+
+def test_deploy_transformer_block():
+    """deploy() on a transformer graph: Linears go int8, matmul/softmax
+    stay fake-quant/float — mixed graphs execute correctly."""
+    from sparsebit_tpu.models.vit import Attention
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 64))
+    attn = Attention(64, num_heads=4, key=jax.random.PRNGKey(4))
+    attn.eval()
+
+    cfg = _cfg()
+    cfg.defrost()
+    cfg.A.OBSERVER.LAYOUT = "NLC"
+    cfg.freeze()
+    qmodel = QuantModel(attn, cfg, (x,))
+    qmodel.prepare_calibration()
+    qmodel(x)
+    qmodel.calc_qparams()
+    qmodel.set_quant(True, True)
+    fq = qmodel(x)
+
+    dm = deploy(qmodel)
+    out = dm(x)
+    rel = float(jnp.linalg.norm(out - fq) / jnp.linalg.norm(fq))
+    assert rel < 5e-3, rel
+    n_int8 = sum(
+        1 for n in dm.graph.op_nodes if "wq" in getattr(n.op, "_buffers", {})
+    )
+    assert n_int8 == 2  # qkv + proj
