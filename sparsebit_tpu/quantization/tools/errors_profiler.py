@@ -19,6 +19,21 @@ def mse_checker(a, b):
     return float(jnp.mean((a - b) ** 2))
 
 
+def cosine_checker(a, b):
+    """1 - cosine similarity (common quant-error diagnostic)."""
+    af, bf = a.reshape(-1), b.reshape(-1)
+    denom = jnp.linalg.norm(af) * jnp.linalg.norm(bf) + 1e-12
+    return float(1.0 - jnp.dot(af, bf) / denom)
+
+
+def snr_checker(a, b):
+    """Negative SNR in dB of the quantized signal vs float (lower=better
+    error => more negative)."""
+    noise = jnp.sum((a - b) ** 2) + 1e-12
+    signal = jnp.sum(b**2) + 1e-12
+    return float(-10.0 * jnp.log10(signal / noise))
+
+
 class QuantizationErrorProfiler:
     def __init__(self, graph):
         self.graph = graph
@@ -58,7 +73,15 @@ class QuantizationErrorProfiler:
                 break
             fargs = [resolve(storage, a) for a in node.args]
             qargs = [resolve(qstorage, a) for a in node.args]
-            fout = node.op.execute(*fargs, **node.kwargs)
+            # float reference must be computed with quantizers OFF no matter
+            # what state the caller left them in (e.g. after set_quant(True))
+            if isinstance(node.op, QuantOpr):
+                state = self._quant_state(node.op)
+                node.op.set_quant(False, False)
+                fout = node.op.execute(*fargs, **node.kwargs)
+                node.op.set_quant(bool(state[0]), bool(state[1]))
+            else:
+                fout = node.op.execute(*fargs, **node.kwargs)
             qout, err = on_node(node, fargs, qargs, fout)
             storage.set_value(node.name, fout)
             qstorage.set_value(node.name, qout)

@@ -203,3 +203,34 @@ def test_batchnorm_tuning():
     assert not any(isinstance(n.op, QBatchNorm2d) for n in qmodel.graph.op_nodes)
     out = qmodel(x)
     assert out.shape == (2, 4)
+
+
+def test_quantization_error_profiler():
+    """Errors are nonzero at 4 bits regardless of the caller's quant state,
+    and async(layer-isolated) != sync(propagated) in general."""
+    from sparsebit_tpu.quantization.tools.errors_profiler import cosine_checker
+
+    model = ResBlockNet().eval()
+    cfg = cnn_config()
+    for w in (cfg.W, cfg.A):
+        w.defrost() if hasattr(w, "defrost") else None
+    cfg.defrost()
+    cfg.W.QUANTIZER.BIT = 4
+    cfg.A.QUANTIZER.BIT = 4
+    cfg.freeze()
+    x = get_x()
+    qmodel = QuantModel(model, cfg, (x,))
+    qmodel.prepare_calibration()
+    qmodel(x)
+    qmodel.calc_qparams()
+    qmodel.set_quant(True, True)  # the profiler must still measure vs float
+    e_async = qmodel.get_quantization_error(x)
+    e_sync = qmodel.get_quantization_error(x, is_async=False)
+    e_cos = qmodel.get_quantization_error(x, checker=cosine_checker)
+    assert any(v > 0 for v in e_async.values())
+    assert any(v > 0 for v in e_sync.values())
+    assert any(v > 0 for v in e_cos.values())
+    # the caller's quant state survives profiling
+    out_q = qmodel(x)
+    qmodel.set_quant(False, False)
+    assert not np.allclose(np.asarray(out_q), np.asarray(qmodel(x)))
