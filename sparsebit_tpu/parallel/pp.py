@@ -2,10 +2,16 @@
 
 Reference: torch.distributed.pipeline.sync.Pipe wrapping an nn.Sequential
 LLaMA (model_pp.py:173-191, finetune_pp.py) — single-host, p2p copies,
-activation checkpointing. TPU-native redesign:
+activation checkpointing — and crucially pipelining a *make_quant-ed*
+(packed 4-bit) backbone with LoRA adapters (model_pp.py:173-191 +
+utils.py:93). TPU-native redesign:
 
 - stages are CONTIGUOUS layer blocks whose params are stacked on a leading
   axis sharded over the "pp" mesh axis (every device holds 1/P of depth);
+- layer params are ANY linear containers — DenseLinear, packed QuantLinear,
+  or LoraLinear-over-QuantLinear pytrees — and the stage body reuses
+  ``llama.decoder_layer`` verbatim, so PP composes with quantization and
+  QLoRA exactly like the single-device path (no duplicated layer math);
 - the schedule is a lax.fori_loop over M + P - 1 waves inside shard_map:
   each wave every stage processes its in-flight microbatch, then the
   activation ring-shifts one stage via lax.ppermute (ICI neighbor copy —
@@ -15,13 +21,15 @@ activation checkpointing. TPU-native redesign:
   schedule automatically; jax.checkpoint on the stage body reproduces
   Pipe's checkpoint='always' memory behavior;
 - embed/norm/head are replicated (small); only the last stage's loss term
-  is nonzero and a psum shares it.
+  is nonzero and a psum shares it;
+- QLoRA training (finetune_pp parity): differentiate ``pp_qlora_loss``
+  w.r.t. the extracted LoRA pytree only — the frozen packed backbone rides
+  along as a non-differentiated operand (reference freezes via
+  requires_grad_(False); here the split does it structurally).
 
 The same function runs the full training step under jit on a dp x pp mesh:
 batch sharded over dp, depth over pp.
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,14 +37,19 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from sparsebit_tpu.llm import llama as L
+from sparsebit_tpu.llm.qlora import LoraLinear
 
 
 def stack_llama_stages(params, n_stages):
     """Split params["layers"] into n_stages contiguous blocks and stack
     leaves -> {"embed", "stages" (leading axis = n_stages), "norm", "head"}.
 
-    Layers within a stage are additionally stacked on axis 1 so the stage
-    body can lax.scan over them (layer structure is uniform)."""
+    Works on any per-layer linear containers (DenseLinear / QuantLinear /
+    LoraLinear pytrees) as long as every layer has the SAME structure
+    (bits/groupsize/targets uniform — mixed-precision-per-layer models
+    must use the unrolled single-device path). Layers within a stage are
+    additionally stacked on axis 1 so the stage body can lax.scan over
+    them."""
     n_layers = len(params["layers"])
     assert n_layers % n_stages == 0, "layers must split evenly over stages"
     per = n_layers // n_stages
@@ -54,31 +67,23 @@ def stack_llama_stages(params, n_stages):
 
 
 def _stage_body(stage_params, x, cfg, positions):
-    """Run this device's layer block (scan over the stacked layer axis)."""
+    """Run this device's layer block (scan over the stacked layer axis),
+    reusing the canonical decoder layer — quantized/LoRA containers work
+    unchanged because lax.scan slices pytree nodes leaf-wise."""
+    from sparsebit_tpu.llm.quant import DenseLinear
+
+    S = x.shape[1]
+    mask = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+    inv_freq = L.rope_frequencies(cfg)
 
     def one_layer(x, layer):
-        S = x.shape[1]
-        mask = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
-        inv_freq = L.rope_frequencies(cfg)
-        h = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-        B = x.shape[0]
-        hd = cfg.head_dim
-        q = jnp.dot(h, layer["wq"]).reshape(B, S, cfg.n_heads, hd)
-        k = jnp.dot(h, layer["wk"]).reshape(B, S, cfg.n_kv_heads, hd)
-        v = jnp.dot(h, layer["wv"]).reshape(B, S, cfg.n_kv_heads, hd)
-        q = L.apply_rope(q, positions, inv_freq)
-        k = L.apply_rope(k, positions, inv_freq)
-        n_rep = cfg.n_heads // cfg.n_kv_heads
-        att = L.attention_scores(
-            q, L.repeat_kv(k, n_rep), L.repeat_kv(v, n_rep), mask
-        ).reshape(B, S, cfg.n_heads * hd)
-        x = x + jnp.dot(att, layer["wo"])
-        h2 = L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
-        ffn = jnp.dot(
-            jax.nn.silu(jnp.dot(h2, layer["w1"])) * jnp.dot(h2, layer["w3"]),
-            layer["w2"],
-        )
-        return x + ffn, None
+        # densified (raw-array) layers re-wrap on the fly; containers pass
+        layer = {
+            k: (DenseLinear(v) if k in L._LINEAR_NAMES and not callable(v) else v)
+            for k, v in layer.items()
+        }
+        x, _ = L.decoder_layer(layer, x, cfg, inv_freq, positions, mask)
+        return x, None
 
     x, _ = jax.lax.scan(one_layer, x, stage_params)
     return x
@@ -87,8 +92,7 @@ def _stage_body(stage_params, x, cfg, positions):
 def pp_llama_loss(params_pp, tokens, cfg, mesh, n_microbatches):
     """Mean next-token NLL with GPipe microbatch pipelining.
 
-    params_pp: from stack_llama_stages, with DenseLinear weights flattened
-    to plain arrays (see flatten note in stack util). tokens: (B, S+1).
+    params_pp: from stack_llama_stages. tokens: (B, S+1).
     B must divide by dp * n_microbatches.
     """
     Pstages = mesh.shape["pp"]
@@ -146,7 +150,10 @@ def pp_llama_loss(params_pp, tokens, cfg, mesh, n_microbatches):
 
         # loss only meaningful on the last stage; psum shares it
         x = L.rms_norm(outs.reshape(B, S, D), params["norm"], cfg.rms_eps)
-        logits = jnp.dot(x, params["head"]).astype(jnp.float32)
+        head = params["head"]
+        logits = (head(x) if callable(head) else jnp.dot(x, head)).astype(
+            jnp.float32
+        )
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(
             logp, targets.reshape(B, S)[..., None], axis=-1
@@ -157,12 +164,9 @@ def pp_llama_loss(params_pp, tokens, cfg, mesh, n_microbatches):
         loss = jax.lax.psum(local_loss, "pp")
         return jax.lax.pmean(loss, "dp")[None]
 
-    spec = {
-        "embed": P(),
-        "stages": jax.tree.map(lambda _: P("pp"), params_pp["stages"]),
-        "norm": P(),
-        "head": P(),
-    }
+    # prefix specs: P("pp") shards the leading (n_stages) axis of every
+    # stage leaf (incl. packed uint8 weights and LoRA factors)
+    spec = {"embed": P(), "stages": P("pp"), "norm": P(), "head": P()}
     fn = shard_map(
         local,
         mesh=mesh,
@@ -174,8 +178,8 @@ def pp_llama_loss(params_pp, tokens, cfg, mesh, n_microbatches):
 
 
 def densify_llama_params(params):
-    """Replace DenseLinear wrappers with raw (in, out) arrays so stage
-    params are stackable/scannable plain pytrees."""
+    """Replace DenseLinear wrappers with raw (in, out) arrays — an optional
+    slimming for float-only pipelines (quantized/LoRA params stack as-is)."""
     from sparsebit_tpu.llm.quant import DenseLinear
 
     def conv(x):
@@ -190,3 +194,57 @@ def densify_llama_params(params):
         ],
     }
     return out
+
+
+# ---- QLoRA over a pipelined quantized backbone (finetune_pp parity) ---------
+
+
+def _is_lora(x):
+    return isinstance(x, LoraLinear)
+
+
+def pp_extract_lora(params_pp):
+    """Trainable pytree: mirrors params_pp with {"lora_A","lora_B"} dicts at
+    LoraLinear positions and None elsewhere (frozen leaves drop out of the
+    treedef, so jax.grad over this pytree touches only the adapters)."""
+    return jax.tree.map(
+        lambda x: (
+            {"lora_A": x.lora_A, "lora_B": x.lora_B} if _is_lora(x) else None
+        ),
+        params_pp,
+        is_leaf=_is_lora,
+    )
+
+
+def pp_merge_lora(params_pp, lora):
+    """Rebuild the full stacked params with ``lora`` leaves swapped in."""
+    return jax.tree.map(
+        lambda x, l: (
+            LoraLinear(x.base, l["lora_A"], l["lora_B"], x.alpha, x.dropout)
+            if _is_lora(x)
+            else x
+        ),
+        params_pp,
+        lora,
+        is_leaf=_is_lora,
+    )
+
+
+def pp_qlora_loss(lora, params_pp, tokens, cfg, mesh, n_microbatches):
+    """Pipelined causal-LM loss as a function of the LoRA pytree only —
+    the packed backbone is a frozen operand (reference finetune_pp.py
+    trains exactly this: LoRA over a make_quant backbone through Pipe)."""
+    return pp_llama_loss(
+        pp_merge_lora(params_pp, lora), tokens, cfg, mesh, n_microbatches
+    )
+
+
+def pp_qlora_train_step(lora, opt_state, params_pp, tokens, cfg, mesh,
+                        n_microbatches, optimizer):
+    """One optax step on the LoRA pytree through the pipelined model."""
+    loss, grads = jax.value_and_grad(pp_qlora_loss)(
+        lora, params_pp, tokens, cfg, mesh, n_microbatches
+    )
+    updates, opt_state = optimizer.update(grads, opt_state, lora)
+    lora = jax.tree.map(lambda p, u: p + u, lora, updates)
+    return lora, opt_state, loss

@@ -6,10 +6,16 @@ import numpy as np
 import pytest
 
 from sparsebit_tpu.llm import llama as L
+from sparsebit_tpu.llm.qlora import qlora_loss_fn, wrap_llama_lora
+from sparsebit_tpu.llm.quant import QuantLinear
 from sparsebit_tpu.parallel.mesh import make_mesh_named
 from sparsebit_tpu.parallel.pp import (
     densify_llama_params,
+    pp_extract_lora,
     pp_llama_loss,
+    pp_merge_lora,
+    pp_qlora_loss,
+    pp_qlora_train_step,
     stack_llama_stages,
 )
 
@@ -53,3 +59,84 @@ def test_pp_training_step(setup):
     loss2, _ = step(params2)
     assert jnp.isfinite(loss1) and jnp.isfinite(loss2)
     assert float(loss2) < float(loss1)  # one SGD step reduces loss
+
+
+def _quantize(params):
+    return L.quantize_llama_params(
+        params,
+        lambda path, lin: QuantLinear.from_dense(
+            lin.w.astype(jnp.float32), bits=4, groupsize=32
+        ),
+    )
+
+
+def test_pp_quantized_backbone_matches_sequential(setup):
+    """PP over packed QuantLinear layers == single-device quantized loss
+    (reference pipelines a make_quant-ed model, model_pp.py:173-191)."""
+    params, tokens, _ = setup
+    qparams = _quantize(params)
+    ref = L.llama_loss(qparams, tokens, CFG)
+    mesh = make_mesh_named(dp=2, pp=2)
+    params_pp = stack_llama_stages(qparams, 2)
+    loss = pp_llama_loss(params_pp, tokens, CFG, mesh, 2)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
+
+
+def test_pp_qlora_matches_single_device(setup):
+    """finetune_pp parity: LoRA over a quantized pipelined backbone — loss
+    equals the single-device QLoRA loss, and one train step moves only the
+    adapters and reduces the loss."""
+    import optax
+
+    params, tokens, _ = setup
+    qparams = wrap_llama_lora(_quantize(params), r=4, key=jax.random.PRNGKey(7))
+    # make the adapters nonzero so the LoRA term participates in the loss
+    qparams = jax.tree.map(
+        lambda x: x, qparams
+    )
+    from sparsebit_tpu.llm.qlora import LoraLinear
+
+    def bump(x):
+        if isinstance(x, LoraLinear):
+            return LoraLinear(
+                x.base, x.lora_A,
+                x.lora_B + 0.01 * jnp.ones_like(x.lora_B),
+                x.alpha, x.dropout,
+            )
+        return x
+
+    qparams = jax.tree.map(bump, qparams, is_leaf=lambda x: isinstance(x, LoraLinear))
+
+    from sparsebit_tpu.llm.qlora import extract_lora
+
+    ref = qlora_loss_fn(extract_lora(qparams), qparams, tokens, CFG)
+
+    mesh = make_mesh_named(dp=2, pp=2)
+    params_pp = stack_llama_stages(qparams, 2)
+    lora = pp_extract_lora(params_pp)
+    loss_fn = jax.jit(lambda l: pp_qlora_loss(l, params_pp, tokens, CFG, mesh, 2))
+    loss = loss_fn(lora)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
+
+    # one optimizer step through the pipeline reduces the loss
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(lora)
+    step = jax.jit(
+        lambda l, s: pp_qlora_train_step(
+            l, s, params_pp, tokens, CFG, mesh, 2, opt
+        )
+    )
+    lora2, opt_state, loss1 = step(lora, opt_state)
+    loss2 = loss_fn(lora2)
+    assert float(loss2) < float(loss1)
+    # adapters actually moved; the frozen packed backbone cannot move
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), lora, lora2
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+    merged = pp_merge_lora(params_pp, lora2)
+    loss3 = jax.jit(
+        lambda p: pp_llama_loss(p, tokens, CFG, mesh, 2)
+    )(merged)
+    np.testing.assert_allclose(float(loss3), float(loss2), rtol=1e-5)
