@@ -82,7 +82,7 @@ def _u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk):
         xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(
             jnp.float32
         )
-        contrib = (dot_g - xsum * z_ref[0, g, :][None, :]) * s_ref[0, g, :][None, :]
+        contrib = (dot_g - xsum * z_ref[g, 0, :][None, :]) * s_ref[g, 0, :][None, :]
         acc = contrib if acc is None else acc + contrib
     acc_ref[...] += acc
     o_ref[...] = acc_ref[...]
@@ -100,8 +100,8 @@ def u4_matmul(x8, w4, s3, z3, k_blk=256, nt=None):
         in_specs=[
             pl.BlockSpec((B, k_blk), lambda i, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_blk, NT), lambda i, k: (k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G_BLK, NT), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G_BLK, NT), lambda i, k: (0, k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, 1, NT), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, 1, NT), lambda i, k: (k, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, NT), lambda i, k: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
@@ -217,10 +217,9 @@ def main():
                 ),
                 flush=True,
             )
-        s3 = scales.reshape(G, GS and 1 or 1, N)[:, None, :].reshape(1, G, N) * 1.0
-        # reshape scales to (1, G, N) to satisfy the (>=2D last dims) rule
-        s3 = scales.reshape(1, G, N)
-        z3 = zeros.reshape(1, G, N)
+        # (G, 1, N): second-to-last dim == array dim satisfies the tiling rule
+        s3 = scales.reshape(G, 1, N)
+        z3 = zeros.reshape(G, 1, N)
         outB = u4_matmul(x8, w4, s3, z3)
         errB = float(jnp.max(jnp.abs(outB - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
         print("B err:", errB, flush=True)

@@ -196,6 +196,129 @@ def densify_llama_params(params):
     return out
 
 
+# ---- dp x tp x pp: full 3-axis composition ----------------------------------
+
+
+def _stage_body_tp(stage_params, x, cfg, positions, T):
+    """TP variant of the stage body: layer linears are TPLinear shards
+    (col/row-parallel, psum over "tp" per residual branch) scanned over the
+    stage's layer axis. Composes with packed QuantLinear and LoraLinear
+    shards (parallel/tp.py shard_linear)."""
+    from sparsebit_tpu.parallel.tp import _tp_attn, _tp_ffn
+
+    S = x.shape[1]
+    mask = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)[None, None]
+    inv_freq = L.rope_frequencies(cfg)
+
+    def one_layer(x, layer):
+        h = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        x = x + _tp_attn(layer, h, cfg, inv_freq, positions, mask, T)
+        h = L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+        x = x + _tp_ffn(layer, h)
+        return x, None
+
+    x, _ = jax.lax.scan(one_layer, x, stage_params)
+    return x
+
+
+def pp_tp_llama_loss(params_pp, tokens, cfg, mesh, n_microbatches):
+    """Mean next-token NLL on a dp x tp x pp mesh: batch sharded over dp,
+    tensor (heads/FFN/vocab) over tp, depth over pp. params_pp comes from
+    ``stack_llama_stages(shard_llama_params_tp(params, cfg, T, ...))`` —
+    stage leaves carry (n_stages, per_stage, T, ...) with pp on axis 0 and
+    tp on axis 2. The loss is vocab-parallel (never gathers full logits).
+    This is the composed north-star topology; the reference's only
+    parallelism is single-host Pipe (model_pp.py:173-191)."""
+    from sparsebit_tpu.parallel.tp import TPLinear, _vocab_parallel_nll
+
+    Pstages = mesh.shape["pp"]
+    T = mesh.shape["tp"]
+    M = n_microbatches
+    V_loc = cfg.vocab_size // T
+
+    def local(params, toks):
+        stage_id = jax.lax.axis_index("pp")
+        stage_params = jax.tree.map(lambda a: a[0], params["stages"])
+        B, S1 = toks.shape
+        S = S1 - 1
+        inputs = toks[:, :-1].reshape(M, B // M, S)
+        targets = toks[:, 1:].reshape(M, B // M, S)
+        positions = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32), (B // M, S)
+        )
+        body = jax.checkpoint(
+            lambda sp, x: _stage_body_tp(sp, x, cfg, positions, T)
+        )
+
+        D = cfg.dim
+        zero_x = jnp.zeros((B // M, S, D), params["embed"].dtype)
+        outs0 = jnp.zeros((M, B // M, S, D), jnp.float32)
+
+        def wave(t, carry):
+            x_in, outs = carry
+            mb = jnp.clip(t, 0, M - 1)
+            embedded = params["embed"][inputs[mb]]
+            x = jnp.where(stage_id == 0, embedded, x_in)
+            active = (t - stage_id >= 0) & (t - stage_id < M)
+            y = body(stage_params, x)
+            y = jnp.where(active, y, zero_x)
+            done_mb = t - (Pstages - 1)
+            is_last = stage_id == Pstages - 1
+            bank = (done_mb >= 0) & (done_mb < M) & is_last
+            outs = jax.lax.cond(
+                bank,
+                lambda o: jax.lax.dynamic_update_slice(
+                    o,
+                    y.astype(jnp.float32)[None],
+                    (jnp.clip(done_mb, 0, M - 1), 0, 0, 0),
+                ),
+                lambda o: o,
+                outs,
+            )
+            x_next = jax.lax.ppermute(
+                y, "pp", [(i, (i + 1) % Pstages) for i in range(Pstages)]
+            )
+            return x_next, outs
+
+        _, outs = jax.lax.fori_loop(0, M + Pstages - 1, wave, (zero_x, outs0))
+
+        x = L.rms_norm(outs.reshape(B, S, D), params["norm"], cfg.rms_eps)
+        logits_loc = params["head"].local()(x).astype(jnp.float32)
+        nll = _vocab_parallel_nll(logits_loc, targets.reshape(B, S), V_loc)
+        local_loss = jnp.where(stage_id == Pstages - 1, jnp.mean(nll), 0.0)
+        loss = jax.lax.psum(local_loss, "pp")
+        return jax.lax.pmean(loss, "dp")[None]
+
+    is_tpl = lambda x: isinstance(x, TPLinear)  # noqa: E731
+    stage_spec = jax.tree.map(
+        lambda x: P("pp", None, "tp") if is_tpl(x) else P("pp"),
+        params_pp["stages"],
+        is_leaf=is_tpl,
+    )
+    spec = {
+        "embed": P(),
+        "stages": stage_spec,
+        "norm": P(),
+        "head": P("tp"),
+    }
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, P("dp")),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    return fn(params_pp, tokens)[0]
+
+
+def pp_tp_qlora_loss(lora, params_pp, tokens, cfg, mesh, n_microbatches):
+    """3-axis QLoRA loss: LoRA pytree differentiable, packed TP-sharded
+    backbone frozen."""
+    return pp_tp_llama_loss(
+        pp_merge_lora(params_pp, lora), tokens, cfg, mesh, n_microbatches
+    )
+
+
 # ---- QLoRA over a pipelined quantized backbone (finetune_pp parity) ---------
 
 

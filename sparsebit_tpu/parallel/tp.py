@@ -62,7 +62,42 @@ def _stack_linears(lins):
 
 def shard_linear(lin, T, kind, bits=None, groupsize=-1):
     """Split a DenseLinear along columns/rows into T shards; quantize+pack
-    each shard independently when ``bits`` is set."""
+    each shard independently when ``bits`` is set.
+
+    LoraLinear inputs shard base + adapters consistently: column-parallel
+    splits lora_B's output columns (lora_A replicated); row-parallel splits
+    lora_A's input rows (lora_B replicated) — the per-branch psum then sums
+    partial x@A_t@B terms to the full adapter output."""
+    from sparsebit_tpu.llm.qlora import LoraLinear
+
+    if isinstance(lin, LoraLinear):
+        base_tp = shard_linear(lin.base, T, kind, bits, groupsize)
+        if kind == "col":
+            Nl = lin.lora_B.shape[1] // T
+            shards = [
+                LoraLinear(
+                    jax.tree.map(lambda a: a[t], base_tp.stacked),
+                    lin.lora_A,
+                    lin.lora_B[:, t * Nl : (t + 1) * Nl],
+                    lin.alpha,
+                    lin.dropout,
+                )
+                for t in range(T)
+            ]
+        else:
+            Kl = lin.lora_A.shape[0] // T
+            shards = [
+                LoraLinear(
+                    jax.tree.map(lambda a: a[t], base_tp.stacked),
+                    lin.lora_A[t * Kl : (t + 1) * Kl, :],
+                    lin.lora_B,
+                    lin.alpha,
+                    lin.dropout,
+                )
+                for t in range(T)
+            ]
+        return TPLinear(_stack_linears(shards), kind)
+
     w = lin.w if isinstance(lin, DenseLinear) else lin.dequantize()
     K, N = w.shape
     shards = []

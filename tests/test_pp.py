@@ -61,12 +61,13 @@ def test_pp_training_step(setup):
     assert float(loss2) < float(loss1)  # one SGD step reduces loss
 
 
-def _quantize(params):
+def _quantize(params, skip=("lm_head",)):
     return L.quantize_llama_params(
         params,
         lambda path, lin: QuantLinear.from_dense(
             lin.w.astype(jnp.float32), bits=4, groupsize=32
         ),
+        skip=skip,
     )
 
 
@@ -140,3 +141,84 @@ def test_pp_qlora_matches_single_device(setup):
         lambda p: pp_llama_loss(p, tokens, CFG, mesh, 2)
     )(merged)
     np.testing.assert_allclose(float(loss3), float(loss2), rtol=1e-5)
+
+
+def test_dp_tp_pp_quantized(setup):
+    """Composed 3-axis mesh (dp x tp x pp), packed TP-sharded backbone:
+    loss == single-device quantized loss. Sharded quantization equals
+    unsharded because col splits keep per-column group stats and row splits
+    land on group boundaries (parallel/tp.py pack-time sharding)."""
+    from sparsebit_tpu.parallel.pp import pp_tp_llama_loss
+    from sparsebit_tpu.parallel.tp import shard_llama_params_tp
+
+    params, tokens, _ = setup
+    # shard_llama_params_tp packs the lm_head too; quantize it in the ref
+    qref = _quantize(params, skip=())
+    ref = L.llama_loss(qref, tokens, CFG)
+
+    mesh = make_mesh_named(dp=2, tp=2, pp=2)
+    params_tp = shard_llama_params_tp(params, CFG, 2, bits=4, groupsize=32)
+    params_pp = stack_llama_stages(params_tp, 2)
+    loss = jax.jit(
+        lambda p: pp_tp_llama_loss(p, tokens, CFG, mesh, 2)
+    )(params_pp)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
+
+
+def test_dp_tp_pp_qlora_train(setup):
+    """QLoRA on the composed mesh: LoRA shards ride col/row TP sharding,
+    loss matches single-device QLoRA, train step reduces it."""
+    import optax
+
+    from sparsebit_tpu.llm.qlora import LoraLinear, extract_lora
+    from sparsebit_tpu.parallel.pp import pp_tp_qlora_loss
+    from sparsebit_tpu.parallel.tp import shard_llama_params_tp
+
+    params, tokens, _ = setup
+
+    def bump(x):
+        if isinstance(x, LoraLinear):
+            return LoraLinear(
+                x.base, x.lora_A,
+                x.lora_B + 0.01 * jnp.ones_like(x.lora_B),
+                x.alpha, x.dropout,
+            )
+        return x
+
+    is_lora = lambda x: isinstance(x, LoraLinear)  # noqa: E731
+
+    # single-device reference: quantize then wrap (same RTN per group;
+    # head quantized to match shard_llama_params_tp)
+    qref = wrap_llama_lora(
+        _quantize(params, skip=()), r=4, key=jax.random.PRNGKey(7)
+    )
+    qref = jax.tree.map(bump, qref, is_leaf=is_lora)
+    ref = qlora_loss_fn(extract_lora(qref), qref, tokens, CFG)
+
+    # composed mesh: wrap dense, bump identically, shard+pack
+    lparams = wrap_llama_lora(params, r=4, key=jax.random.PRNGKey(7))
+    lparams = jax.tree.map(bump, lparams, is_leaf=is_lora)
+    mesh = make_mesh_named(dp=2, tp=2, pp=2)
+    params_tp = shard_llama_params_tp(lparams, CFG, 2, bits=4, groupsize=32)
+    params_pp = stack_llama_stages(params_tp, 2)
+    lora = pp_extract_lora(params_pp)
+    loss_fn = jax.jit(
+        lambda l: pp_tp_qlora_loss(l, params_pp, tokens, CFG, mesh, 2)
+    )
+    loss = loss_fn(lora)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(lora)
+
+    @jax.jit
+    def step(l, s):
+        lo, grads = jax.value_and_grad(pp_tp_qlora_loss)(
+            l, params_pp, tokens, CFG, mesh, 2
+        )
+        updates, s = opt.update(grads, s, l)
+        return jax.tree.map(lambda p, u: p + u, l, updates), s, lo
+
+    lora2, opt_state, loss1 = step(lora, opt_state)
+    loss2 = loss_fn(lora2)
+    assert float(loss2) < float(loss1)
