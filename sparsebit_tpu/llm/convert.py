@@ -188,6 +188,8 @@ def save_quant_checkpoint(path, quant_params, layers_bit, cfg, groupsize):
                 flat["{}.packed.{}".format(prefix, k)] = arr(v)
             flat[prefix + ".scales"] = arr(lin.scales)
             flat[prefix + ".zeros"] = arr(lin.zeros)
+            # scales may be lane-padded (pallas_n_pad); keep logical width
+            flat[prefix + ".nout"] = np.asarray(lin.out_features, np.int64)
             if lin.perm is not None:
                 flat[prefix + ".perm"] = np.asarray(lin.perm)
             if lin.bias is not None:
@@ -249,13 +251,18 @@ def load_quant_checkpoint(path):
         perm = (
             jnp.asarray(z[prefix + ".perm"]) if prefix + ".perm" in z else None
         )
+        nout = (
+            int(z[prefix + ".nout"])
+            if prefix + ".nout" in z
+            else int(z[prefix + ".scales"].shape[1])
+        )
         return QuantLinear(
             packed,
             jnp.asarray(z[prefix + ".scales"]),
             jnp.asarray(z[prefix + ".zeros"]),
             bits,
             gs,
-            int(z[prefix + ".scales"].shape[1]),
+            nout,
             bias,
             perm=perm,
         )

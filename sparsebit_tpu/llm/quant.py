@@ -155,7 +155,17 @@ class QuantLinear:
     @classmethod
     def from_codes(cls, codes, scales, zeros, bits, groupsize, bias=None,
                    impl="auto", perm=None):
+        from sparsebit_tpu.ops.packing import pallas_n_pad
+
         K, N = codes.shape
+        # pad N to the kernel's 128-lane packed-width multiple; the pad
+        # columns dequantize to exactly 0 (code 0, zero 0, scale 1) and are
+        # sliced off in __call__/dequantize. out_features stays logical.
+        pad = pallas_n_pad(N, bits)
+        if pad:
+            codes = jnp.pad(codes, ((0, 0), (0, pad)))
+            scales = jnp.pad(scales, ((0, 0), (0, pad)), constant_values=1.0)
+            zeros = jnp.pad(zeros, ((0, 0), (0, pad)))
         packed = pack_columns(codes, bits)
         return cls(packed, scales, zeros, bits, groupsize, N, bias, impl, perm)
 
@@ -164,11 +174,16 @@ class QuantLinear:
         first = next(iter(self.packed.values()))
         return first.shape[0]
 
+    @property
+    def n_padded(self):
+        """Packed (possibly padded) output width; >= out_features."""
+        return self.scales.shape[1]
+
     def dequantize(self):
         W = dequant_weights(
             self.packed, self.scales, self.zeros, self.bits,
-            self.out_features, self.groupsize,
-        )
+            self.n_padded, self.groupsize,
+        )[:, : self.out_features]
         if self.perm is not None:
             W = W[jnp.argsort(self.perm), :]  # back to original row order
         return W
@@ -181,13 +196,15 @@ class QuantLinear:
 
             out = quant_matmul_a8(
                 x, self.packed, self.scales, self.zeros,
-                self.bits, self.groupsize, self.out_features,
+                self.bits, self.groupsize, self.n_padded,
             )
         else:
             out = quant_matmul(
                 x, self.packed, self.scales, self.zeros,
-                self.bits, self.groupsize, self.out_features, self.impl,
+                self.bits, self.groupsize, self.n_padded, self.impl,
             )
+        if self.n_padded != self.out_features:
+            out = out[..., : self.out_features]
         if self.bias is not None:
             out = out + self.bias
         return out.astype(x.dtype)

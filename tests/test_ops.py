@@ -188,3 +188,63 @@ def test_int8_matmul_dynamic_close_to_dense():
     dx = jax.grad(f)(x)
     rel = float(jnp.linalg.norm(dx - dx_ref) / jnp.linalg.norm(dx_ref))
     assert rel < 0.02, rel
+
+
+def test_pallas_n_pad_covers_7b_ffn():
+    """VERDICT #5: LLaMA-7B ffn_dim=11008 must hit the Pallas path for all
+    bit-widths after pack-time padding (the round-1 3-bit kernel silently
+    fell back to dense dequant there)."""
+    from sparsebit_tpu.ops.packing import pallas_n_pad
+    from sparsebit_tpu.ops.quant_matmul import _supports_pallas
+
+    for bits in (2, 3, 4, 8):
+        Np = 11008 + pallas_n_pad(11008, bits)
+        assert _supports_pallas(bits, 4096, Np, 128), (bits, Np)
+    assert pallas_n_pad(11008, 3) == 256  # 11008 -> 11264
+    assert pallas_n_pad(11008, 4) == 0  # already aligned
+
+
+@pytest.mark.parametrize("bits,N", [(3, 344), (3, 1000), (4, 200), (2, 300)])
+def test_quantlinear_irregular_n_padded(bits, N):
+    """QuantLinear at irregular out_features: pack-time padding keeps the
+    kernel shape legal; output slices back to the logical width and equals
+    the dense-dequant oracle."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.ops.packing import pallas_n_pad
+
+    K = 64
+    w = jax.random.normal(jax.random.PRNGKey(31), (K, N), jnp.float32)
+    ql = QuantLinear.from_dense(w, bits=bits, groupsize=32)
+    assert ql.out_features == N
+    assert ql.n_padded == N + pallas_n_pad(N, bits)
+    x = jax.random.normal(jax.random.PRNGKey(32), (3, K))
+    ref = x @ ql.dequantize()
+    out = ql(x)
+    assert out.shape == (3, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_quantlinear_padded_pallas_interpret():
+    """The padded 3-bit weight actually runs the Pallas kernel (interpret
+    mode) and matches the sliced oracle."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.ops.quant_matmul import (
+        _quant_matmul_pallas_3bit,
+        _supports_pallas,
+    )
+
+    K, N = 128, 344  # pads to 1024
+    w = jax.random.normal(jax.random.PRNGKey(33), (K, N), jnp.float32)
+    ql = QuantLinear.from_dense(w, bits=3, groupsize=32)
+    assert _supports_pallas(3, K, ql.n_padded, 32)
+    x = jax.random.normal(jax.random.PRNGKey(34), (2, K))
+    ref = x @ ql.dequantize()
+    with pltpu.force_tpu_interpret_mode():
+        out = _quant_matmul_pallas_3bit(
+            x, ql.packed, ql.scales, ql.zeros, 32, ql.n_padded
+        )[:, :N]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
