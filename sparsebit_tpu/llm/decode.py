@@ -57,7 +57,10 @@ def _replace_layer(cache, li, upd):
     return KVCache(k, v, ks, vs, cache.length, cache.quantized)
 
 
-def _forward_with_cache(params, tokens, positions, mask, cache, cfg):
+def _backbone_with_cache(params, tokens, positions, mask, cache, cfg):
+    """Transformer body -> (hidden (B, S, D) post-norm, cache). lm_head is
+    applied by the caller — prefill only needs it on ONE row, and a full
+    (bucket, vocab) logits matmul at admission time is pure waste."""
     x = params["tok_embed"][tokens]
     inv_freq = L.rope_frequencies(cfg)
     for li, layer in enumerate(params["layers"]):
@@ -65,9 +68,18 @@ def _forward_with_cache(params, tokens, positions, mask, cache, cfg):
             layer, x, cfg, inv_freq, positions, mask, cache, li
         )
         cache = _replace_layer(cache, li, upd)
-    x = L.rms_norm(x, params["norm"], cfg.rms_eps)
+    return L.rms_norm(x, params["norm"], cfg.rms_eps), cache
+
+
+def _forward_with_cache(params, tokens, positions, mask, cache, cfg):
+    x, cache = _backbone_with_cache(params, tokens, positions, mask, cache, cfg)
     logits = params["lm_head"](x).astype(jnp.float32)
     return logits, cache
+
+
+def _prompt_mask(S, S_max):
+    causal = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)
+    return jnp.pad(causal, ((0, 0), (0, S_max - S)), constant_values=-1e9)[None, None]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -76,15 +88,42 @@ def prefill(params, tokens, cache, cfg):
     B, S = tokens.shape
     S_max = cache.k[0].shape[1]
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-    # causal over the prompt; nothing beyond it is filled yet
-    causal = jnp.triu(jnp.full((S, S), -1e9, jnp.float32), k=1)
-    mask = jnp.pad(causal, ((0, 0), (0, S_max - S)), constant_values=-1e9)[None, None]
-    logits, cache = _forward_with_cache(params, tokens, positions, mask, cache, cfg)
+    x, cache = _backbone_with_cache(
+        params, tokens, positions, _prompt_mask(S, S_max), cache, cfg
+    )
+    logits = params["lm_head"](x[:, -1]).astype(jnp.float32)
     cache = KVCache(
         cache.k, cache.v, cache.k_scale, cache.v_scale,
         cache.length + S, cache.quantized,
     )
-    return logits[:, -1], cache
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill_at(params, tokens, cache, cfg, last_idx, offset):
+    """Bucketed-admission prefill: tokens (B, S_bucket) right-padded
+    prompts, last_idx (B,) = true_length - 1 per row, offset (B,) = rows
+    already present in the cache (0, or the reused-prefix length when a
+    prefix-cache hit admitted only the prompt tail). Returns logits at
+    each row's LAST REAL token and a cache whose per-row length is
+    offset + true length — ONE forward regardless of padding (the round-1
+    engine ran a second full forward for non-bucket prompt lengths,
+    serving.py:106-112 / VERDICT #6)."""
+    B, S = tokens.shape
+    S_max = cache.k[0].shape[1]
+    positions = offset[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    # row i of the chunk sees cache cols [0, offset + i]
+    col = jnp.arange(S_max, dtype=jnp.int32)
+    visible = col[None, None, :] <= positions[:, :, None]  # (B, S, S_max)
+    mask = jnp.where(visible, 0.0, -1e9)[:, None]  # (B, 1, S, S_max)
+    x, cache = _backbone_with_cache(params, tokens, positions, mask, cache, cfg)
+    x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
+    logits = params["lm_head"](x_last).astype(jnp.float32)
+    cache = KVCache(
+        cache.k, cache.v, cache.k_scale, cache.v_scale,
+        offset + last_idx + 1, cache.quantized,
+    )
+    return logits, cache
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -146,40 +185,83 @@ def _unscan_cache(cache, stacked):
     )
 
 
+class _StackedLinearView:
+    """Callable view of a layer-stacked QuantLinear at index ``li``: the
+    forward routes through the scalar-prefetch kernel, which addresses the
+    stacked weights in place in HBM (no per-layer copy)."""
+
+    def __init__(self, ql, li):
+        self.ql = ql
+        self.li = li
+
+    def __call__(self, x):
+        return self.ql.call_stacked(x, self.li)
+
+
+def _stacked_layer_view(layers, li):
+    """Single-layer view of a stacked layers dict (decode.stack_layers):
+    QuantLinears become li-indexed callables (weights stay in HBM),
+    DenseLinears and plain arrays are dynamic-sliced (small: norms; or the
+    float path, where the copy matches what scan-as-xs did anyway)."""
+    from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
+
+    view = {}
+    for name, leaf in layers.items():
+        if isinstance(leaf, QuantLinear):
+            view[name] = _StackedLinearView(leaf, li)
+        elif isinstance(leaf, DenseLinear):
+            view[name] = DenseLinear(
+                leaf.w[li], None if leaf.bias is None else leaf.bias[li]
+            )
+        else:
+            view[name] = leaf[li]
+    return view
+
+
 def _forward_with_cache_scanned(params, tokens, positions, mask, cache, cfg):
+    """Scan over LAYER INDICES with the stacked weights closed over as loop
+    invariants: compile cost stays O(1) in depth, and (unlike stacked
+    weights as scan xs, which XLA dynamic-slices = copies every layer's
+    packed weights each token — round 1: 140 -> 73 tok/s) the quantized
+    matmuls index HBM in place via scalar-prefetch Pallas kernels. Only the
+    per-layer KV slabs are sliced/updated through the carry."""
     from sparsebit_tpu.llm.kv_cache import _dequant_heads, _quant_heads
 
     x = params["tok_embed"][tokens]
     inv_freq = L.rope_frequencies(cfg)
     quant_mode = cache.quantized
     pos0 = positions[:, 0]
+    layers = params["layers"]
 
-    def body(x, layer_and_cache):
-        layer, k_l, v_l, ks_l, vs_l = layer_and_cache
+    def body(carry, li):
+        x, k, v, ks, vs = carry
+        layer = _stacked_layer_view(layers, li)
         h = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
         B, S, _ = x.shape
         hd = cfg.head_dim
-        q, k, v = L.qkv_proj(layer, h, cfg)
+        q, kk, vv = L.qkv_proj(layer, h, cfg)
         q = L.apply_rope(q, positions, inv_freq)
-        k = L.apply_rope(k, positions, inv_freq)
+        kk = L.apply_rope(kk, positions, inv_freq)
+        k_l, v_l = k[li], v[li]
+        ks_l, vs_l = (ks[li], vs[li]) if quant_mode else (None, None)
 
         def upd(buf, val):
-            def one(b, vv, p):
+            def one(b, vv2, p):
                 return jax.lax.dynamic_update_slice(
-                    b, vv, (p,) + (0,) * (b.ndim - 1)
+                    b, vv2, (p,) + (0,) * (b.ndim - 1)
                 )
             return jax.vmap(one)(buf, val, pos0)
 
         if quant_mode:
-            kq, ksc = _quant_heads(k, quant_mode)
-            vq, vsc = _quant_heads(v, quant_mode)
+            kq, ksc = _quant_heads(kk, quant_mode)
+            vq, vsc = _quant_heads(vv, quant_mode)
             k_l, v_l = upd(k_l, kq), upd(v_l, vq)
             ks_l, vs_l = upd(ks_l, ksc), upd(vs_l, vsc)
             k_all = _dequant_heads(k_l, ks_l, x.dtype, quant_mode)
             v_all = _dequant_heads(v_l, vs_l, x.dtype, quant_mode)
         else:
-            k_l = upd(k_l, k.astype(k_l.dtype))
-            v_l = upd(v_l, v.astype(v_l.dtype))
+            k_l = upd(k_l, kk.astype(k_l.dtype))
+            v_l = upd(v_l, vv.astype(v_l.dtype))
             k_all, v_all = k_l.astype(x.dtype), v_l.astype(x.dtype)
 
         n_rep = cfg.n_heads // cfg.n_kv_heads
@@ -188,16 +270,18 @@ def _forward_with_cache_scanned(params, tokens, positions, mask, cache, cfg):
         ).reshape(B, S, cfg.n_heads * hd)
         x = x + layer["wo"](out)
         x = x + L._ffn_block(layer, L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps))
-        return x, (k_l, v_l, ks_l, vs_l)
+        k = jax.lax.dynamic_update_index_in_dim(k, k_l, li, 0)
+        v = jax.lax.dynamic_update_index_in_dim(v, v_l, li, 0)
+        if quant_mode:
+            ks = jax.lax.dynamic_update_index_in_dim(ks, ks_l, li, 0)
+            vs = jax.lax.dynamic_update_index_in_dim(vs, vs_l, li, 0)
+        return (x, k, v, ks, vs), None
 
     k, v, ks, vs = _scan_cache(cache)
-    layers = {k2: v2 for k2, v2 in params["layers"].items()}
-    x, new_stacked = jax.lax.scan(
-        lambda xx, lc: body(xx, (lc[0], lc[1], lc[2], lc[3], lc[4])),
-        x,
-        (layers, k, v, ks, vs),
+    (x, k, v, ks, vs), _ = jax.lax.scan(
+        body, (x, k, v, ks, vs), jnp.arange(cfg.n_layers, dtype=jnp.int32)
     )
-    cache = _unscan_cache(cache, new_stacked)
+    cache = _unscan_cache(cache, (k, v, ks, vs))
     x = L.rms_norm(x, params["norm"], cfg.rms_eps)
     logits = params["lm_head"](x).astype(jnp.float32)
     return logits, cache
@@ -239,10 +323,30 @@ def decode_step_scanned(params_stacked, tokens, cache, cfg):
     return logits[:, 0], cache
 
 
+def prepare_stacked_params_for_decode(params_stacked):
+    """u4 serving layout for layer-STACKED params (see stack_layers): each
+    stacked QuantLinear gains a (L, K, N) uint4 codes array for the
+    scalar-prefetch kernels. In-jit only (uint4 cannot cross the jit
+    boundary here); hoisted out of the token scan."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    layers = dict(params_stacked["layers"])
+    for name in L._LINEAR_NAMES:
+        if name in layers and isinstance(layers[name], QuantLinear):
+            layers[name] = layers[name].with_u4()
+    out = dict(params_stacked)
+    out["layers"] = layers
+    if isinstance(out.get("lm_head"), QuantLinear):
+        out["lm_head"] = out["lm_head"].with_u4()
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"))
 def decode_tokens_scanned(params_stacked, tok0, cache, cfg, n_tokens):
     """Greedy multi-token decode with BOTH loops as lax.scan (layers and
-    tokens): compile cost is O(1) in depth and token count."""
+    tokens): compile cost is O(1) in depth and token count; packed weights
+    stay resident in HBM (scalar-prefetch kernels — no per-layer copies)."""
+    params_stacked = prepare_stacked_params_for_decode(params_stacked)
 
     def body(carry, _):
         tok, cache = carry
@@ -254,11 +358,26 @@ def decode_tokens_scanned(params_stacked, tok0, cache, cfg, n_tokens):
     return jnp.swapaxes(toks, 0, 1), cache
 
 
+def prepare_params_for_decode(params):
+    """Convert every packed QuantLinear to the u4 serving layout (native
+    uint4 codes array -> int8 MXU with zero unpack work; see
+    ops/quant_matmul.py u4 kernel). Must run INSIDE the serving jit — uint4
+    cannot cross the jit boundary on this runtime — placed before the token
+    scan so the one unpack pass amortises over the whole dispatch."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    def conv(path, lin):
+        return lin.with_u4() if isinstance(lin, QuantLinear) else lin
+
+    return L.quantize_llama_params(params, conv, skip=())
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"))
 def decode_tokens(params, tok0, cache, cfg, n_tokens):
     """Greedy-decode n_tokens entirely on device (lax.scan over
     decode steps) — the serving inner loop: one dispatch, no host
     round-trip per token. Returns (tokens (B, n_tokens), cache)."""
+    params = prepare_params_for_decode(params)
 
     def body(carry, _):
         tok, cache = carry
@@ -270,7 +389,37 @@ def decode_tokens(params, tok0, cache, cfg, n_tokens):
     return jnp.swapaxes(toks, 0, 1), cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def decode_chunk(params, tok0, cache, temps, key, cfg, n_tokens):
+    """Serving inner loop: n_tokens decode steps fully on device with
+    per-slot temperature sampling (temps (B,) f32; <=0 means greedy).
+    One dispatch per chunk instead of one per token — amortises host/
+    dispatch latency AND the u4 weight-layout conversion (which cannot
+    cross the jit boundary; see prepare_params_for_decode). Returns
+    (tokens (B, n_tokens), cache)."""
+    params = prepare_params_for_decode(params)
+
+    def body(carry, k):
+        tok, cache = carry
+        logits, cache = decode_step(params, tok, cache, cfg)
+        tok = sample_logits_vec(logits, k, temps)
+        return (tok, cache), tok
+
+    keys = jax.random.split(key, n_tokens)
+    (tok, cache), toks = jax.lax.scan(body, (tok0, cache), keys)
+    return jnp.swapaxes(toks, 0, 1), cache
+
+
 # ---- sampling ---------------------------------------------------------------
+
+
+def sample_logits_vec(logits, key, temps):
+    """(B, V), (B,) temps -> (B,) int32. Per-row temperature; rows with
+    temps <= 0 sample greedily. All on device (one fused kernel)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temps <= 0.0, greedy, sampled)
 
 
 @partial(jax.jit, static_argnames=("temperature", "top_k", "top_p"))

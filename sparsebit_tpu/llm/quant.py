@@ -171,13 +171,34 @@ class QuantLinear:
 
     @property
     def in_features(self):
+        if "u4" in self.packed:
+            return self.packed["u4"].shape[0]
         first = next(iter(self.packed.values()))
         return first.shape[0]
 
+    def with_u4(self):
+        """Return a copy whose packed dict carries a native uint4 codes
+        array: the serving-path layout (u4 tiles feed the int8 MXU with no
+        shift/mask unpack — ops/quant_matmul.py u4 kernel). MUST be called
+        inside jit (uint4 cannot cross the jit boundary on this runtime);
+        hoist it out of the token scan so the one unpack pass amortises
+        over the dispatch."""
+        from sparsebit_tpu.ops.quant_matmul import codes_to_u4
+
+        if self.bits == 8 or "u4" in self.packed:
+            return self
+        packed = dict(self.packed)
+        packed["u4"] = codes_to_u4(self.packed, self.bits, self.n_padded)
+        return QuantLinear(
+            packed, self.scales, self.zeros, self.bits, self.groupsize,
+            self.out_features, self.bias, self.impl, self.perm,
+        )
+
     @property
     def n_padded(self):
-        """Packed (possibly padded) output width; >= out_features."""
-        return self.scales.shape[1]
+        """Packed (possibly padded) output width; >= out_features.
+        (shape[-1] so layer-stacked leaves — stack_layers — also work.)"""
+        return self.scales.shape[-1]
 
     def dequantize(self):
         W = dequant_weights(
@@ -207,6 +228,26 @@ class QuantLinear:
             out = out[..., : self.out_features]
         if self.bias is not None:
             out = out + self.bias
+        return out.astype(x.dtype)
+
+    def call_stacked(self, x, li):
+        """Layer-indexed forward when this object's leaves are layer-STACKED
+        (decode.stack_layers): packed/scales/zeros carry a leading (L,) axis
+        and ``li`` (traced int32) picks the layer. On the Pallas path the
+        stacked weights are indexed in place in HBM (scalar prefetch, zero
+        copies) — the scan-over-layers decode's weight-resident fix."""
+        from sparsebit_tpu.ops.quant_matmul import quant_matmul_a8_stacked
+
+        if self.perm is not None:
+            x = x[..., self.perm[li]]
+        out = quant_matmul_a8_stacked(
+            x, self.packed, self.scales, self.zeros, li,
+            self.bits, self.groupsize, self.n_padded,
+        )
+        if self.n_padded != self.out_features:
+            out = out[..., : self.out_features]
+        if self.bias is not None:
+            out = out + self.bias[li]
         return out.astype(x.dtype)
 
     def tree_flatten(self):

@@ -95,24 +95,25 @@ def pack_columns(q, bits):
 
 
 def unpack_columns(packed, bits, N):
-    """Inverse of pack_columns -> uint8 codes (K, N)."""
+    """Inverse of pack_columns -> uint8 codes (..., K, N). Leading axes
+    (e.g. a layer-stack axis from decode.stack_layers) pass through."""
     if bits == 8:
         return packed["w"]
     if bits in (4, 2):
         p = 8 // bits
         w = packed["w"]
-        K = w.shape[0]
+        lead = w.shape[:-1]
         mask = (1 << bits) - 1
         planes = [(w >> (j * bits)) & mask for j in range(p)]
-        return jnp.stack(planes, axis=1).reshape(K, N)
+        return jnp.stack(planes, axis=-2).reshape(lead + (N,))
     if bits == 3:
         low2, high1 = packed["low2"], packed["high1"]
-        K = low2.shape[0]
+        lead = low2.shape[:-1]
         low = jnp.stack(
-            [(low2 >> (j * 2)) & 3 for j in range(4)], axis=1
-        ).reshape(K, N)
+            [(low2 >> (j * 2)) & 3 for j in range(4)], axis=-2
+        ).reshape(lead + (N,))
         high = jnp.stack(
-            [(high1 >> j) & 1 for j in range(8)], axis=1
-        ).reshape(K, N)
+            [(high1 >> j) & 1 for j in range(8)], axis=-2
+        ).reshape(lead + (N,))
         return low | (high << 2)
     raise ValueError("unsupported bits: {}".format(bits))

@@ -199,16 +199,15 @@ def _quant_matmul_pallas(x, w, scales, zeros, bits, gs, N, nt=None, k_blk=None):
     return out[:B]
 
 
+def _lane_ok(blk, dim):
+    """Mosaic requires a block's last dim to be a multiple of 128 or equal
+    to the full array dim (sublane analogue: multiple of 8)."""
+    return blk == dim or blk % 128 == 0
+
+
 def _supports_pallas(bits, K, N, gs, B=1):
-    if bits == 3:
-        gs_eff = gs if gs > 0 else K
-        return (
-            B <= 64
-            and N % 8 == 0
-            and (N // 8) % 128 == 0
-            and K % gs_eff == 0
-        )
-    if bits not in (2, 4, 8):
+    gs_eff = gs if gs > 0 else K
+    if K % gs_eff != 0:
         return False
     if B > 64:
         # the kernel is a decode/matvec kernel: its output block is
@@ -216,14 +215,22 @@ def _supports_pallas(bits, K, N, gs, B=1):
         # re-run) matmuls are MXU-bound, where XLA's dense path on the
         # dequantized weight is already the right schedule.
         return False
+    if bits == 3:
+        # _quant_matmul_pallas_3bit uses K_BLK = gs_eff directly (no
+        # growth); the x block's last dim is K_BLK.
+        return (
+            N % 8 == 0
+            and (N // 8) % 128 == 0
+            and _lane_ok(gs_eff, K)
+        )
+    if bits not in (2, 4, 8):
+        return False
     p = 8 // bits if bits != 8 else 1
     NP = N // p
     if NP % 128 != 0:
         return False
-    gs_eff = gs if gs > 0 else K
-    if K % gs_eff != 0:
-        return False
-    return True
+    K_BLK, NT = _pick_tiles(K, NP, gs_eff, gs <= 0)
+    return _lane_ok(K_BLK, K) and _lane_ok(NT, NP)
 
 
 # ---- 3-bit kernel: two packed planes (low2 + high1) -------------------------
@@ -326,6 +333,270 @@ def _quant_matmul_pallas_3bit(x, packed, scales, zeros, gs, N, a8=False):
         ),
     )(x, packed["low2"], packed["high1"], s3, z3)
     return out.reshape(B_pad, N)[:B]
+
+
+# ---- u4-native kernel: sub-byte codes as a uint4 array ----------------------
+#
+# The u8-container kernels above unpack with shift+mask per element; Mosaic
+# legalizes those at i32 lane granularity, which measures VPU-bound (~78 us
+# sustained for the 7B w13 tile vs a 51 us DMA floor, experiments/exp3).
+# Storing the codes as a NATIVE uint4 array instead removes the unpack
+# entirely: Mosaic loads u4 tiles packed (4 bits/elem in HBM and VMEM, same
+# footprint as the container) and the only per-element op is a u4->s8 cast
+# feeding the int8 MXU. Measured sustained per-iter on the same tile: 27.7 us
+# (2.8x the container kernel; at/below the DMA floor thanks to double
+# buffering).
+#
+# Constraint (axon runtime): uint4 arrays cannot cross the jit boundary
+# (device_put recursion on the arg path, UNIMPLEMENTED host transfer on the
+# closure path). So the u4 array is materialised INSIDE the serving jit via
+# ``codes_to_u4`` — one unpack pass per dispatch, hoisted out of the token
+# scan by XLA (amortised to noise over a multi-token scan).
+#
+# bits<4 also route here: 3/2-bit codes fit in u4. Their HBM traffic is then
+# 4 bits/weight instead of 3/2 — still far cheaper than the VPU-bound
+# container unpack, and the 3-bit two-plane layout stays the checkpoint
+# format. (Reference kernels: cuda_kernel_{2,3,4}bit.cu one-launch matvecs.)
+
+
+def codes_to_u4(packed, bits, N):
+    """Unpack the u8 container to a (K, N) uint4 codes array (in-jit)."""
+    return unpack_columns(packed, bits, N).astype(jnp.uint4)
+
+
+def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xb = x_ref[...]  # (B, K_BLK) int8
+    codes = w_ref[...].astype(jnp.int8)  # u4 -> s8, no shift/mask
+    acc = None
+    for g in range(g_blk):
+        xg = xb[:, g * gs : (g + 1) * gs]
+        cg = codes[g * gs : (g + 1) * gs, :]
+        dot_g = jax.lax.dot_general(
+            xg, cg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(
+            jnp.float32
+        )
+        contrib = (dot_g - xsum * z_ref[g, :, :]) * s_ref[g, :, :]
+        acc = contrib if acc is None else acc + contrib
+    acc_ref[...] += acc
+    o_ref[...] = acc_ref[...]
+
+
+# u4 tiles cost 0.5 byte/cell + 1 byte/cell for the s8 cast temp; the
+# budget doubles vs the u8-container kernels (same ~10 MB live VMEM).
+_TILE_CELL_BUDGET_U4 = 3_200_000
+
+
+def _pick_tiles_u4(K, N, gs_eff, per_channel):
+    if per_channel:
+        K_BLK = 512
+        while K % K_BLK != 0 and K_BLK > 8:
+            K_BLK //= 2
+        if K % K_BLK != 0:
+            K_BLK = K
+    else:
+        K_BLK = gs_eff
+    NT = N
+    for cand in sorted(
+        {d for d in range(128, N + 1, 128) if N % d == 0} | {N},
+        reverse=True,
+    ):
+        if K_BLK * cand <= _TILE_CELL_BUDGET_U4:
+            NT = cand
+            break
+    else:
+        NT = 128 if N % 128 == 0 else N
+    while (
+        not per_channel
+        and K_BLK < 512
+        and K % (K_BLK * 2) == 0
+        and K_BLK * 2 * NT <= _TILE_CELL_BUDGET_U4
+    ):
+        K_BLK *= 2
+    return K_BLK, NT
+
+
+def _supports_pallas_u4(K, N, gs, B=1):
+    gs_eff = gs if gs > 0 else K
+    if K % gs_eff != 0 or B > 64 or N % 128 != 0:
+        return False
+    K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, gs <= 0)
+    return _lane_ok(K_BLK, K) and _lane_ok(NT, N)
+
+
+def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False):
+    """x8 (B, K) int8; w4 (K, N) uint4; scales/zeros (G, N) f32.
+    Returns UNSCALED f32 (B, N) (caller applies the per-token act scale)."""
+    B, K = x8.shape
+    G = scales.shape[0]
+    per_channel = gs <= 0
+    gs_eff = gs if gs > 0 else K
+    K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, per_channel)
+    if per_channel:
+        G_BLK, gs_kernel = 1, K_BLK
+        s_index = lambda i, k: (0, 0, i)
+    else:
+        G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
+        s_index = lambda i, k: (k, 0, i)
+
+    B_pad = max(8, ((B + 7) // 8) * 8)
+    if B_pad != B:
+        x8 = jnp.pad(x8, ((0, B_pad - B), (0, 0)))
+
+    s3 = scales.reshape(G, 1, N).astype(jnp.float32)
+    z3 = zeros.reshape(G, 1, N).astype(jnp.float32)
+    grid = (N // NT, K // K_BLK)
+    out = pl.pallas_call(
+        functools.partial(_qmm_u4_kernel, gs=gs_kernel, g_blk=G_BLK),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B_pad, K_BLK), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_BLK, NT), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, 1, NT), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLK, 1, NT), s_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (B_pad, NT), lambda i, k: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B_pad, NT), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B_pad * K * N,
+            bytes_accessed=K * N // 2 + G * N * 8 + B_pad * K + B_pad * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x8, w4, s3, z3)
+    return out[:B]
+
+
+# ---- stacked (layer-indexed) u4 kernel --------------------------------------
+#
+# Scan-over-layers decode needs per-layer weight selection WITHOUT copying:
+# passing stacked weights as lax.scan xs makes XLA dynamic-slice (i.e. copy)
+# every layer's packed weights each token (round-1: 140 -> 73 tok/s). Here
+# the layer index rides a scalar-prefetch operand and the BlockSpec
+# index_map addresses the stacked (L, K, N) array directly in HBM — the
+# kernel DMAs exactly layer li's tiles, zero copies, and the scan body
+# closes over the weights as loop invariants (VERDICT #7).
+
+
+def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
+                           acc_ref, *, gs, g_blk):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xb = x_ref[...]  # (B, K_BLK) int8
+    codes = w_ref[0].astype(jnp.int8)  # (K_BLK, NT): u4 -> s8
+    acc = None
+    for g in range(g_blk):
+        xg = xb[:, g * gs : (g + 1) * gs]
+        cg = codes[g * gs : (g + 1) * gs, :]
+        dot_g = jax.lax.dot_general(
+            xg, cg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(
+            jnp.float32
+        )
+        contrib = (dot_g - xsum * z_ref[0, g, :, :]) * s_ref[0, g, :, :]
+        acc = contrib if acc is None else acc + contrib
+    acc_ref[...] += acc
+    o_ref[...] = acc_ref[...]
+
+
+def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
+                                    interpret=False):
+    """x8 (B, K) int8; w4s (L, K, N) uint4; s4/z4 (L, G, 1, N) f32;
+    li scalar int32 layer index. Returns UNSCALED f32 (B, N)."""
+    B, K = x8.shape
+    Lk = w4s.shape[0]
+    per_channel = gs <= 0
+    gs_eff = gs if gs > 0 else K
+    K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, per_channel)
+    if per_channel:
+        G_BLK, gs_kernel = 1, K_BLK
+        s_index = lambda i, k, li_ref: (li_ref[0], 0, 0, i)
+    else:
+        G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
+        s_index = lambda i, k, li_ref: (li_ref[0], k, 0, i)
+
+    B_pad = max(8, ((B + 7) // 8) * 8)
+    if B_pad != B:
+        x8 = jnp.pad(x8, ((0, B_pad - B), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // NT, K // K_BLK),
+        in_specs=[
+            pl.BlockSpec((B_pad, K_BLK), lambda i, k, li_ref: (0, k)),
+            pl.BlockSpec((1, K_BLK, NT), lambda i, k, li_ref: (li_ref[0], k, i)),
+            pl.BlockSpec((1, G_BLK, 1, NT), s_index),
+            pl.BlockSpec((1, G_BLK, 1, NT), s_index),
+        ],
+        out_specs=pl.BlockSpec((B_pad, NT), lambda i, k, li_ref: (0, i)),
+        scratch_shapes=[pltpu.VMEM((B_pad, NT), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_qmm_u4_stacked_kernel, gs=gs_kernel, g_blk=G_BLK),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([li], jnp.int32), x8, w4s, s4, z4)
+    return out[:B]
+
+
+def quant_matmul_a8_stacked(x, packed, scales, zeros, li, bits, groupsize, N,
+                            interpret=False):
+    """Layer-indexed W4A8 matmul over stacked weights: packed leaves carry a
+    leading layer axis; ``li`` (traced int32) selects the layer. The Pallas
+    path indexes HBM in place (scalar prefetch); the fallback
+    dynamic-slices one layer (a copy — CPU/irregular shapes only)."""
+    from sparsebit_tpu.ops.int8_matmul import tokenwise_quant
+
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    xq, x_scale = tokenwise_quant(x2.astype(jnp.float32))
+    Lk = scales.shape[0]
+    G = scales.shape[1]
+    use_pallas = (
+        "u4" in packed
+        and _supports_pallas_u4(K, N, groupsize, xq.shape[0])
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        out = _quant_matmul_pallas_u4_stacked(
+            xq, packed["u4"],
+            scales.reshape(Lk, G, 1, N), zeros.reshape(Lk, G, 1, N),
+            li, groupsize, N, interpret=interpret,
+        )
+    else:
+        packed_l = {k2: v2[li] for k2, v2 in packed.items() if k2 != "u4"}
+        W = dequant_weights(packed_l, scales[li], zeros[li], bits, N, groupsize)
+        out = jnp.dot(
+            xq.astype(jnp.float32), W, preferred_element_type=jnp.float32
+        )
+    return (out * x_scale).reshape(lead + (N,))
 
 
 # ---- W4A8 kernel: int8 activations, codes stay int8 into the MXU -----------
@@ -443,6 +714,14 @@ def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
     x2 = x.reshape(-1, K)
     xq, x_scale = tokenwise_quant(x2.astype(jnp.float32))
     if (
+        "u4" in packed
+        and _supports_pallas_u4(K, N, groupsize, xq.shape[0])
+        and jax.default_backend() == "tpu"
+    ):
+        out = _quant_matmul_pallas_u4(
+            xq, packed["u4"], scales, zeros, groupsize, N
+        )
+    elif (
         _supports_pallas(bits, K, N, groupsize, xq.shape[0])
         and jax.default_backend() == "tpu"
     ):

@@ -236,15 +236,161 @@ def test_quantlinear_padded_pallas_interpret():
         _supports_pallas,
     )
 
-    K, N = 128, 344  # pads to 1024
+    # groupsize must be a 128-lane multiple (or == K) for real Mosaic
+    # lowering — the x block's last dim is K_BLK = groupsize. gs=32 at
+    # K=128 passes interpret mode but fails on hardware (round-2 fix).
+    K, N, gs = 256, 344, 128  # N pads to 1024
     w = jax.random.normal(jax.random.PRNGKey(33), (K, N), jnp.float32)
-    ql = QuantLinear.from_dense(w, bits=3, groupsize=32)
-    assert _supports_pallas(3, K, ql.n_padded, 32)
+    ql = QuantLinear.from_dense(w, bits=3, groupsize=gs)
+    assert _supports_pallas(3, K, ql.n_padded, gs)
+    assert not _supports_pallas(3, 128, 1024, 32)  # sub-lane K_BLK rejected
     x = jax.random.normal(jax.random.PRNGKey(34), (2, K))
     ref = x @ ql.dequantize()
     with pltpu.force_tpu_interpret_mode():
         out = _quant_matmul_pallas_3bit(
-            x, ql.packed, ql.scales, ql.zeros, 32, ql.n_padded
+            x, ql.packed, ql.scales, ql.zeros, gs, ql.n_padded
         )[:, :N]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_u4_kernel_interpret():
+    """u4-native kernel (serving layout: uint4 codes -> int8 MXU, zero
+    unpack) matches the dequant-dense oracle across bits in interpret
+    mode. 3/2-bit codes also ride the u4 array (values < 8/4)."""
+    from sparsebit_tpu.ops.packing import pack_columns
+    from sparsebit_tpu.ops.quant_matmul import (
+        _quant_matmul_pallas_u4,
+        codes_to_u4,
+    )
+
+    K, N, gs, B = 256, 512, 128, 3
+    G = K // gs
+    key = jax.random.PRNGKey(40)
+    for bits in (4, 3, 2):
+        kc, ks, kz, kx = jax.random.split(jax.random.fold_in(key, bits), 4)
+        codes = jax.random.randint(kc, (K, N), 0, 2**bits, jnp.int32)
+        scales = jax.random.uniform(ks, (G, N), jnp.float32, 0.001, 0.01)
+        zeros = jax.random.randint(kz, (G, N), 0, 2**bits, jnp.int32).astype(
+            jnp.float32
+        )
+        x8 = jax.random.randint(kx, (B, K), -127, 127, jnp.int8)
+        W = (codes.astype(jnp.float32) - jnp.repeat(zeros, gs, 0)) * jnp.repeat(
+            scales, gs, 0
+        )
+        ref = jnp.dot(x8.astype(jnp.float32), W)
+        packed = pack_columns(codes, bits)
+
+        @jax.jit
+        def f(packed, x8, scales, zeros, bits=bits):
+            u4 = codes_to_u4(packed, bits, N)
+            return _quant_matmul_pallas_u4(
+                x8, u4, scales, zeros, gs, N, interpret=True
+            )
+
+        out = f(packed, x8, scales, zeros)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3
+        )
+
+
+def test_with_u4_quantlinear_parity():
+    """QuantLinear.with_u4() (in-jit) preserves forward semantics: the a8
+    dispatcher result with the u4 entry present equals the plain a8 path
+    (on CPU both use the XLA fallback; the dispatch itself is exercised —
+    and the u4 array round-trips the packed codes exactly)."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.ops.packing import unpack_columns
+
+    K, N = 256, 384
+    w = jax.random.normal(jax.random.PRNGKey(41), (K, N), jnp.float32)
+    ql = QuantLinear.from_dense(w, bits=4, groupsize=128, impl="a8")
+    x = jax.random.normal(jax.random.PRNGKey(42), (2, K), jnp.float32)
+
+    @jax.jit
+    def with_u4_forward(ql, x):
+        q2 = ql.with_u4()
+        return q2(x), q2.packed["u4"].astype(jnp.uint8)
+
+    out_u4, u4_codes = with_u4_forward(ql, x)
+    ref = ql(x)
+    np.testing.assert_allclose(
+        np.asarray(out_u4), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u4_codes),
+        np.asarray(unpack_columns(ql.packed, 4, ql.n_padded)),
+    )
+
+
+def test_u4_stacked_kernel_interpret():
+    """Layer-indexed scalar-prefetch kernel: for every layer index, the
+    stacked kernel equals the per-layer dequant-dense oracle."""
+    from sparsebit_tpu.ops.quant_matmul import _quant_matmul_pallas_u4_stacked
+
+    L_, K, N, gs, B = 3, 256, 384, 128, 2
+    G = K // gs
+    key = jax.random.PRNGKey(50)
+    kc, ks, kz, kx = jax.random.split(key, 4)
+    codes = jax.random.randint(kc, (L_, K, N), 0, 16, jnp.int32)
+    scales = jax.random.uniform(ks, (L_, G, N), jnp.float32, 0.001, 0.01)
+    zeros = jax.random.randint(kz, (L_, G, N), 0, 16, jnp.int32).astype(
+        jnp.float32
+    )
+    x8 = jax.random.randint(kx, (B, K), -127, 127, jnp.int8)
+
+    @jax.jit
+    def f(codes, x8, scales, zeros, li):
+        u4 = codes.astype(jnp.uint4)
+        return _quant_matmul_pallas_u4_stacked(
+            x8, u4, scales.reshape(L_, G, 1, N), zeros.reshape(L_, G, 1, N),
+            li, gs, N, interpret=True,
+        )
+
+    for li in range(L_):
+        W = (codes[li].astype(jnp.float32) - jnp.repeat(zeros[li], gs, 0)) * (
+            jnp.repeat(scales[li], gs, 0)
+        )
+        ref = jnp.dot(x8.astype(jnp.float32), W)
+        out = f(codes, x8, scales, zeros, jnp.int32(li))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3, err_msg=str(li)
+        )
+
+
+def test_call_stacked_matches_unstacked():
+    """QuantLinear.call_stacked (stacked leaves + layer index) equals the
+    plain per-layer forward, through BOTH the interpret-Pallas path and the
+    XLA fallback."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.ops.quant_matmul import quant_matmul_a8_stacked
+
+    L_, K, N = 3, 256, 384
+    qls = []
+    for i in range(L_):
+        w = jax.random.normal(jax.random.PRNGKey(60 + i), (K, N), jnp.float32)
+        qls.append(QuantLinear.from_dense(w, bits=4, groupsize=128, impl="a8"))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qls)
+    x = jax.random.normal(jax.random.PRNGKey(70), (2, K), jnp.float32)
+
+    for li in range(L_):
+        ref = qls[li](x)
+        # XLA fallback (no u4 entry)
+        out_f = stacked.call_stacked(x, jnp.int32(li))
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+        # interpret-Pallas path with the u4 entry present
+        @jax.jit
+        def f(stacked, x, li):
+            s2 = stacked.with_u4()
+            return quant_matmul_a8_stacked(
+                x, s2.packed, s2.scales, s2.zeros, li, 4, 128, s2.n_padded,
+                interpret=True,
+            )[..., :N]
+
+        out_p = f(stacked, x, jnp.int32(li))
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
