@@ -43,3 +43,77 @@ def test_engine_slot_reuse_and_queueing():
     out = engine.run()
     assert len(out[r1]) == 3 and len(out[r2]) == 2
     assert not engine.has_work
+
+
+def test_engine_no_double_forward_and_no_recompiles(monkeypatch):
+    """VERDICT #6 acceptance: admission must take ONE bucketed forward
+    (no full-model llama_forward for the last-token logits), and serving
+    2x max_batch same-bucket requests must not grow the jit caches beyond
+    one entry per (bucket, group-size) shape."""
+    import sparsebit_tpu.llm.llama as llama_mod
+    from sparsebit_tpu.llm.decode import decode_chunk, prefill_at
+
+    params = L.init_llama_params(CFG, jax.random.PRNGKey(0))
+
+    def boom(*a, **k):
+        raise AssertionError("engine must not run a second full forward")
+
+    monkeypatch.setattr(llama_mod, "llama_forward", boom)
+
+    pre0 = prefill_at._cache_size()
+    dec0 = decode_chunk._cache_size()
+    engine = DecodeEngine(params, CFG, max_batch=2, max_len=32, chunk=4)
+    rng = np.random.default_rng(0)
+    # 6 requests, 2 slots, non-bucket prompt lengths (5, 7) in one bucket
+    for i in range(6):
+        n = int(rng.integers(5, 8))
+        engine.add_request(rng.integers(1, 100, n).astype(np.int32),
+                           max_new_tokens=5)
+    results = engine.run()
+    assert len(results) == 6
+    assert all(len(v) == 5 for v in results.values())
+    # prefill: groups of 2 and of 1 (odd admissions) -> <= 2 shapes;
+    # decode_chunk: chunk=4 plus possibly a shorter tail near cache-full
+    assert prefill_at._cache_size() - pre0 <= 2
+    assert decode_chunk._cache_size() - dec0 <= 2
+
+
+def test_engine_prefix_cache_parity():
+    """A prompt extending an already-served prompt admits via the prefix
+    cache (tail-only prefill) and produces the same greedy tokens as a
+    cold engine."""
+    params = L.init_llama_params(CFG, jax.random.PRNGKey(0))
+    base = np.array([7, 3, 9, 11, 2, 5, 13, 1], np.int32)
+    ext = np.concatenate([base, [17, 4]]).astype(np.int32)
+
+    warm = DecodeEngine(params, CFG, max_batch=1, max_len=32)
+    r1 = warm.add_request(base, max_new_tokens=4)
+    warm.run()
+    r2 = warm.add_request(ext, max_new_tokens=4)
+    out_warm = warm.run()
+    assert warm.prefix_hits == 1
+
+    cold = DecodeEngine(params, CFG, max_batch=1, max_len=32,
+                        prefix_cache_size=0)
+    r3 = cold.add_request(ext, max_new_tokens=4)
+    out_cold = cold.run()
+    assert cold.prefix_hits == 0
+    np.testing.assert_array_equal(out_warm[r2], out_cold[r3])
+
+
+def test_engine_per_slot_temperature():
+    """Greedy and sampled requests coexist in one batch; greedy slots stay
+    deterministic."""
+    params = L.init_llama_params(CFG, jax.random.PRNGKey(0))
+    p1 = np.array([3, 17, 91], np.int32)
+    p2 = np.array([5, 9, 40], np.int32)
+
+    engine = DecodeEngine(params, CFG, max_batch=2, max_len=32, seed=1)
+    g = engine.add_request(p1, max_new_tokens=6, temperature=0.0)
+    s = engine.add_request(p2, max_new_tokens=6, temperature=1.0)
+    out = engine.run()
+    ref = generate(params, jnp.asarray(p1[None]), CFG, max_new_tokens=6,
+                   kv_quantized=True, max_len=32)[0]
+    np.testing.assert_array_equal(np.asarray(out[g]), np.asarray(ref))
+    assert len(out[s]) == 6
+    assert all(0 <= t < CFG.vocab_size for t in out[s])
