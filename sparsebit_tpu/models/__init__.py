@@ -18,7 +18,16 @@ def create_model(name, **kwargs):
     return MODEL_REGISTRY[name](**kwargs)
 
 
-from sparsebit_tpu.models import resnet, mobilenet, vit, bert, gpt2, yolo  # noqa: E402,F401
+from sparsebit_tpu.models import (  # noqa: E402,F401
+    resnet,
+    mobilenet,
+    efficientnet,
+    regnet,
+    vit,
+    bert,
+    gpt2,
+    yolo,
+)
 from sparsebit_tpu.models.resnet import (  # noqa: E402,F401
     resnet18,
     resnet20,
@@ -26,6 +35,8 @@ from sparsebit_tpu.models.resnet import (  # noqa: E402,F401
     resnet50,
 )
 from sparsebit_tpu.models.mobilenet import mobilenet_v2  # noqa: E402,F401
+from sparsebit_tpu.models.efficientnet import efficientnet_lite0  # noqa: E402,F401
+from sparsebit_tpu.models.regnet import regnetx_600mf  # noqa: E402,F401
 from sparsebit_tpu.models.vit import deit_tiny, deit_small, deit_base  # noqa: E402,F401
 from sparsebit_tpu.models.bert import bert_base, bert_tiny  # noqa: E402,F401
 from sparsebit_tpu.models.gpt2 import gpt2_small, gpt2_tiny  # noqa: E402,F401

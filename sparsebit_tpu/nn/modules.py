@@ -43,11 +43,16 @@ class Module:
             self._modules[name] = value
             self._params.pop(name, None)
             self._buffers.pop(name, None)
+            # a prior plain assignment (e.g. `self.proj = None` before the
+            # conditional Module assignment) must not shadow the registry —
+            # __getattr__ only fires when instance lookup misses
+            self.__dict__.pop(name, None)
         elif name in self._params:
             self._params[name] = value
         elif name in self._buffers:
             self._buffers[name] = value
         else:
+            self._modules.pop(name, None)
             object.__setattr__(self, name, value)
 
     def __getattr__(self, name):

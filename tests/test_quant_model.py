@@ -234,3 +234,29 @@ def test_quantization_error_profiler():
     out_q = qmodel(x)
     qmodel.set_quant(False, False)
     assert not np.allclose(np.asarray(out_q), np.asarray(qmodel(x)))
+
+
+@pytest.mark.parametrize("name", ["efficientnet_lite0", "regnetx_600mf"])
+def test_imagenet_zoo_ptq_flow(name):
+    """EfficientNet-Lite0 / RegNetX-600MF (reference PTQ README table,
+    basecase README.md:27-33) through the full PTQ pipeline: the rewrite
+    is exact with quantizers off, and calibrate+quantize perturbs the
+    output only slightly at 8 bits."""
+    from sparsebit_tpu.models import create_model
+
+    model = create_model(name, num_classes=16).eval()
+    x = rand((2, 64, 64, 3), seed=3)
+    float_out = model(x)
+    qmodel = QuantModel(model, cnn_config(), (x,))
+    np.testing.assert_allclose(
+        np.asarray(qmodel(x)), np.asarray(float_out), atol=1e-4
+    )
+    qmodel.prepare_calibration()
+    qmodel(x)
+    qmodel.calc_qparams()
+    qmodel.set_quant(True, True)
+    q_out = np.asarray(qmodel(x))
+    rel = np.mean((q_out - np.asarray(float_out)) ** 2) / (
+        np.mean(np.asarray(float_out) ** 2) + 1e-12
+    )
+    assert 0 < rel < 5e-2
