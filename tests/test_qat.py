@@ -35,9 +35,59 @@ def _qat_cfg(qtype):
         "W": {"QSCHEME": "per-channel-symmetric",
               "QUANTIZER": {"TYPE": qtype, "BIT": 4}},
         "A": {"QSCHEME": "per-tensor-affine",
-              "QUANTIZER": {"TYPE": qtype if qtype != "dorefa" else "pact", "BIT": 4},
+              # alpha=1.0 (not the 10.0 default) so the clip actually bites
+              # on the tiny net's ~unit-scale activations and PACT's alpha
+              # gradient is exercised
+              "QUANTIZER": {"TYPE": qtype if qtype != "dorefa" else "pact",
+                            "BIT": 4, "PACT": {"ALPHA_VALUE": 1.0}},
               "OBSERVER": {"LAYOUT": "NHWC"}},
     })
+
+
+import pytest
+
+
+@pytest.mark.parametrize("qtype", ["dorefa", "lsq+"])
+def test_qat_quantizer_breadth_trains(qtype):
+    """VERDICT #9: every shipped QAT quantizer beyond LSQ has a training
+    test — loss decreases through the fake-quant STE and at least one
+    learnable quantizer parameter moves. ``dorefa`` runs the reference's
+    pairing from its QAT yamls: DoReFa (tanh-normalized STE) weights +
+    PACT (learnable clip alpha) activations; ``lsq+`` trains learnable
+    scale and zero-point on both sides."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 8, 3))
+    y = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 4)
+    qmodel = QuantModel(TinyNet().eval(), _qat_cfg(qtype), (x,))
+    qmodel.prepare_calibration()
+    qmodel(x)
+    qmodel.init_QAT()
+    qmodel.train()
+
+    opt = optax.adam(5e-3)
+    step = make_qat_step(qmodel, cross_entropy, opt)
+    trainable, state = init_qat_state(qmodel, opt)
+    before = {
+        n: {k: np.asarray(v) for k, v in node.items()}
+        for n, node in trainable.items()
+    }
+    losses = []
+    for i in range(30):
+        trainable, state, loss = step(trainable, state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses[::10]
+    quant_keys = [
+        (n, k)
+        for n, node in trainable.items()
+        for k in node
+        if "quantizer" in k
+    ]
+    # dorefa pairs with PACT activations -> alpha; lsq+ -> scale (+zp)
+    assert quant_keys, f"{qtype} exposed no learnable quantizer params"
+    moved = any(
+        not np.allclose(before[n][k], np.asarray(trainable[n][k]))
+        for n, k in quant_keys
+    )
+    assert moved, f"{qtype} quantizer params did not train"
 
 
 def test_lsq_qat_trains():
