@@ -135,6 +135,32 @@ def inject_lora(params, lora):
     return out
 
 
+def prepare_train(params):
+    """Enter training mode: every QuantLinear in the backbone (including
+    LoRA bases) gets its per-input-channel int8 requantized W^T so the
+    QLoRA backward's dx runs on the int8 MXU (reference model.train() →
+    prepare_backward_scales, utils.py:230-255). Run inside jit once; the
+    results are frozen leaves reused every step."""
+
+    def prep(lin):
+        if isinstance(lin, LoraLinear) and isinstance(lin.base, QuantLinear):
+            return LoraLinear(
+                lin.base.prepare_backward(), lin.lora_A, lin.lora_B,
+                lin.alpha, lin.dropout,
+            )
+        if isinstance(lin, QuantLinear):
+            return lin.prepare_backward()
+        return lin
+
+    out = dict(params)
+    out["layers"] = [
+        {k: prep(v) for k, v in layer.items()} for layer in params["layers"]
+    ]
+    if "lm_head" in out:
+        out["lm_head"] = prep(out["lm_head"])
+    return out
+
+
 def qlora_loss_fn(lora, params, tokens, cfg):
     """Causal-LM loss as a function of the LoRA pytree only — the frozen
     quantized backbone is a closure constant, so jax.grad touches nothing

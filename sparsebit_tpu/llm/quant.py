@@ -124,7 +124,8 @@ class QuantLinear:
     """
 
     def __init__(self, packed, scales, zeros, bits, groupsize, out_features,
-                 bias=None, impl="auto", perm=None):
+                 bias=None, impl="auto", perm=None, bwd_wq=None,
+                 bwd_scale=None):
         self.packed = packed
         self.scales = scales
         self.zeros = zeros
@@ -134,6 +135,9 @@ class QuantLinear:
         self.bias = bias
         self.impl = impl
         self.perm = perm  # act-order input permutation (K,), or None
+        # int8 backward operands (prepare_backward); None until training
+        self.bwd_wq = bwd_wq
+        self.bwd_scale = bwd_scale
 
     @classmethod
     def from_dense(cls, w, bits=4, groupsize=-1, sym=False, mse=False, bias=None,
@@ -192,6 +196,7 @@ class QuantLinear:
         return QuantLinear(
             packed, self.scales, self.zeros, self.bits, self.groupsize,
             self.out_features, self.bias, self.impl, self.perm,
+            self.bwd_wq, self.bwd_scale,
         )
 
     @property
@@ -209,10 +214,36 @@ class QuantLinear:
             W = W[jnp.argsort(self.perm), :]  # back to original row order
         return W
 
+    def prepare_backward(self):
+        """Return a copy carrying per-input-channel int8 requantized W^T
+        (reference prepare_backward_scales, utils.py:230-255 — computed
+        once on .train()): forward stays the packed kernel, backward runs
+        dx on the int8 MXU instead of materialising the f32 dequant
+        weight per step. Call inside jit at train-prep."""
+        from sparsebit_tpu.ops.quant_matmul import prepare_a8_backward
+
+        bwd_wq, bwd_scale = prepare_a8_backward(
+            self.packed, self.scales, self.zeros, self.bits,
+            self.n_padded, self.groupsize,
+        )
+        return QuantLinear(
+            self.packed, self.scales, self.zeros, self.bits, self.groupsize,
+            self.out_features, self.bias, self.impl, self.perm,
+            bwd_wq, bwd_scale,
+        )
+
     def __call__(self, x):
         if self.perm is not None:
             x = x[..., self.perm]  # act-order channel permutation
-        if self.impl == "a8":
+        if self.bwd_wq is not None:
+            from sparsebit_tpu.ops.quant_matmul import quant_matmul_a8bwd
+
+            out = quant_matmul_a8bwd(
+                x, self.packed, self.scales, self.zeros,
+                self.bwd_wq, self.bwd_scale,
+                self.bits, self.groupsize, self.n_padded, self.impl,
+            )
+        elif self.impl == "a8":
             from sparsebit_tpu.ops.quant_matmul import quant_matmul_a8
 
             out = quant_matmul_a8(
@@ -252,13 +283,14 @@ class QuantLinear:
 
     def tree_flatten(self):
         return (
-            (self.packed, self.scales, self.zeros, self.bias, self.perm),
+            (self.packed, self.scales, self.zeros, self.bias, self.perm,
+             self.bwd_wq, self.bwd_scale),
             (self.bits, self.groupsize, self.out_features, self.impl),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        packed, scales, zeros, bias, perm = children
+        packed, scales, zeros, bias, perm, bwd_wq, bwd_scale = children
         bits, groupsize, out_features, impl = aux
         return cls(packed, scales, zeros, bits, groupsize, out_features, bias,
-                   impl, perm)
+                   impl, perm, bwd_wq, bwd_scale)

@@ -802,3 +802,63 @@ def _qmm_bwd(bits, groupsize, N, impl, res, g):
 
 
 quant_matmul.defvjp(_qmm_fwd, _qmm_bwd)
+
+
+# ---- trainable variant: int8 backward gemm (reference qmatmul.py:45-69) -----
+
+
+def prepare_a8_backward(packed, scales, zeros, bits, N, groupsize):
+    """Per-input-channel int8 requantization of W^T for the backward gemm.
+
+    Reference `prepare_backward_scales` (alpaca-qlora/utils.py:230-255)
+    computes this once when the model enters training; same here — call
+    inside jit at train-prep, store the (N, K) int8 + (1, K) f32 results
+    as frozen pytree leaves. Returns (bwd_wq, bwd_scale)."""
+    W = dequant_weights(packed, scales, zeros, bits, N, groupsize)  # (K, N)
+    wt = W.T  # (N, K)
+    absmax = jnp.max(jnp.abs(wt), axis=0, keepdims=True)  # (1, K)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wt / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def quant_matmul_a8bwd(x, packed, scales, zeros, bwd_wq, bwd_scale,
+                       bits, groupsize, N, impl="auto"):
+    """quant_matmul whose BACKWARD runs on the int8 MXU: dx =
+    tokenwise-int8(g) @ bwd_wq, rescaled by the grad's per-token scale and
+    the weight's per-input-channel scale — end-to-end int8 QLoRA training
+    cost, matching the reference backward (qmatmul.py:45-69 →
+    tokenwise_quant.cu + unpack_backward + int8gemm) instead of
+    materialising the f32 dequant weight per step."""
+    return _qmm_fwd_impl(x, packed, scales, zeros, bits, groupsize, N, impl)
+
+
+def _qmm_a8bwd_fwd(x, packed, scales, zeros, bwd_wq, bwd_scale,
+                   bits, groupsize, N, impl):
+    out = _qmm_fwd_impl(x, packed, scales, zeros, bits, groupsize, N, impl)
+    return out, (bwd_wq, bwd_scale, x.shape, jnp.zeros((0,), x.dtype),
+                 packed, scales, zeros)
+
+
+def _qmm_a8bwd_bwd(bits, groupsize, N, impl, res, g):
+    from sparsebit_tpu.ops.int8_matmul import (
+        int8_gemm,
+        tokenwise_quant,
+        zero_cotangent,
+    )
+
+    bwd_wq, bwd_scale, x_shape, x_proto, packed, scales, zeros = res
+    g2 = g.reshape(-1, N)
+    gq, g_scale = tokenwise_quant(g2)
+    dx = (
+        (int8_gemm(gq, bwd_wq).astype(jnp.float32) * g_scale * bwd_scale)
+        .reshape(x_shape)
+        .astype(x_proto.dtype)
+    )
+    zero_packed = jax.tree.map(zero_cotangent, packed)
+    return (dx, zero_packed, jnp.zeros_like(scales), jnp.zeros_like(zeros),
+            zero_cotangent(bwd_wq), jnp.zeros_like(bwd_scale))
+
+
+quant_matmul_a8bwd.defvjp(_qmm_a8bwd_fwd, _qmm_a8bwd_bwd)
