@@ -96,24 +96,31 @@ class Observer(BaseObserver):
         self.bins = 2048
 
     def calc_minmax(self):
+        import jax.numpy as jnp
+
+        from sparsebit_tpu.quantization.observers.kl_device import (
+            kl_thresholds_device,
+        )
+
         if self.is_perchannel:
-            data = np.asarray(
+            data = jnp.asarray(
                 self.data_cache.get_data_for_calibration(Granularity.CHANNELWISE)
             )
         else:
-            data = np.asarray(
+            data = jnp.asarray(
                 self.data_cache.get_data_for_calibration(Granularity.LAYERWISE)
             ).reshape(1, -1)
         self.data_cache.reset()
 
-        th = kl_thresholds(data, self.qdesc.bit, self.bins)
-        data_min = data.min(axis=1)
-        max_val = th.astype(np.float32)
-        min_val = np.where(data_min < 0, -th, 0.0).astype(np.float32)
+        # whole search on device (jit fori_loop over candidate widths);
+        # kl_thresholds (numpy) stays as the unit-test oracle
+        th = kl_thresholds_device(data, self.qdesc.bit, self.bins)
+        data_min = jnp.min(data, axis=1)
+        max_val = th
+        min_val = jnp.where(data_min < 0, -th, 0.0)
         if not self.is_perchannel:
             max_val, min_val = max_val[0], min_val[0]
-        import jax.numpy as jnp
 
-        self.min_val = jnp.asarray(min_val)
-        self.max_val = jnp.asarray(max_val)
+        self.min_val = min_val
+        self.max_val = max_val
         return self.min_val, self.max_val

@@ -117,6 +117,33 @@ def test_kl_histogram_reasonable_threshold():
     assert float(mn) == -float(mx)
 
 
+def test_kl_device_matches_numpy_oracle():
+    """The on-device KL search (jit fori_loop + one-hot-matmul segment
+    sums, kl_device.py) must pick the same candidate widths as the numpy
+    reference implementation across distributions and bits."""
+    from sparsebit_tpu.quantization.observers.kl_device import (
+        kl_thresholds_device,
+    )
+    from sparsebit_tpu.quantization.observers.kl_histogram import kl_thresholds
+
+    rng = np.random.RandomState(7)
+    cases = [
+        ("gauss", rng.randn(3, 4096).astype(np.float32)),
+        ("laplace", rng.laplace(size=(2, 4096)).astype(np.float32)),
+        ("outliers", np.concatenate(
+            [rng.randn(1, 4000), 20 * rng.randn(1, 96)], axis=1
+        ).astype(np.float32)),
+    ]
+    for bit in (4, 8):
+        for name, data in cases:
+            ref = kl_thresholds(data, bit, bins=512)
+            dev = np.asarray(kl_thresholds_device(jnp.asarray(data), bit, bins=512))
+            np.testing.assert_allclose(
+                dev, ref, rtol=1e-5,
+                err_msg=f"{name} bit={bit}",
+            )
+
+
 def test_kl_histogram_perchannel():
     rng = np.random.RandomState(4)
     w = rng.randn(4, 64).astype(np.float32)
