@@ -22,6 +22,31 @@ from sparsebit_tpu.llm import llama as L
 from sparsebit_tpu.llm.kv_cache import KVCache, cache_read, cache_update, init_kv_cache
 
 
+# tests set True to force the fused kernel on CPU (interpret mode);
+# None = auto (kernel on TPU when shapes are supported)
+FORCE_ATTN_KERNEL = None
+
+
+def _use_attn_kernel(S, quantized, cfg):
+    from sparsebit_tpu.ops.attention import decode_attention_supported
+
+    supported = S == 1 and decode_attention_supported(
+        (1, cfg.n_heads, cfg.head_dim), None, quantized
+    )
+    if FORCE_ATTN_KERNEL is not None:
+        return FORCE_ATTN_KERNEL and supported
+    return supported and jax.default_backend() == "tpu"
+
+
+def _attn_kernel(q, k, v, ks, vs, pos, n_heads):
+    from sparsebit_tpu.ops.attention import decode_attention
+
+    return decode_attention(
+        q, k, v, ks, vs, pos, n_heads,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
 def _layer_with_cache(layer, x, cfg, inv_freq, positions, mask, cache, li):
     """Decoder layer writing/reading the cache. positions (B, S)."""
     h_in = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
@@ -33,13 +58,22 @@ def _layer_with_cache(layer, x, cfg, inv_freq, positions, mask, cache, li):
 
     upd = cache_update(cache, li, k, v, positions[:, 0])
     new_k, new_v = upd[0], upd[1]
-    tmp_cache = _replace_layer(cache, li, upd)
-    k_all, v_all = cache_read(tmp_cache, li, x.dtype)
 
-    n_rep = cfg.n_heads // cfg.n_kv_heads
-    out = L.attention_scores(
-        q, L.repeat_kv(k_all, n_rep), L.repeat_kv(v_all, n_rep), mask
-    )
+    if _use_attn_kernel(S, cache.quantized, cfg):
+        # one fused launch: dequant + scores + mask + softmax + value-mix
+        out = _attn_kernel(
+            q[:, 0], upd[0], upd[1],
+            upd[2] if cache.quantized else None,
+            upd[3] if cache.quantized else None,
+            positions[:, 0], cfg.n_heads,
+        )[:, None].astype(x.dtype)
+    else:
+        tmp_cache = _replace_layer(cache, li, upd)
+        k_all, v_all = cache_read(tmp_cache, li, x.dtype)
+        n_rep = cfg.n_heads // cfg.n_kv_heads
+        out = L.attention_scores(
+            q, L.repeat_kv(k_all, n_rep), L.repeat_kv(v_all, n_rep), mask
+        )
     out = out.reshape(B, S, cfg.n_heads * hd)
     x = x + layer["wo"](out)
     x = x + L._ffn_block(layer, L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps))
@@ -164,17 +198,32 @@ def stack_layers(params):
     return out
 
 
-def _scan_cache(cache):
+def _scan_cache(cache, pad_scales=False):
+    """Stack the per-layer cache on a leading L axis. pad_scales=True
+    lane-pads the (L, B, S, Hkv) scale stacks to a 128 multiple — the
+    fused attention kernel's in-place row DMA cannot target sub-128-lane
+    slices (ops/attention.decode_attention_update)."""
     k = jnp.stack(cache.k)
     v = jnp.stack(cache.v)
     ks = jnp.stack(cache.k_scale) if cache.quantized else jnp.zeros((len(cache.k),))
     vs = jnp.stack(cache.v_scale) if cache.quantized else jnp.zeros((len(cache.k),))
+    if pad_scales and cache.quantized:
+        Hkv = ks.shape[-1]
+        Hp = ((Hkv + 127) // 128) * 128
+        if Hp != Hkv:
+            pad = [(0, 0)] * (ks.ndim - 1) + [(0, Hp - Hkv)]
+            ks = jnp.pad(ks, pad)
+            vs = jnp.pad(vs, pad)
     return k, v, ks, vs
 
 
 def _unscan_cache(cache, stacked):
     k, v, ks, vs = stacked
     n = k.shape[0]
+    if cache.quantized:
+        Hkv = k.shape[3]
+        ks = ks[..., :Hkv]  # drop scale lane padding, if any
+        vs = vs[..., :Hkv]
     return KVCache(
         [k[i] for i in range(n)],
         [v[i] for i in range(n)],
@@ -218,20 +267,132 @@ def _stacked_layer_view(layers, li):
     return view
 
 
-def _forward_with_cache_scanned(params, tokens, positions, mask, cache, cfg):
+def _scan_uses_update_kernel(S, quant_mode, cfg):
+    """True when the scanned decode takes the fused quant+update+attention
+    kernel (int8 cache only; the cache scale stacks must then be
+    lane-padded by _scan_cache(pad_scales=True))."""
+    return S == 1 and quant_mode == "int8" and _use_attn_kernel(
+        1, quant_mode, cfg
+    )
+
+
+# tests set True to force the fused FFN kernel on CPU (interpret mode)
+FORCE_FFN_KERNEL = None
+
+# tests set True to force the whole-layer megakernel on CPU (interpret)
+FORCE_LAYER_KERNEL = None
+
+
+def _scan_uses_layer_kernel(S, layers, quant_mode, cfg, batch):
+    """True when the scanned decode runs each decoder layer as ONE fused
+    launch (ops/layer_fused.py): fused-wqkv u4 QuantLinears for all four
+    matmuls, uniform groupsize, no act-order perm / bias / N padding, and
+    an int8 KV cache."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.ops.layer_fused import fused_layer_supported
+
+    if S != 1 or quant_mode != "int8":
+        return False
+    names = ("wqkv", "wo", "w13", "w2")
+    lins = [layers.get(n) for n in names]
+    if not all(isinstance(ln, QuantLinear) for ln in lins):
+        return False
+    gs = lins[0].groupsize
+    for ln in lins:
+        if "u4" not in ln.packed or ln.perm is not None or ln.bias is not None:
+            return False
+        if ln.n_padded != ln.out_features or ln.groupsize != gs or gs <= 0:
+            return False
+    ok = fused_layer_supported(cfg, gs, batch)
+    if FORCE_LAYER_KERNEL is not None:
+        return FORCE_LAYER_KERNEL and ok
+    return ok and jax.default_backend() == "tpu"
+
+
+def _scan_uses_ffn_kernel(S, layers, cfg, batch):
+    """True when the scanned decode runs the FFN block as ONE fused
+    launch (norm+W13+GLU+W2+residual, ops/ffn_fused.py): layer-stacked
+    u4 QuantLinears without act-order perm, bias, or N padding."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.ops.ffn_fused import ffn_block_supported
+
+    if S != 1:
+        return False
+    w13, w2 = layers.get("w13"), layers.get("w2")
+    if not (isinstance(w13, QuantLinear) and isinstance(w2, QuantLinear)):
+        return False
+    if "u4" not in w13.packed or "u4" not in w2.packed:
+        return False
+    if w13.perm is not None or w2.perm is not None:
+        return False
+    if w13.bias is not None or w2.bias is not None:
+        return False
+    if w13.n_padded != w13.out_features or w2.n_padded != w2.out_features:
+        return False
+    gs = w13.groupsize
+    if gs <= 0 or w2.groupsize != gs:
+        return False
+    F = w2.packed["u4"].shape[-2]  # (L, F, dim)
+    if w13.out_features != 2 * F:
+        return False
+    ok = ffn_block_supported(cfg.dim, F, gs, batch)
+    if FORCE_FFN_KERNEL is not None:
+        return FORCE_FFN_KERNEL and ok
+    return ok and jax.default_backend() == "tpu"
+
+
+def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
+                         cfg):
     """Scan over LAYER INDICES with the stacked weights closed over as loop
     invariants: compile cost stays O(1) in depth, and (unlike stacked
     weights as scan xs, which XLA dynamic-slices = copies every layer's
     packed weights each token — round 1: 140 -> 73 tok/s) the quantized
-    matmuls index HBM in place via scalar-prefetch Pallas kernels. Only the
-    per-layer KV slabs are sliced/updated through the carry."""
+    matmuls index HBM in place via scalar-prefetch Pallas kernels. The KV
+    cache arrives layer-STACKED as ``kvs = (k, v, ks, vs)`` and decode
+    writes only the new token's rows (see decode_attention_stacked)."""
     from sparsebit_tpu.llm.kv_cache import _dequant_heads, _quant_heads
 
     x = params["tok_embed"][tokens]
     inv_freq = L.rope_frequencies(cfg)
-    quant_mode = cache.quantized
     pos0 = positions[:, 0]
     layers = params["layers"]
+
+    B0, S0 = tokens.shape
+    if _scan_uses_layer_kernel(S0, layers, quant_mode, cfg, B0):
+        # whole decoder layer = ONE kernel launch (ops/layer_fused.py)
+        from sparsebit_tpu.ops.layer_fused import fused_decoder_layer
+
+        angles = pos0[:, None].astype(jnp.float32) * inv_freq  # (B, D/2)
+        cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)
+        sinf = jnp.concatenate([jnp.sin(angles)] * 2, axis=1)
+        gs = layers["wqkv"].groupsize
+        interp = jax.default_backend() != "tpu"
+
+        def body_fused(carry, li):
+            x, k, v, ks, vs = carry
+            out, k, v, ks, vs = fused_decoder_layer(
+                x[:, 0].astype(jnp.float32), pos0, cosf, sinf, li,
+                layers["wqkv"].packed["u4"], layers["wqkv"].scales,
+                layers["wqkv"].zeros,
+                layers["wo"].packed["u4"], layers["wo"].scales,
+                layers["wo"].zeros,
+                layers["w13"].packed["u4"], layers["w13"].scales,
+                layers["w13"].zeros,
+                layers["w2"].packed["u4"], layers["w2"].scales,
+                layers["w2"].zeros,
+                layers["attn_norm"], layers["ffn_norm"],
+                k, v, ks, vs, cfg, gs, interpret=interp,
+            )
+            return (out[:, None].astype(x.dtype), k, v, ks, vs), None
+
+        k, v, ks, vs = kvs
+        (x, k, v, ks, vs), _ = jax.lax.scan(
+            body_fused, (x, k, v, ks, vs),
+            jnp.arange(cfg.n_layers, dtype=jnp.int32),
+        )
+        x = L.rms_norm(x, params["norm"], cfg.rms_eps)
+        logits = params["lm_head"](x).astype(jnp.float32)
+        return logits, (k, v, ks, vs)
 
     def body(carry, li):
         x, k, v, ks, vs = carry
@@ -242,49 +403,94 @@ def _forward_with_cache_scanned(params, tokens, positions, mask, cache, cfg):
         q, kk, vv = L.qkv_proj(layer, h, cfg)
         q = L.apply_rope(q, positions, inv_freq)
         kk = L.apply_rope(kk, positions, inv_freq)
-        k_l, v_l = k[li], v[li]
-        ks_l, vs_l = (ks[li], vs[li]) if quant_mode else (None, None)
 
-        def upd(buf, val):
-            def one(b, vv2, p):
-                return jax.lax.dynamic_update_slice(
-                    b, vv2, (p,) + (0,) * (b.ndim - 1)
-                )
-            return jax.vmap(one)(buf, val, pos0)
+        if _scan_uses_update_kernel(S, quant_mode, cfg):
+            # One launch per layer: per-head INT8 quant of the new rows,
+            # IN-PLACE cache row update (aliased HBM outputs — an XLA-level
+            # scatter on the carried stack copies the whole ~64 MB buffer
+            # every layer step around the opaque kernel call), and
+            # attention over the updated stack.
+            from sparsebit_tpu.ops.attention import decode_attention_update
 
-        if quant_mode:
-            kq, ksc = _quant_heads(kk, quant_mode)
-            vq, vsc = _quant_heads(vv, quant_mode)
-            k_l, v_l = upd(k_l, kq), upd(v_l, vq)
-            ks_l, vs_l = upd(ks_l, ksc), upd(vs_l, vsc)
-            k_all = _dequant_heads(k_l, ks_l, x.dtype, quant_mode)
-            v_all = _dequant_heads(v_l, vs_l, x.dtype, quant_mode)
+            out, k, v, ks, vs = decode_attention_update(
+                q[:, 0], kk[:, 0].astype(jnp.float32),
+                vv[:, 0].astype(jnp.float32), k, v, ks, vs, li, pos0,
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out[:, None].astype(x.dtype)
         else:
-            k_l = upd(k_l, kk.astype(k_l.dtype))
-            v_l = upd(v_l, vv.astype(v_l.dtype))
-            k_all, v_all = k_l.astype(x.dtype), v_l.astype(x.dtype)
+            if quant_mode:
+                k_new, ks_new = _quant_heads(kk, quant_mode)
+                v_new, vs_new = _quant_heads(vv, quant_mode)
+            else:
+                k_new, v_new = kk.astype(k.dtype), vv.astype(v.dtype)
+                ks_new = vs_new = None
+            k_l, v_l = k[li], v[li]
+            ks_l, vs_l = (ks[li], vs[li]) if quant_mode else (None, None)
 
-        n_rep = cfg.n_heads // cfg.n_kv_heads
-        out = L.attention_scores(
-            q, L.repeat_kv(k_all, n_rep), L.repeat_kv(v_all, n_rep), mask
-        ).reshape(B, S, cfg.n_heads * hd)
+            def upd(buf, val):
+                def one(b, vv2, p):
+                    return jax.lax.dynamic_update_slice(
+                        b, vv2, (p,) + (0,) * (b.ndim - 1)
+                    )
+                return jax.vmap(one)(buf, val, pos0)
+
+            k_l, v_l = upd(k_l, k_new), upd(v_l, v_new)
+            if quant_mode:
+                ks_l, vs_l = upd(ks_l, ks_new), upd(vs_l, vs_new)
+                k_all = _dequant_heads(k_l, ks_l, x.dtype, quant_mode)
+                v_all = _dequant_heads(v_l, vs_l, x.dtype, quant_mode)
+            else:
+                k_all, v_all = k_l.astype(x.dtype), v_l.astype(x.dtype)
+            n_rep = cfg.n_heads // cfg.n_kv_heads
+            out = L.attention_scores(
+                q, L.repeat_kv(k_all, n_rep), L.repeat_kv(v_all, n_rep), mask
+            )
+            k = jax.lax.dynamic_update_index_in_dim(k, k_l, li, 0)
+            v = jax.lax.dynamic_update_index_in_dim(v, v_l, li, 0)
+            if quant_mode:
+                ks = jax.lax.dynamic_update_index_in_dim(ks, ks_l, li, 0)
+                vs = jax.lax.dynamic_update_index_in_dim(vs, vs_l, li, 0)
+        out = out.reshape(B, S, cfg.n_heads * hd)
         x = x + layer["wo"](out)
-        x = x + L._ffn_block(layer, L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps))
-        k = jax.lax.dynamic_update_index_in_dim(k, k_l, li, 0)
-        v = jax.lax.dynamic_update_index_in_dim(v, v_l, li, 0)
-        if quant_mode:
-            ks = jax.lax.dynamic_update_index_in_dim(ks, ks_l, li, 0)
-            vs = jax.lax.dynamic_update_index_in_dim(vs, vs_l, li, 0)
+        if _scan_uses_ffn_kernel(S, layers, cfg, B):
+            # norm + W13 + GLU + W2 + residual in ONE launch; the stacked
+            # u4 weights ride the scalar-prefetched layer index
+            from sparsebit_tpu.ops.ffn_fused import ffn_block_fused
+
+            w13, w2 = layers["w13"], layers["w2"]
+            x = ffn_block_fused(
+                x[:, 0], w13.packed["u4"], w13.scales, w13.zeros,
+                w2.packed["u4"], w2.scales, w2.zeros,
+                layers["ffn_norm"], li, w13.groupsize, cfg.rms_eps,
+                interpret=jax.default_backend() != "tpu",
+            )[:, None].astype(x.dtype)
+        else:
+            x = x + L._ffn_block(
+                layer, L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+            )
         return (x, k, v, ks, vs), None
 
-    k, v, ks, vs = _scan_cache(cache)
+    k, v, ks, vs = kvs
     (x, k, v, ks, vs), _ = jax.lax.scan(
         body, (x, k, v, ks, vs), jnp.arange(cfg.n_layers, dtype=jnp.int32)
     )
-    cache = _unscan_cache(cache, (k, v, ks, vs))
     x = L.rms_norm(x, params["norm"], cfg.rms_eps)
     logits = params["lm_head"](x).astype(jnp.float32)
-    return logits, cache
+    return logits, (k, v, ks, vs)
+
+
+def _forward_with_cache_scanned(params, tokens, positions, mask, cache, cfg):
+    """KVCache-API wrapper around _forward_scanned_kvs (stacks/unstacks at
+    the boundary — decode_tokens_scanned keeps the cache stacked across
+    the whole token loop instead, avoiding 4x ~64 MB of restacking per
+    token)."""
+    pad = _scan_uses_update_kernel(tokens.shape[1], cache.quantized, cfg)
+    logits, kvs = _forward_scanned_kvs(
+        params, tokens, positions, mask, _scan_cache(cache, pad_scales=pad),
+        cache.quantized, cfg,
+    )
+    return logits, _unscan_cache(cache, kvs)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -345,16 +551,40 @@ def prepare_stacked_params_for_decode(params_stacked):
 def decode_tokens_scanned(params_stacked, tok0, cache, cfg, n_tokens):
     """Greedy multi-token decode with BOTH loops as lax.scan (layers and
     tokens): compile cost is O(1) in depth and token count; packed weights
-    stay resident in HBM (scalar-prefetch kernels — no per-layer copies)."""
+    stay resident in HBM (scalar-prefetch kernels — no per-layer copies)
+    and the KV cache stays layer-STACKED across the whole token loop
+    (stack once / unstack once, not per token)."""
     params_stacked = prepare_stacked_params_for_decode(params_stacked)
+    S_max = cache.k[0].shape[1]
+    quantized = cache.quantized
 
     def body(carry, _):
-        tok, cache = carry
-        logits, cache = decode_step_scanned(params_stacked, tok, cache, cfg)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (tok, cache), tok
+        tok, kvs, length = carry
+        positions = length[:, None]
+        valid = jnp.arange(S_max, dtype=jnp.int32)[None, :] <= positions
+        mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+        logits, kvs = _forward_scanned_kvs(
+            params_stacked, tok[:, None], positions, mask, kvs, quantized,
+            cfg,
+        )
+        tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        return (tok, kvs, length + 1), tok
 
-    (tok, cache), toks = jax.lax.scan(body, (tok0, cache), None, length=n_tokens)
+    pad = _scan_uses_update_kernel(1, quantized, cfg) or (
+        _scan_uses_layer_kernel(
+            1, params_stacked["layers"], quantized, cfg, tok0.shape[0]
+        )
+    )
+    (tok, kvs, length), toks = jax.lax.scan(
+        body,
+        (tok0, _scan_cache(cache, pad_scales=pad), cache.length),
+        None, length=n_tokens,
+    )
+    cache = _unscan_cache(cache, kvs)
+    cache = KVCache(
+        cache.k, cache.v, cache.k_scale, cache.v_scale, length,
+        cache.quantized,
+    )
     return jnp.swapaxes(toks, 0, 1), cache
 
 

@@ -1,0 +1,426 @@
+"""Fused single-token decode attention over the (INT8) KV cache.
+
+The XLA decode-attention path costs ~10 device events per layer (dequant
+fusions, repeat_kv slices, two matmul fusions, softmax fusions) and on this
+fabric every dependent event pays a fixed turnaround — the measured gap
+between summed event time and the decode step's device span is ~1.5 ms/tok
+at 7B (docs/perf_notes.md). This kernel folds dequant + scores + mask +
+softmax + value-mix into ONE Pallas launch per layer.
+
+Formulation (B = batch, S = cache rows, Hkv = kv heads, R = q heads per kv
+head, D = head dim): grid (B, Hkv); each step dequants one (S, D) K/V
+slab (~256 KB f32 — a whole-cache f32 temporary blows the scoped-VMEM
+budget at 7B sizes) and runs two MXU dots:
+
+    scores = Kf @ q_groupᵀ            (S, D) x (D, R)
+    p      = softmax_S(scores masked to s <= length[b])
+    out    = pᵀ @ Vf                  (R, S) x (S, D)
+
+The per-(token, head) cache scales ride along; ``length`` arrives via
+scalar prefetch. Cache UPDATE stays outside (one tiny XLA
+dynamic-update-slice per buffer): aliasing the whole slab through the
+kernel would write 2 MB back per layer for a 1-row change.
+
+Reference: HF eager attention re-reads full fp16 K/V (llama_wrapper.py);
+this is the INT8-cache, one-launch TPU replacement.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decode_attn_kernel(*refs, n_rep, quantized, stacked=False):
+    if stacked:
+        # stacked variant: scalar-prefetched layer index selects the K/V
+        # blocks via the BlockSpec index maps; the kernel body only sees
+        # one extra leading unit dim on the cache refs
+        li_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs
+    else:
+        len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref = refs
+    lead = (0, 0) if stacked else (0,)
+    S = k_ref.shape[-3]
+    Hkv = k_ref.shape[-2]
+    D = k_ref.shape[-1]
+    b = pl.program_id(0)
+    length = len_ref[b]
+
+    # Head-GROUP per grid step (hg heads): two constraints shape this.
+    # (1) Stack budget: a fully unrolled in-kernel head loop makes the
+    #     stack allocator SUM every head's f32 dequant temporaries (no
+    #     cross-iteration reuse) and blows the 16 MB scoped-VMEM limit at
+    #     7B sizes — so heads must be swept by the grid, which reuses the
+    #     stack between steps.
+    # (2) Mosaic requires dynamic sublane (dim-2) offsets to be provably
+    #     8-aligned — so the grid step picks a GROUP of 8 heads (offset
+    #     g*8) and a static loop walks the group. Hkv < 8 (or not a
+    #     multiple) degenerates to one group with a static 0 offset.
+    n_groups = pl.num_programs(1)
+    hg = Hkv // n_groups
+    if n_groups == 1:
+        base_kv, base_q = 0, 0  # static — no alignment proof needed
+    else:
+        g = pl.program_id(1)
+        base_kv = pl.multiple_of(g * hg, hg)
+        base_q = pl.multiple_of(g * hg * n_rep, hg * n_rep)
+    sl = slice(None)
+    k8g = k_ref[lead + (sl, pl.ds(base_kv, hg), sl)]  # (S, hg, D) int8/float
+    v8g = v_ref[lead + (sl, pl.ds(base_kv, hg), sl)]
+    qg = q_ref[0, pl.ds(base_q, hg * n_rep), :]  # (hg*n_rep, D)
+    if quantized:
+        # Scale slabs put Hkv on the LANE dim, where dynamic slices must be
+        # 128-aligned — so select the head's column with an iota mask and a
+        # lane reduction instead of slicing (pure VPU, (S, Hkv) is tiny).
+        ks_slab = ks_ref[lead]  # (S, Hkv) f32
+        vs_slab = vs_ref[lead]
+        lane = jax.lax.broadcasted_iota(jnp.int32, ks_slab.shape, 1)
+
+    outs = []
+    for i in range(hg):  # static loop, temporaries bounded by the group
+        if quantized:
+            sel = lane == base_kv + i
+            ks_col = jnp.sum(jnp.where(sel, ks_slab, 0.0), 1, keepdims=True)
+            vs_col = jnp.sum(jnp.where(sel, vs_slab, 0.0), 1, keepdims=True)
+            kf = k8g[:, i, :].astype(jnp.float32) * ks_col
+            vf = v8g[:, i, :].astype(jnp.float32) * vs_col
+        else:
+            kf = k8g[:, i, :].astype(jnp.float32)
+            vf = v8g[:, i, :].astype(jnp.float32)
+        q_h = qg[i * n_rep:(i + 1) * n_rep, :].astype(jnp.float32)
+        scores = jnp.dot(kf, q_h.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        scores = scores * (1.0 / (D ** 0.5))  # (S, n_rep)
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where(s_idx <= length, scores, -1e30)
+        m = jnp.max(scores, axis=0, keepdims=True)  # (1, n_rep)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=0)  # (n_rep,)
+        out = jnp.dot(p.T, vf, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        outs.append(out / denom.reshape(-1, 1))  # (n_rep, D)
+    o_ref[0, pl.ds(base_q, hg * n_rep), :] = jnp.concatenate(outs, axis=0)
+
+
+def decode_attention(q, k, v, k_scale, v_scale, length, n_heads,
+                     interpret=False):
+    """q (B, H, D); k/v (B, S, Hkv, D) int8 or float; scales (B, S, Hkv)
+    f32 (ignored for float caches); length (B,) int32 — rows [0, length]
+    inclusive attend (the current token's row is already written at
+    position ``length``). Returns (B, H, D) f32."""
+    B, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    n_rep = H // Hkv
+    quantized = jnp.issubdtype(k.dtype, jnp.integer)
+    if not quantized:
+        # placeholders keep the operand list static (never read)
+        k_scale = jnp.zeros((B, S, Hkv), jnp.float32)
+        v_scale = jnp.zeros((B, S, Hkv), jnp.float32)
+
+    # 8-head groups per grid step: dynamic sublane offsets must be provably
+    # 8-aligned for Mosaic, so offsets are g*8; Hkv not a multiple of 8
+    # degenerates to a single group with a static 0 offset.
+    n_groups = Hkv // 8 if Hkv % 8 == 0 else 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, h, len_ref: (b, 0, 0)),
+            pl.BlockSpec((1, S, Hkv, D), lambda b, h, len_ref: (b, 0, 0, 0)),
+            pl.BlockSpec((1, S, Hkv, D), lambda b, h, len_ref: (b, 0, 0, 0)),
+            pl.BlockSpec((1, S, Hkv), lambda b, h, len_ref: (b, 0, 0)),
+            pl.BlockSpec((1, S, Hkv), lambda b, h, len_ref: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, D), lambda b, h, len_ref: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _decode_attn_kernel, n_rep=n_rep, quantized=bool(quantized)
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(length.astype(jnp.int32), q, k, v, k_scale, v_scale)
+
+
+def decode_attention_stacked(q, k, v, k_scale, v_scale, li, length, n_heads,
+                             interpret=False):
+    """Cache-resident variant for the scan-over-layers decode: k/v are the
+    FULL layer-stacked caches (L, B, S, Hkv, D) (scales (L, B, S, Hkv)) and
+    the scalar-prefetched layer index ``li`` selects the layer inside the
+    BlockSpec index maps — the stack is indexed in place in HBM, never
+    sliced into a fresh buffer. This is the same fix the stacked
+    quant_matmul kernels apply to the packed weights; without it XLA's
+    slice-out/write-back of the carried cache copies the whole stack every
+    layer step (measured ~4.6 ms/tok at 7B — the round-1 scan regression).
+    """
+    B, H, D = q.shape
+    Lx, S, Hkv = k.shape[0], k.shape[2], k.shape[3]
+    n_rep = H // Hkv
+    quantized = jnp.issubdtype(k.dtype, jnp.integer)
+    if not quantized:
+        k_scale = jnp.zeros((1, B, S, Hkv), jnp.float32)
+        v_scale = jnp.zeros((1, B, S, Hkv), jnp.float32)
+
+    n_groups = Hkv // 8 if Hkv % 8 == 0 else 1
+    li_arr = jnp.reshape(li, (1,)).astype(jnp.int32)
+    sc_L = k_scale.shape[0]  # 1 when float placeholders
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # (layer index, lengths)
+        grid=(B, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, h, li_r, len_r: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, S, Hkv, D),
+                lambda b, h, li_r, len_r: (li_r[0], b, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, S, Hkv, D),
+                lambda b, h, li_r, len_r: (li_r[0], b, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, S, Hkv),
+                lambda b, h, li_r, len_r: (jnp.minimum(li_r[0], sc_L - 1), b, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, S, Hkv),
+                lambda b, h, li_r, len_r: (jnp.minimum(li_r[0], sc_L - 1), b, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, H, D), lambda b, h, li_r, len_r: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _decode_attn_kernel, n_rep=n_rep, quantized=bool(quantized),
+            stacked=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(li_arr, length.astype(jnp.int32), q, k, v, k_scale, v_scale)
+
+
+def _attn_update_kernel(li_ref, len_ref, q_ref, kn_ref, vn_ref,
+                        k_hbm, v_hbm, ks_hbm, vs_hbm,
+                        o_ref, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
+                        kslab, vslab, ks_slab, vs_slab,
+                        krow, vrow, ksrow, vsrow, sems,
+                        *, n_rep):
+    """Fused KV-quant + cache row update + decode attention, in-place.
+
+    The cache stacks (L, B, S, Hkv, D) stay in HBM (memory_space=ANY) and
+    are ALIASED input->output, so the row update is a true in-place write —
+    XLA-level scatter/dynamic-update-slice of a carried cache forces a copy
+    of the whole ~64 MB stack per layer step around the opaque kernel call
+    (measured 4.6 ms/tok at 7B; the round-2 scan bottleneck). Per (b, g=0)
+    step: quantize the new K/V rows per head, DMA them into the cache row
+    [li, b, len_b], DMA the (S, Hkv, *) slabs into VMEM, and patch the new
+    row into the VMEM slab (the slab read races the row write, so the
+    patch — not the HBM write — is what attention sees). Head groups then
+    run the same masked-softmax attention as _decode_attn_kernel."""
+    S, Hkv, D = kslab.shape
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    n_groups = pl.num_programs(1)
+    hg = Hkv // n_groups
+    li0 = li_ref[0]
+    length = len_ref[b]
+
+    Hp = ks_slab.shape[-1]  # Hkv lane-padded to 128 (sub-tile slices of
+    # the scale stacks are not expressible as DMA sources/targets)
+
+    @pl.when(g == 0)
+    def _load_and_update():
+        # per-head int8 quantization of the new rows (kv_cache._quant_heads)
+        kn = kn_ref[0].astype(jnp.float32)  # (Hkv, D)
+        vn = vn_ref[0].astype(jnp.float32)
+        kmax = jnp.max(jnp.abs(kn), axis=1, keepdims=True)  # (Hkv, 1)
+        vmax = jnp.max(jnp.abs(vn), axis=1, keepdims=True)
+        ksc = jnp.maximum(kmax, 1e-8) / 127.0
+        vsc = jnp.maximum(vmax, 1e-8) / 127.0
+        # clip range matches kv_cache._quant_heads exactly
+        krow[...] = jnp.clip(jnp.round(kn / ksc), -128, 127).astype(jnp.int8)
+        vrow[...] = jnp.clip(jnp.round(vn / vsc), -128, 127).astype(jnp.int8)
+        # scales live sublane-oriented ((Hkv, 1) from the lane reduction);
+        # the cache row wants them on LANES, zero-padded to Hp
+        ksc_t = jnp.transpose(ksc)  # (1, Hkv)
+        vsc_t = jnp.transpose(vsc)
+        if Hp == Hkv:
+            ksrow[...] = ksc_t
+            vsrow[...] = vsc_t
+        else:
+            pad = jnp.zeros((1, Hp - Hkv), jnp.float32)
+            ksrow[...] = jnp.concatenate([ksc_t, pad], axis=1)
+            vsrow[...] = jnp.concatenate([vsc_t, pad], axis=1)
+
+        copies = [
+            # persist the new row into the cache stack (aliased outputs)
+            pltpu.make_async_copy(
+                krow, ko_hbm.at[li0, b, length], sems.at[0]),
+            pltpu.make_async_copy(
+                vrow, vo_hbm.at[li0, b, length], sems.at[1]),
+            pltpu.make_async_copy(
+                ksrow, kso_hbm.at[li0, b, pl.ds(length, 1)], sems.at[2]),
+            pltpu.make_async_copy(
+                vsrow, vso_hbm.at[li0, b, pl.ds(length, 1)], sems.at[3]),
+            # pull this (layer, batch)'s slabs into VMEM
+            pltpu.make_async_copy(k_hbm.at[li0, b], kslab, sems.at[4]),
+            pltpu.make_async_copy(v_hbm.at[li0, b], vslab, sems.at[5]),
+            pltpu.make_async_copy(ks_hbm.at[li0, b], ks_slab, sems.at[6]),
+            pltpu.make_async_copy(vs_hbm.at[li0, b], vs_slab, sems.at[7]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        # patch the new row into the VMEM slabs (dynamic index on the
+        # untiled leading S dim — no alignment constraint)
+        kslab[length, :, :] = krow[...]
+        vslab[length, :, :] = vrow[...]
+        # scale slabs have S on the SUBLANE dim; patched via masks below
+
+    if n_groups == 1:
+        base_kv, base_q = 0, 0
+    else:
+        base_kv = pl.multiple_of(g * hg, hg)
+        base_q = pl.multiple_of(g * hg * n_rep, hg * n_rep)
+    sl = slice(None)
+    k8g = kslab[sl, pl.ds(base_kv, hg), sl]  # (S, hg, D) int8
+    v8g = vslab[sl, pl.ds(base_kv, hg), sl]
+    qg = q_ref[0, pl.ds(base_q, hg * n_rep), :]
+    ks_full = ks_slab[...]  # (S, Hp)
+    vs_full = vs_slab[...]
+    lane_col = jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0)
+    row_is_new = (
+        jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) == length
+    )  # (S, 1)
+
+    # VMEM-stack discipline (scoped limit 16 MB; the slab scratch already
+    # holds ~5 MB): the unrolled head loop's temporaries are SUMMED by the
+    # stack allocator, so per-head temps must stay small — scale columns
+    # come from a one-hot DOT (no (S, Hp) masked copies), K/V feed the MXU
+    # as bf16 casts (no scaled f32 slab copies; scales fold into scores
+    # and probabilities — same bf16-mul/f32-acc precision as the XLA path).
+    outs = []
+    for i in range(hg):
+        onehot = (lane_col == base_kv + i).astype(jnp.float32)  # (Hp, 1)
+        ks_col = jnp.dot(ks_full, onehot)  # (S, 1)
+        vs_col = jnp.dot(vs_full, onehot)
+        # the new row's scale (stale in the slab copy): mask it in
+        k_si = jnp.dot(ksrow[...], onehot)[0, 0]
+        v_si = jnp.dot(vsrow[...], onehot)[0, 0]
+        ks_col = jnp.where(row_is_new, k_si, ks_col)
+        vs_col = jnp.where(row_is_new, v_si, vs_col)
+        kf = k8g[:, i, :].astype(jnp.bfloat16)
+        vf = v8g[:, i, :].astype(jnp.bfloat16)
+        q_h = qg[i * n_rep:(i + 1) * n_rep, :].astype(jnp.bfloat16)
+        scores = jnp.dot(kf, q_h.T, preferred_element_type=jnp.float32)
+        scores = scores * ks_col * (1.0 / (D ** 0.5))
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where(s_idx <= length, scores, -1e30)
+        m = jnp.max(scores, axis=0, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=0)
+        p2 = (p * vs_col).astype(jnp.bfloat16)  # V's row scales fold into p
+        out = jnp.dot(p2.T, vf, preferred_element_type=jnp.float32)
+        outs.append(out / denom.reshape(-1, 1))
+    o_ref[0, pl.ds(base_q, hg * n_rep), :] = jnp.concatenate(outs, axis=0)
+
+
+def decode_attention_update(q, k_new, v_new, k, v, ks, vs, li, length,
+                            interpret=False):
+    """One launch per layer: per-head INT8 quantization of the new K/V
+    rows, in-place cache row update (aliased HBM outputs), and decode
+    attention over the updated cache.
+
+    q (B, H, D) f32; k_new/v_new (B, Hkv, D) f32 (post-rope);
+    k/v (L, B, S, Hkv, D) int8; ks/vs (L, B, S, Hp) f32 where Hp is Hkv
+    LANE-PADDED to a multiple of 128 (columns [Hkv:] ignored/zeroed) —
+    sub-128-lane row slices of the scale stacks are not expressible as
+    DMA targets; li () int32; length (B,) int32 (the new row index ==
+    attended length). Unstacked (per-layer) caches may be passed 4-D
+    (B, S, Hkv, D) with li=0 — viewed as L=1 stacks (a bitcast; aliasing
+    passes through).
+    Returns (out (B, H, D) f32, k, v, ks, vs) with cache shapes as given.
+    """
+    squeeze = k.ndim == 4
+    if squeeze:
+        k, v = k[None], v[None]
+        ks, vs = ks[None], vs[None]
+    B, H, D = q.shape
+    S, Hkv = k.shape[2], k.shape[3]
+    Hp = ks.shape[-1]
+    assert Hp % 128 == 0 and Hp >= Hkv, (Hp, Hkv)
+    n_rep = H // Hkv
+    n_groups = Hkv // 8 if Hkv % 8 == 0 else 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, h, li_r, len_r: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, h, li_r, len_r: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, h, li_r, len_r: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k stack
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v stack
+            pl.BlockSpec(memory_space=pltpu.HBM),  # ks stack
+            pl.BlockSpec(memory_space=pltpu.HBM),  # vs stack
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, D), lambda b, h, li_r, len_r: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, Hkv, D), jnp.int8),    # k slab
+            pltpu.VMEM((S, Hkv, D), jnp.int8),    # v slab
+            pltpu.VMEM((S, Hp), jnp.float32),     # ks slab
+            pltpu.VMEM((S, Hp), jnp.float32),     # vs slab
+            pltpu.VMEM((Hkv, D), jnp.int8),       # k row
+            pltpu.VMEM((Hkv, D), jnp.int8),       # v row
+            pltpu.VMEM((1, Hp), jnp.float32),     # k scale row
+            pltpu.VMEM((1, Hp), jnp.float32),     # v scale row
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    out, k2, v2, ks2, vs2 = pl.pallas_call(
+        functools.partial(_attn_update_kernel, n_rep=n_rep),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, D), jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        # cache stacks update in place: inputs (after the 2 scalar-prefetch
+        # operands and q/k_new/v_new) alias outputs 1..4
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.reshape(li, (1,)).astype(jnp.int32), length.astype(jnp.int32),
+      q, k_new, v_new, k, v, ks, vs)
+    if squeeze:
+        k2, v2, ks2, vs2 = k2[0], v2[0], ks2[0], vs2[0]
+    return out, k2, v2, ks2, vs2
+
+
+def decode_attention_supported(q_shape, k_shape, quantized):
+    """Kernel constraints: one token per step (q has no seq axis here),
+    int8/float cache (int4-packed uses the XLA path), and lane-aligned
+    head_dim."""
+    D = q_shape[-1]
+    return quantized in (False, "int8") and D % 128 == 0

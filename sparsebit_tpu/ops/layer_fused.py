@@ -1,0 +1,580 @@
+"""Whole-decoder-layer decode megakernel: ONE launch per layer.
+
+    x' = x + Wo(attn(rope(Wqkv(rms_norm(x))), cache))          (attn half)
+    out = x' + W2(glu(W13(rms_norm(x'))))                      (ffn half)
+
+with the INT8 KV-cache row update done in place (aliased HBM outputs).
+
+Why one launch: decode on this fabric pays a fixed per-dispatch turnaround
+(~30 us measured — docs/perf_notes.md) and on real TPUs every kernel
+boundary round-trips activations through HBM. Per layer the unfused path
+is 4 matmul launches + the attention kernel + XLA glue; this kernel walks
+ONE 1-D grid through five phases —
+
+    [Wqkv tiles] [B x head-group attention steps] [Wo tiles]
+    [W13 tiles] [W2 tiles]
+
+— `pl.when`-gated on the step index, with every intermediate (normalized
+activations, int8 quantizations, the qkv row, attention output, the (B,2F)
+W13 output) living in VMEM scratch. HBM traffic is the streamed u4 weight
+tiles (the speed-of-light term), the K/V slabs, and one (B, dim) row in
+and out.
+
+The W4A8 math matches quant_matmul_a8 / ffn_fused exactly; attention (incl.
+per-head INT8 quantization of the new K/V rows and the in-place row DMA)
+matches ops/attention.decode_attention_update. Scale/zero and norm operands
+use the default-tiled window layout of quant_matmul._sz_layout — unit-
+sublane blocks would retile the whole arrays inside the decode loop.
+
+Layer-stacked weights (L, K, N) ride the scalar-prefetched layer index.
+Reference: one CUDA matvec launch per linear + eager attention
+(cuda_kernel_4bit.cu, llama_wrapper.py); this is the TPU answer.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sparsebit_tpu.ops.quant_matmul import (
+    _lane_ok,
+    _pick_tiles_u4,
+    _sz_layout,
+    _sz_rows,
+)
+
+
+def _norm_row(nw_ref, li, eps, xf):
+    """rms_norm(xf) * norm_row(li) — norm stacks are 8-row layer windows;
+    the row is picked with where+reduce (a one-hot DOT would propagate
+    0 x NaN from out-of-bounds garbage rows when L % 8 != 0)."""
+    blk = nw_ref[...]
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+        == li % blk.shape[0]
+    )
+    nw = jnp.sum(jnp.where(sel, blk, 0.0), axis=0, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True)
+    return xf * jax.lax.rsqrt(var + eps) * nw
+
+
+def _quant_rows(x, eps=1e-8):
+    """(B, K) f32 -> int8 codes + (B, 1) f32 scale (tokenwise_quant)."""
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax, eps) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _mm_step(xq_ref, w_ref, s_ref, z_ref, acc_ref, k, col_off, *, gs, GB, G8):
+    """One W4A8 k-step: int8 dot + group-factored epilogue into acc."""
+    KB = w_ref.shape[-2]
+    xb = xq_ref[:, pl.ds(col_off, KB)]  # (B, KB) int8
+    codes = w_ref[0].astype(jnp.int8)  # (KB, NT)
+    acc = None
+    for g in range(GB):
+        xg = xb[:, g * gs: (g + 1) * gs]
+        cg = codes[g * gs: (g + 1) * gs, :]
+        dot_g = jax.lax.dot_general(
+            xg, cg, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=1,
+                       keepdims=True).astype(jnp.float32)
+        sg, zg = _sz_rows(s_ref, z_ref, k, g, GB, G8, lead=(0,))
+        contrib = (dot_g - xsum * zg) * sg
+        acc = contrib if acc is None else acc + contrib
+    acc_ref[...] += acc
+
+
+def _layer_kernel(
+    li_ref, len_ref,
+    x_ref, an_ref, fn_ref, cosf_ref, sinf_ref,
+    wq_ref, sq_ref, zq_ref, wo_ref, so_ref, zo_ref,
+    w13_ref, s13_ref, z13_ref, w2_ref, s2_ref, z2_ref,
+    k_hbm, v_hbm, ks_hbm, vs_hbm,
+    o_ref, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
+    xq8, xs, qkv, aout, a8, as_, xmid, h1, g8buf, gs8,
+    accq, acco, acc13, acc2,
+    kslab, vslab, ks_slab, vs_slab, krow, vrow, ksrow, vsrow, sems,
+    *, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
+    k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
+    debug_out=None,
+):
+    s = pl.program_id(0)
+    li0 = li_ref[0]
+    S = kslab.shape[0]
+    Hp = ks_slab.shape[-1]
+    HD = Hq * D
+    KVD = Hkv * D
+    T1 = n1_t * k1_t
+    T2 = B * n_groups
+    T3 = k3_t
+    T4 = n4_t * k4_t
+    T5 = k5_t
+    hg = Hkv // n_groups
+
+    # ---- phase 0: attn norm + int8 quant of x -------------------------------
+    @pl.when(s == 0)
+    def _():
+        xf = x_ref[...].astype(jnp.float32)
+        xn = _norm_row(an_ref, li0, eps, xf)
+        q, sc = _quant_rows(xn)
+        xq8[...] = q
+        xs[...] = sc
+
+    # ---- phase 1: Wqkv tiles ------------------------------------------------
+    @pl.when(s < T1)
+    def _():
+        k = s % k1_t
+
+        @pl.when(k == 0)
+        def _():
+            accq[...] = jnp.zeros_like(accq)
+
+        KB = wq_ref.shape[-2]
+        GB = KB // gs
+        _mm_step(xq8, wq_ref, sq_ref, zq_ref, accq, k,
+                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G81)
+
+        @pl.when(k == k1_t - 1)
+        def _():
+            n1 = s // k1_t
+            NT = accq.shape[-1]
+            qkv[:, pl.ds(pl.multiple_of(n1 * NT, NT), NT)] = (
+                accq[...] * xs[...]
+            )
+
+    # ---- phase 2: rope + KV row quant/update + attention --------------------
+    def rope(row, cosb, sinb):
+        # rotate-half on a (1, D) row: [x1, x2] -> [x1 c - x2 s, x2 c + x1 s]
+        h1_, h2_ = row[:, : D // 2], row[:, D // 2:]
+        rot = jnp.concatenate([-h2_, h1_], axis=1)
+        return row * cosb + rot * sinb
+
+    in_p2 = (s >= T1) & (s < T1 + T2)
+
+    @pl.when(in_p2)
+    def _():
+        t = s - T1
+        b = t // n_groups
+        g = t % n_groups
+        length = len_ref[b]
+        bsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, qkv.shape[0]), 1) == b
+        ).astype(jnp.float32)  # batch-row one-hot (B is traced here)
+
+        @pl.when(g == 0)
+        def _rows_and_slabs():
+            qkvb = jnp.dot(bsel, qkv[...],
+                           preferred_element_type=jnp.float32)  # (1, Nq)
+            cosb = jnp.dot(bsel, cosf_ref[...],
+                           preferred_element_type=jnp.float32)  # (1, D)
+            sinb = jnp.dot(bsel, sinf_ref[...],
+                           preferred_element_type=jnp.float32)
+            ks_acc = jnp.zeros((1, Hp), jnp.float32)
+            vs_acc = jnp.zeros((1, Hp), jnp.float32)
+            lane_hp = jax.lax.broadcasted_iota(jnp.int32, (1, Hp), 1)
+            for h in range(Hq):
+                off = h * D
+                qh = rope(qkvb[:, off:off + D], cosb, sinb)
+                # rope'd q written back in place for the attention sweep
+                qkv[:, off:off + D] = jnp.where(
+                    bsel.T > 0, qh, qkv[:, off:off + D]
+                )
+            krows, vrows = [], []
+            for h in range(Hkv):
+                koff = HD + h * D
+                voff = HD + KVD + h * D
+                kh = rope(qkvb[:, koff:koff + D], cosb, sinb)  # (1, D)
+                vh = qkvb[:, voff:voff + D]
+                kmax = jnp.max(jnp.abs(kh))
+                vmax = jnp.max(jnp.abs(vh))
+                ksc = jnp.maximum(kmax, 1e-8) / 127.0
+                vsc = jnp.maximum(vmax, 1e-8) / 127.0
+                krows.append(jnp.clip(
+                    jnp.round(kh / ksc), -128, 127).astype(jnp.int8))
+                vrows.append(jnp.clip(
+                    jnp.round(vh / vsc), -128, 127).astype(jnp.int8))
+                ks_acc = jnp.where(lane_hp == h, ksc, ks_acc)
+                vs_acc = jnp.where(lane_hp == h, vsc, vs_acc)
+            krow[...] = jnp.concatenate(krows, axis=0)  # (Hkv, D)
+            vrow[...] = jnp.concatenate(vrows, axis=0)
+            ksrow[...] = ks_acc
+            vsrow[...] = vs_acc
+
+            copies = [
+                pltpu.make_async_copy(
+                    krow, ko_hbm.at[li0, b, length], sems.at[0]),
+                pltpu.make_async_copy(
+                    vrow, vo_hbm.at[li0, b, length], sems.at[1]),
+                pltpu.make_async_copy(
+                    ksrow, kso_hbm.at[li0, b, pl.ds(length, 1)], sems.at[2]),
+                pltpu.make_async_copy(
+                    vsrow, vso_hbm.at[li0, b, pl.ds(length, 1)], sems.at[3]),
+                pltpu.make_async_copy(k_hbm.at[li0, b], kslab, sems.at[4]),
+                pltpu.make_async_copy(v_hbm.at[li0, b], vslab, sems.at[5]),
+                pltpu.make_async_copy(ks_hbm.at[li0, b], ks_slab, sems.at[6]),
+                pltpu.make_async_copy(vs_hbm.at[li0, b], vs_slab, sems.at[7]),
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            kslab[length, :, :] = krow[...]
+            vslab[length, :, :] = vrow[...]
+
+        base_kv = pl.multiple_of(g * hg, hg) if n_groups > 1 else 0
+        k8g = kslab[slice(None), pl.ds(base_kv, hg), :]  # (S, hg, D)
+        v8g = vslab[slice(None), pl.ds(base_kv, hg), :]
+        ks_full = ks_slab[...]
+        vs_full = vs_slab[...]
+        lane_col = jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0)
+        row_is_new = (
+            jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) == length
+        )
+        bcol = bsel.T  # (B, 1)
+        for i in range(hg):
+            onehot = (lane_col == base_kv + i).astype(jnp.float32)
+            ks_col = jnp.dot(ks_full, onehot)
+            vs_col = jnp.dot(vs_full, onehot)
+            k_si = jnp.dot(ksrow[...], onehot)[0, 0]
+            v_si = jnp.dot(vsrow[...], onehot)[0, 0]
+            ks_col = jnp.where(row_is_new, k_si, ks_col)
+            vs_col = jnp.where(row_is_new, v_si, vs_col)
+            kf = k8g[:, i, :].astype(jnp.bfloat16)
+            vf = v8g[:, i, :].astype(jnp.bfloat16)
+            for r in range(n_rep):
+                # head index is traced (base_kv from the grid step):
+                # lane offset is a provable multiple of D=128
+                hoff = pl.multiple_of(
+                    (base_kv + i) * n_rep * D + r * D, D
+                )
+                qh = jnp.dot(bsel, qkv[:, pl.ds(hoff, D)],
+                             preferred_element_type=jnp.float32)
+                scores = jnp.dot(
+                    kf, qh.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32,
+                )  # (S, 1)
+                scores = scores * ks_col * (1.0 / (D ** 0.5))
+                s_idx = jax.lax.broadcasted_iota(
+                    jnp.int32, scores.shape, 0
+                )
+                scores = jnp.where(s_idx <= length, scores, -1e30)
+                m = jnp.max(scores, axis=0, keepdims=True)
+                p = jnp.exp(scores - m)
+                denom = jnp.sum(p, axis=0)
+                p2 = (p * vs_col).astype(jnp.bfloat16)
+                outh = jnp.dot(p2.T, vf,
+                               preferred_element_type=jnp.float32)
+                outh = outh / denom.reshape(-1, 1)  # (1, D)
+                aout[:, pl.ds(hoff, D)] = jnp.where(
+                    bcol > 0, outh, aout[:, pl.ds(hoff, D)]
+                )
+
+    # ---- phase 3: Wo tiles + residual + ffn norm ----------------------------
+    in_p3 = (s >= T1 + T2) & (s < T1 + T2 + T3)
+
+    @pl.when(in_p3)
+    def _():
+        k = s - T1 - T2
+
+        @pl.when(k == 0)
+        def _():
+            acco[...] = jnp.zeros_like(acco)
+            q, sc = _quant_rows(aout[...])
+            a8[...] = q
+            as_[...] = sc
+
+        KB = wo_ref.shape[-2]
+        GB = KB // gs
+        _mm_step(a8, wo_ref, so_ref, zo_ref, acco, k,
+                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G83)
+
+        @pl.when(k == T3 - 1)
+        def _():
+            xm = x_ref[...].astype(jnp.float32) + acco[...] * as_[...]
+            xmid[...] = xm
+            xn = _norm_row(fn_ref, li0, eps, xm)
+            q, sc = _quant_rows(xn)
+            xq8[...] = q  # reused for the W13 input
+            xs[...] = sc
+
+    # ---- phase 4: W13 tiles -------------------------------------------------
+    in_p4 = (s >= T1 + T2 + T3) & (s < T1 + T2 + T3 + T4)
+
+    @pl.when(in_p4)
+    def _():
+        t = s - T1 - T2 - T3
+        k = t % k4_t
+
+        @pl.when(k == 0)
+        def _():
+            acc13[...] = jnp.zeros_like(acc13)
+
+        KB = w13_ref.shape[-2]
+        GB = KB // gs
+        _mm_step(xq8, w13_ref, s13_ref, z13_ref, acc13, k,
+                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G84)
+
+        @pl.when(k == k4_t - 1)
+        def _():
+            n4 = t // k4_t
+            NT = acc13.shape[-1]
+            h1[:, pl.ds(pl.multiple_of(n4 * NT, NT), NT)] = (
+                acc13[...] * xs[...]
+            )
+
+    # ---- phase 5: GLU + W2 tiles + residual ---------------------------------
+    T_pre = T1 + T2 + T3 + T4
+
+    @pl.when(s == T_pre)
+    def _():
+        h = h1[...]
+        g_, u_ = h[:, :F], h[:, F:]
+        a = (g_ * jax.nn.sigmoid(g_)) * u_
+        q, sc = _quant_rows(a)
+        g8buf[...] = q
+        gs8[...] = sc
+
+    @pl.when(s >= T_pre)
+    def _():
+        k = s - T_pre
+
+        @pl.when(k == 0)
+        def _():
+            acc2[...] = jnp.zeros_like(acc2)
+
+        KB = w2_ref.shape[-2]
+        GB = KB // gs
+        _mm_step(g8buf, w2_ref, s2_ref, z2_ref, acc2, k,
+                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G85)
+
+        @pl.when(k == k5_t - 1)
+        def _():
+            if debug_out is None:
+                o_ref[...] = xmid[...] + acc2[...] * gs8[...]
+            elif debug_out == "xmid":
+                o_ref[...] = xmid[...]
+            elif debug_out == "aout":
+                o_ref[...] = aout[:, :o_ref.shape[-1]]
+            elif debug_out == "qkv":
+                o_ref[...] = qkv[:, :o_ref.shape[-1]]
+            elif debug_out == "h1":
+                o_ref[...] = h1[:, :o_ref.shape[-1]]
+            elif debug_out == "acc2":
+                o_ref[...] = acc2[...] * gs8[...]
+
+
+def fused_layer_supported(cfg, gs, B=1):
+    dim, F = cfg.dim, cfg.ffn_dim
+    D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    Nq = (Hq + 2 * Hkv) * D
+    if gs <= 0 or B > 8 or D % 128:
+        return False
+    for K, N in ((dim, Nq), (Hq * D, dim), (dim, 2 * F), (F, dim)):
+        if K % gs or N % 128:
+            return False
+        KB, NT = _pick_tiles_u4(K, N, gs, False)
+        if not (_lane_ok(KB, K) and _lane_ok(NT, N)):
+            return False
+    # Wo and W2 output tiles must span the full row (residual adds)
+    if _pick_tiles_u4(Hq * D, dim, gs, False)[1] != dim:
+        return False
+    if _pick_tiles_u4(F, dim, gs, False)[1] != dim:
+        return False
+    return True
+
+
+def fused_decoder_layer(x, pos, cos, sin, li,
+                        wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
+                        attn_norm, ffn_norm, k, v, ks, vs,
+                        cfg, gs, interpret=False, debug_out=None):
+    """x (B, dim) f32 -> (out (B, dim) f32, k, v, ks, vs updated in place).
+
+    pos (B,) int32 cache row == attended length; cos/sin (B, D) full-width
+    rotate-half rope terms for this position; weight/scale stacks as in
+    ffn_fused; caches as in decode_attention_update (ks/vs lane-padded)."""
+    B, dim = x.shape
+    D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    F = cfg.ffn_dim
+    Nq = (Hq + 2 * Hkv) * D
+    HD = Hq * D
+    S = k.shape[2]
+    Hp = ks.shape[-1]
+    Lx = k.shape[0]
+    n_rep = Hq // Hkv
+    n_groups = Hkv // 8 if Hkv % 8 == 0 else 1
+
+    KB1, NT1 = _pick_tiles_u4(dim, Nq, gs, False)
+    KB3, NT3 = _pick_tiles_u4(HD, dim, gs, False)
+    KB4, NT4 = _pick_tiles_u4(dim, 2 * F, gs, False)
+    KB5, NT5 = _pick_tiles_u4(F, dim, gs, False)
+    k1_t, n1_t = dim // KB1, Nq // NT1
+    k3_t = HD // KB3
+    k4_t, n4_t = dim // KB4, (2 * F) // NT4
+    k5_t = F // KB5
+    G81 = _sz_layout(dim // gs, KB1 // gs)
+    G83 = _sz_layout(HD // gs, KB3 // gs)
+    G84 = _sz_layout(dim // gs, KB4 // gs)
+    G85 = _sz_layout(F // gs, KB5 // gs)
+    T1, T2, T3 = n1_t * k1_t, B * n_groups, k3_t
+    T4, T5 = n4_t * k4_t, k5_t
+    T = T1 + T2 + T3 + T4 + T5
+    Wn = 8 if Lx >= 8 else Lx
+
+    B_pad = max(8, ((B + 7) // 8) * 8)
+    if B_pad != B:
+        x = jnp.pad(x, ((0, B_pad - B), (0, 0)))
+        cos = jnp.pad(cos, ((0, B_pad - B), (0, 0)))
+        sin = jnp.pad(sin, ((0, B_pad - B), (0, 0)))
+
+    def pin(lo, hi, kt):
+        # phase-local k index, clamped outside [lo, hi) so the block index
+        # freezes (unchanged index -> no DMA)
+        return lambda sidx: jnp.clip(sidx - lo, 0, hi - lo - 1) % kt
+
+    p1 = pin(0, T1, k1_t)
+    p3 = pin(T1 + T2, T1 + T2 + T3, k3_t)
+    p4 = pin(T1 + T2 + T3, T1 + T2 + T3 + T4, k4_t)
+    p5 = pin(T1 + T2 + T3 + T4, T, k5_t)
+
+    def n1_of(sidx):
+        return jnp.clip(sidx, 0, T1 - 1) // k1_t
+
+    def n4_of(sidx):
+        return jnp.clip(sidx - (T1 + T2 + T3), 0, T4 - 1) // k4_t
+
+    GB1, GB3, GB4, GB5 = KB1 // gs, KB3 // gs, KB4 // gs, KB5 // gs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B_pad, dim), lambda s, li_r, len_r: (0, 0)),   # x
+            pl.BlockSpec((Wn, dim), lambda s, li_r, len_r: (li_r[0] // Wn, 0)),
+            pl.BlockSpec((Wn, dim), lambda s, li_r, len_r: (li_r[0] // Wn, 0)),
+            pl.BlockSpec((B_pad, D), lambda s, li_r, len_r: (0, 0)),     # cos
+            pl.BlockSpec((B_pad, D), lambda s, li_r, len_r: (0, 0)),     # sin
+            pl.BlockSpec(
+                (1, KB1, NT1),
+                lambda s, li_r, len_r: (li_r[0], p1(s), n1_of(s)),
+            ),
+            pl.BlockSpec(
+                (1, G81, NT1),
+                lambda s, li_r, len_r: (
+                    li_r[0], (p1(s) * GB1) // G81, n1_of(s)),
+            ),
+            pl.BlockSpec(
+                (1, G81, NT1),
+                lambda s, li_r, len_r: (
+                    li_r[0], (p1(s) * GB1) // G81, n1_of(s)),
+            ),
+            pl.BlockSpec(
+                (1, KB3, NT3),
+                lambda s, li_r, len_r: (li_r[0], p3(s), 0),
+            ),
+            pl.BlockSpec(
+                (1, G83, NT3),
+                lambda s, li_r, len_r: (li_r[0], (p3(s) * GB3) // G83, 0),
+            ),
+            pl.BlockSpec(
+                (1, G83, NT3),
+                lambda s, li_r, len_r: (li_r[0], (p3(s) * GB3) // G83, 0),
+            ),
+            pl.BlockSpec(
+                (1, KB4, NT4),
+                lambda s, li_r, len_r: (li_r[0], p4(s), n4_of(s)),
+            ),
+            pl.BlockSpec(
+                (1, G84, NT4),
+                lambda s, li_r, len_r: (
+                    li_r[0], (p4(s) * GB4) // G84, n4_of(s)),
+            ),
+            pl.BlockSpec(
+                (1, G84, NT4),
+                lambda s, li_r, len_r: (
+                    li_r[0], (p4(s) * GB4) // G84, n4_of(s)),
+            ),
+            pl.BlockSpec(
+                (1, KB5, NT5),
+                lambda s, li_r, len_r: (li_r[0], p5(s), 0),
+            ),
+            pl.BlockSpec(
+                (1, G85, NT5),
+                lambda s, li_r, len_r: (li_r[0], (p5(s) * GB5) // G85, 0),
+            ),
+            pl.BlockSpec(
+                (1, G85, NT5),
+                lambda s, li_r, len_r: (li_r[0], (p5(s) * GB5) // G85, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # k
+            pl.BlockSpec(memory_space=pltpu.HBM),  # v
+            pl.BlockSpec(memory_space=pltpu.HBM),  # ks
+            pl.BlockSpec(memory_space=pltpu.HBM),  # vs
+        ],
+        out_specs=[
+            pl.BlockSpec((B_pad, dim), lambda s, li_r, len_r: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B_pad, dim), jnp.int8),    # xq8
+            pltpu.VMEM((B_pad, 1), jnp.float32),   # xs
+            pltpu.VMEM((B_pad, Nq), jnp.float32),  # qkv
+            pltpu.VMEM((B_pad, HD), jnp.float32),  # attn out
+            pltpu.VMEM((B_pad, HD), jnp.int8),     # a8 (wo input)
+            pltpu.VMEM((B_pad, 1), jnp.float32),   # as_
+            pltpu.VMEM((B_pad, dim), jnp.float32),  # xmid
+            pltpu.VMEM((B_pad, 2 * F), jnp.float32),  # h1
+            pltpu.VMEM((B_pad, F), jnp.int8),      # g8 (w2 input)
+            pltpu.VMEM((B_pad, 1), jnp.float32),   # gs8
+            pltpu.VMEM((B_pad, NT1), jnp.float32),  # accq
+            pltpu.VMEM((B_pad, NT3), jnp.float32),  # acco
+            pltpu.VMEM((B_pad, NT4), jnp.float32),  # acc13
+            pltpu.VMEM((B_pad, NT5), jnp.float32),  # acc2
+            pltpu.VMEM((S, Hkv, D), jnp.int8),     # k slab
+            pltpu.VMEM((S, Hkv, D), jnp.int8),     # v slab
+            pltpu.VMEM((S, Hp), jnp.float32),      # ks slab
+            pltpu.VMEM((S, Hp), jnp.float32),      # vs slab
+            pltpu.VMEM((Hkv, D), jnp.int8),        # k row
+            pltpu.VMEM((Hkv, D), jnp.int8),        # v row
+            pltpu.VMEM((1, Hp), jnp.float32),      # k scale row
+            pltpu.VMEM((1, Hp), jnp.float32),      # v scale row
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    out, k2, v2, ks2, vs2 = pl.pallas_call(
+        functools.partial(
+            _layer_kernel, B=B, Hq=Hq, Hkv=Hkv, D=D, dim=dim, F=F, gs=gs,
+            eps=cfg.rms_eps, n_rep=n_rep, n_groups=n_groups,
+            k1_t=k1_t, n1_t=n1_t, G81=G81, k3_t=k3_t, G83=G83,
+            k4_t=k4_t, n4_t=n4_t, G84=G84, k5_t=k5_t, G85=G85,
+            debug_out=debug_out,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B_pad, dim), jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        # cache stacks in place (after 2 scalar-prefetch + 17 tensor args,
+        # caches are inputs 19..22) -> outputs 1..4
+        input_output_aliases={19: 1, 20: 2, 21: 3, 22: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # five phases' tiles + KV slabs + activation scratch exceed the
+            # 16 MB default scoped-VMEM budget; v5e has far more physical
+            # VMEM — raise the cap rather than shrink tiles
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(li, (1,)).astype(jnp.int32), pos.astype(jnp.int32),
+      x, attn_norm, ffn_norm, cos, sin,
+      wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2, k, v, ks, vs)
+    return out[:B], k2, v2, ks2, vs2

@@ -364,7 +364,48 @@ def codes_to_u4(packed, bits, N):
     return unpack_columns(packed, bits, N).astype(jnp.uint4)
 
 
-def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk):
+# Scale/zero block layout rule (applies to every kernel below): a block
+# whose sublane extent is not a multiple of 8 (e.g. the old (G_BLK, 1, NT)
+# unit-sublane blocks) forces a NON-DEFAULT memory tiling (T(1,128)) on the
+# whole operand — XLA then inserts a retiling copy of the full scale/zero
+# arrays to feed the kernel, and its invariant-code-SINKING pass pushes
+# that copy INSIDE the decode loop (measured: ~50 MB of scale copies per
+# layer step at 7B = 4.6 ms/tok, the round-2 scan bottleneck). Blocks here
+# are therefore (G8, NT) with G8 either the per-k-step group count (when a
+# multiple of 8) or an 8-row window — default tiling, zero copies. Rows
+# inside the window are picked statically, or via a tiny one-hot dot when
+# the in-window offset is grid-dependent.
+
+
+def _sz_layout(G, GB):
+    """(G8, rows_per_window) for the scale/zero BlockSpec."""
+    if GB % 8 == 0:
+        return GB
+    return min(8, G)
+
+
+def _sz_rows(s_ref, z_ref, k, g, GB, G8, lead=()):
+    """Extract the (1, NT) scale/zero rows for group ``g`` of k-step ``k``
+    from a (G8, NT) block (possibly behind leading unit axes ``lead``).
+
+    Selection is masked-where + sublane reduce, NOT a one-hot dot: when G
+    is not a multiple of the window the last window's tail rows are
+    out-of-bounds VMEM garbage, and a dot's 0 x NaN poisons every lane
+    (hit at 7B: w2 has G=86). ``where`` never reads the unselected rows'
+    values into the result."""
+    s_blk = s_ref[lead] if lead else s_ref[...]
+    z_blk = z_ref[lead] if lead else z_ref[...]
+    if GB % 8 == 0:
+        return s_blk[g, :][None, :], z_blk[g, :][None, :]
+    off = (k * GB) % G8 + g  # traced; masking avoids dynamic sublanes
+    sel = jax.lax.broadcasted_iota(jnp.int32, s_blk.shape, 0) == off
+    sg = jnp.sum(jnp.where(sel, s_blk, 0.0), axis=0, keepdims=True)
+    zg = jnp.sum(jnp.where(sel, z_blk, 0.0), axis=0, keepdims=True)
+    return sg, zg
+
+
+def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk,
+                   g8):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -385,7 +426,8 @@ def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk):
         xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(
             jnp.float32
         )
-        contrib = (dot_g - xsum * z_ref[g, :, :]) * s_ref[g, :, :]
+        sg, zg = _sz_rows(s_ref, z_ref, k, g, g_blk, g8)
+        contrib = (dot_g - xsum * zg) * sg
         acc = contrib if acc is None else acc + contrib
     acc_ref[...] += acc
     o_ref[...] = acc_ref[...]
@@ -433,36 +475,42 @@ def _supports_pallas_u4(K, N, gs, B=1):
     return _lane_ok(K_BLK, K) and _lane_ok(NT, N)
 
 
-def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False):
+def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
+                            k_blk=None, nt=None, vmem_limit=None):
     """x8 (B, K) int8; w4 (K, N) uint4; scales/zeros (G, N) f32.
-    Returns UNSCALED f32 (B, N) (caller applies the per-token act scale)."""
+    Returns UNSCALED f32 (B, N) (caller applies the per-token act scale).
+    k_blk/nt/vmem_limit override the tile heuristics (perf experiments)."""
     B, K = x8.shape
     G = scales.shape[0]
     per_channel = gs <= 0
     gs_eff = gs if gs > 0 else K
     K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, per_channel)
+    if k_blk:
+        K_BLK = k_blk
+    if nt:
+        NT = nt
     if per_channel:
         G_BLK, gs_kernel = 1, K_BLK
-        s_index = lambda i, k: (0, 0, i)
     else:
         G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
-        s_index = lambda i, k: (k, 0, i)
+    G8 = _sz_layout(G, G_BLK)
+    s_index = lambda i, k: ((k * G_BLK) // G8, i)
 
     B_pad = max(8, ((B + 7) // 8) * 8)
     if B_pad != B:
         x8 = jnp.pad(x8, ((0, B_pad - B), (0, 0)))
 
-    s3 = scales.reshape(G, 1, N).astype(jnp.float32)
-    z3 = zeros.reshape(G, 1, N).astype(jnp.float32)
+    s2d = scales.astype(jnp.float32)
+    z2d = zeros.astype(jnp.float32)
     grid = (N // NT, K // K_BLK)
     out = pl.pallas_call(
-        functools.partial(_qmm_u4_kernel, gs=gs_kernel, g_blk=G_BLK),
+        functools.partial(_qmm_u4_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B_pad, K_BLK), lambda i, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((K_BLK, NT), lambda i, k: (k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_BLK, 1, NT), s_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_BLK, 1, NT), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G8, NT), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G8, NT), s_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (B_pad, NT), lambda i, k: (0, i), memory_space=pltpu.VMEM
@@ -471,6 +519,7 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False):
         scratch_shapes=[pltpu.VMEM((B_pad, NT), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_pad * K * N,
@@ -478,7 +527,7 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x8, w4, s3, z3)
+    )(x8, w4, s2d, z2d)
     return out[:B]
 
 
@@ -494,7 +543,7 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False):
 
 
 def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
-                           acc_ref, *, gs, g_blk):
+                           acc_ref, *, gs, g_blk, g8):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -515,7 +564,8 @@ def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
         xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(
             jnp.float32
         )
-        contrib = (dot_g - xsum * z_ref[0, g, :, :]) * s_ref[0, g, :, :]
+        sg, zg = _sz_rows(s_ref, z_ref, k, g, g_blk, g8, lead=(0,))
+        contrib = (dot_g - xsum * zg) * sg
         acc = contrib if acc is None else acc + contrib
     acc_ref[...] += acc
     o_ref[...] = acc_ref[...]
@@ -523,19 +573,20 @@ def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
 
 def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
                                     interpret=False):
-    """x8 (B, K) int8; w4s (L, K, N) uint4; s4/z4 (L, G, 1, N) f32;
+    """x8 (B, K) int8; w4s (L, K, N) uint4; s4/z4 (L, G, N) f32;
     li scalar int32 layer index. Returns UNSCALED f32 (B, N)."""
     B, K = x8.shape
     Lk = w4s.shape[0]
+    G = s4.shape[1]
     per_channel = gs <= 0
     gs_eff = gs if gs > 0 else K
     K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, per_channel)
     if per_channel:
         G_BLK, gs_kernel = 1, K_BLK
-        s_index = lambda i, k, li_ref: (li_ref[0], 0, 0, i)
     else:
         G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
-        s_index = lambda i, k, li_ref: (li_ref[0], k, 0, i)
+    G8 = _sz_layout(G, G_BLK)
+    s_index = lambda i, k, li_ref: (li_ref[0], (k * G_BLK) // G8, i)
 
     B_pad = max(8, ((B + 7) // 8) * 8)
     if B_pad != B:
@@ -547,14 +598,16 @@ def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
         in_specs=[
             pl.BlockSpec((B_pad, K_BLK), lambda i, k, li_ref: (0, k)),
             pl.BlockSpec((1, K_BLK, NT), lambda i, k, li_ref: (li_ref[0], k, i)),
-            pl.BlockSpec((1, G_BLK, 1, NT), s_index),
-            pl.BlockSpec((1, G_BLK, 1, NT), s_index),
+            pl.BlockSpec((1, G8, NT), s_index),
+            pl.BlockSpec((1, G8, NT), s_index),
         ],
         out_specs=pl.BlockSpec((B_pad, NT), lambda i, k, li_ref: (0, i)),
         scratch_shapes=[pltpu.VMEM((B_pad, NT), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_qmm_u4_stacked_kernel, gs=gs_kernel, g_blk=G_BLK),
+        functools.partial(
+            _qmm_u4_stacked_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -586,8 +639,7 @@ def quant_matmul_a8_stacked(x, packed, scales, zeros, li, bits, groupsize, N,
     )
     if use_pallas:
         out = _quant_matmul_pallas_u4_stacked(
-            xq, packed["u4"],
-            scales.reshape(Lk, G, 1, N), zeros.reshape(Lk, G, 1, N),
+            xq, packed["u4"], scales, zeros,
             li, groupsize, N, interpret=interpret,
         )
     else:

@@ -1,0 +1,178 @@
+"""Whole-decoder-layer megakernel vs the unfused W4A8 + int8-cache oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsebit_tpu.llm import llama as L
+from sparsebit_tpu.llm.kv_cache import _dequant_heads, _quant_heads
+from sparsebit_tpu.llm.quant import QuantLinear
+from sparsebit_tpu.ops.layer_fused import (
+    fused_decoder_layer,
+    fused_layer_supported,
+)
+from sparsebit_tpu.ops.quant_matmul import codes_to_u4, quant_matmul_a8
+
+
+def _rms(x, w, eps):
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w
+
+
+def _mk_cfg():
+    return L.llama_tiny(
+        dim=256, n_heads=2, n_kv_heads=2, ffn_dim=384, max_seq_len=64
+    )
+
+
+def _build(cfg, gs, key):
+    ks = jax.random.split(key, 6)
+    D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    Nq = (Hq + 2 * Hkv) * D
+    mats = {
+        "wqkv": jax.random.normal(ks[0], (cfg.dim, Nq)) * 0.05,
+        "wo": jax.random.normal(ks[1], (Hq * D, cfg.dim)) * 0.05,
+        "w13": jax.random.normal(ks[2], (cfg.dim, 2 * cfg.ffn_dim)) * 0.05,
+        "w2": jax.random.normal(ks[3], (cfg.ffn_dim, cfg.dim)) * 0.05,
+    }
+    q = {k: QuantLinear.from_dense(w, bits=4, groupsize=gs)
+         for k, w in mats.items()}
+    an = 1.0 + 0.1 * jax.random.normal(ks[4], (cfg.dim,))
+    fn = 1.0 + 0.1 * jax.random.normal(ks[5], (cfg.dim,))
+    return q, an, fn
+
+
+def test_scanned_decode_with_layer_kernel_matches_unrolled():
+    """decode_tokens_scanned with the whole-layer megakernel forced
+    (interpret) produces the same greedy tokens as the unrolled XLA path."""
+    from sparsebit_tpu.llm import decode as Dmod
+    from sparsebit_tpu.llm.decode import (
+        decode_tokens, decode_tokens_scanned, prefill, prefill_scanned,
+        stack_layers)
+    from sparsebit_tpu.llm.kv_cache import init_kv_cache
+
+    cfg = _mk_cfg()
+    params = L.init_llama_params(cfg, jax.random.PRNGKey(0))
+    params = L.fuse_llama_params(params)
+    qparams = L.quantize_llama_params(
+        params,
+        lambda p, lin: QuantLinear.from_dense(
+            lin.w.astype(jnp.float32), bits=4, groupsize=64
+        ),
+    )
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, cfg.vocab_size)
+
+    cache = init_kv_cache(cfg, 2, 32, quantized=True)
+    logits, cache_u = prefill(qparams, prompt, cache, cfg)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    toks_ref, _ = decode_tokens(qparams, tok, cache_u, cfg, 5)
+
+    old = Dmod.FORCE_LAYER_KERNEL
+    try:
+        Dmod.FORCE_LAYER_KERNEL = True
+        stacked = stack_layers(qparams)
+        cache = init_kv_cache(cfg, 2, 32, quantized=True)
+        logits_s, cache_s = prefill_scanned(stacked, prompt, cache, cfg)
+        tok_s = jnp.argmax(logits_s, -1).astype(jnp.int32)
+        toks_s, _ = decode_tokens_scanned(stacked, tok_s, cache_s, cfg, 5)
+    finally:
+        Dmod.FORCE_LAYER_KERNEL = old
+
+    np.testing.assert_array_equal(np.asarray(tok_s), np.asarray(tok))
+    np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_ref))
+
+
+@pytest.mark.parametrize("B", [1, 2])
+def test_fused_decoder_layer_matches_oracle(B):
+    cfg = _mk_cfg()
+    gs = 64
+    assert fused_layer_supported(cfg, gs, B)
+    D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    S = 64
+    key = jax.random.PRNGKey(0)
+    q, an, fn = _build(cfg, gs, key)
+    kx, kk, kv, kp = jax.random.split(jax.random.PRNGKey(1), 4)
+    x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
+    kcache = jax.random.normal(kk, (B, S, Hkv, D), jnp.float32)
+    vcache = jax.random.normal(kv, (B, S, Hkv, D), jnp.float32)
+    pos = jnp.asarray(
+        np.random.default_rng(3).integers(1, S - 1, B), jnp.int32
+    )
+    k8, kssc = _quant_heads(kcache)
+    v8, vssc = _quant_heads(vcache)
+
+    inv_freq = L.rope_frequencies(cfg)
+    angles = pos[:, None].astype(jnp.float32) * inv_freq  # (B, D/2)
+    cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)  # (B, D)
+    sinf = jnp.concatenate([jnp.sin(angles)] * 2, axis=1)
+
+    # ---- oracle: unfused chain ------------------------------------------
+    def a8(lin, xx):
+        return quant_matmul_a8(
+            xx, lin.packed, lin.scales, lin.zeros, 4, gs, lin.out_features
+        )
+
+    eps = cfg.rms_eps
+    xn = _rms(x, an, eps)
+    qkv = a8(q["wqkv"], xn)
+    nq = Hq * D
+    nkv = Hkv * D
+    qh = qkv[:, None, :nq].reshape(B, 1, Hq, D)
+    kh = qkv[:, None, nq:nq + nkv].reshape(B, 1, Hkv, D)
+    vh = qkv[:, None, nq + nkv:].reshape(B, 1, Hkv, D)
+    qh = L.apply_rope(qh, pos[:, None], inv_freq)
+    kh = L.apply_rope(kh, pos[:, None], inv_freq)
+    krow8, krs = _quant_heads(kh)
+    vrow8, vrs = _quant_heads(vh)
+    bidx = jnp.arange(B)
+    k8_u = k8.at[bidx, pos].set(krow8[:, 0])
+    v8_u = v8.at[bidx, pos].set(vrow8[:, 0])
+    ks_u = kssc.at[bidx, pos].set(krs[:, 0])
+    vs_u = vssc.at[bidx, pos].set(vrs[:, 0])
+    k_or = _dequant_heads(k8_u, ks_u, jnp.float32)
+    v_or = _dequant_heads(v8_u, vs_u, jnp.float32)
+    valid = jnp.arange(S)[None, :] <= pos[:, None]
+    mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+    n_rep = Hq // Hkv
+    attn = L.attention_scores(
+        qh, L.repeat_kv(k_or, n_rep), L.repeat_kv(v_or, n_rep), mask
+    ).reshape(B, Hq * D)
+    x1 = x + a8(q["wo"], attn)
+    h = a8(q["w13"], _rms(x1, fn, eps))
+    g_, u_ = jnp.split(h, 2, axis=-1)
+    expected = x1 + a8(q["w2"], jax.nn.silu(g_) * u_)
+
+    # ---- fused kernel ----------------------------------------------------
+    Hp = 128
+    pad = ((0, 0), (0, 0), (0, Hp - Hkv))
+
+    @jax.jit
+    def fused():
+        u4 = {k2: codes_to_u4(v2.packed, 4, v2.out_features)[None]
+              for k2, v2 in q.items()}
+        out, k2, v2, ks2, vs2 = fused_decoder_layer(
+            x, pos, cosf, sinf, jnp.int32(0),
+            u4["wqkv"], q["wqkv"].scales[None], q["wqkv"].zeros[None],
+            u4["wo"], q["wo"].scales[None], q["wo"].zeros[None],
+            u4["w13"], q["w13"].scales[None], q["w13"].zeros[None],
+            u4["w2"], q["w2"].scales[None], q["w2"].zeros[None],
+            an[None], fn[None],
+            k8[None], v8[None],
+            jnp.pad(kssc, pad)[None], jnp.pad(vssc, pad)[None],
+            cfg, gs, interpret=True,
+        )
+        return out, k2, v2, ks2, vs2
+
+    out, k2, v2, ks2, vs2 = fused()
+
+    # cache rows updated exactly like _quant_heads
+    np.testing.assert_array_equal(np.asarray(k2[0]), np.asarray(k8_u))
+    np.testing.assert_array_equal(np.asarray(v2[0]), np.asarray(v8_u))
+    np.testing.assert_allclose(
+        np.asarray(ks2[0][..., :Hkv]), np.asarray(ks_u), rtol=1e-5
+    )
+    # output: attention runs in bf16 (f32 accumulate) inside the kernel
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=2e-2, atol=2e-2
+    )

@@ -343,7 +343,7 @@ def test_u4_stacked_kernel_interpret():
     def f(codes, x8, scales, zeros, li):
         u4 = codes.astype(jnp.uint4)
         return _quant_matmul_pallas_u4_stacked(
-            x8, u4, scales.reshape(L_, G, 1, N), zeros.reshape(L_, G, 1, N),
+            x8, u4, scales, zeros,
             li, gs, N, interpret=True,
         )
 
