@@ -189,10 +189,40 @@ class QuantLinear:
         over the dispatch."""
         from sparsebit_tpu.ops.quant_matmul import codes_to_u4
 
+        from sparsebit_tpu.ops.packing import u4_from_pairs
+
         if self.bits == 8 or "u4" in self.packed:
             return self
         packed = dict(self.packed)
-        packed["u4"] = codes_to_u4(self.packed, self.bits, self.n_padded)
+        if "u4p" in packed:
+            # nibble-pair layout (with_u4_pairs): conversion is a free
+            # bitcast, not a whole-weight shift/mask unpack
+            packed["u4"] = u4_from_pairs(packed.pop("u4p"))
+        else:
+            packed["u4"] = codes_to_u4(self.packed, self.bits, self.n_padded)
+        return QuantLinear(
+            packed, self.scales, self.zeros, self.bits, self.groupsize,
+            self.out_features, self.bias, self.impl, self.perm,
+            self.bwd_wq, self.bwd_scale,
+        )
+
+    def with_u4_pairs(self, drop_fold=False):
+        """Return a copy carrying the uint8 NIBBLE-PAIR codes array
+        (ops/packing.pack_u4_pairs): the host-side serving preparation.
+        Unlike uint4, uint8 crosses the jit boundary, and with_u4 turns
+        this layout into the kernel's u4 array with a free bitcast instead
+        of re-unpacking the fold layout every dispatch. Works on
+        layer-stacked leaves too (leading axes pass through).
+        drop_fold=True removes the canonical fold container from the copy
+        (halves serving HBM; 4-bit unpack_columns can still reconstruct
+        codes from the pairs, so dequantize keeps working)."""
+        from sparsebit_tpu.ops.packing import pack_u4_pairs, unpack_columns
+
+        if self.bits == 8 or "u4p" in self.packed or "u4" in self.packed:
+            return self
+        codes = unpack_columns(self.packed, self.bits, self.n_padded)
+        packed = {} if (drop_fold and self.bits == 4) else dict(self.packed)
+        packed["u4p"] = pack_u4_pairs(codes)
         return QuantLinear(
             packed, self.scales, self.zeros, self.bits, self.groupsize,
             self.out_features, self.bias, self.impl, self.perm,

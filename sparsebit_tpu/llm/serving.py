@@ -69,7 +69,19 @@ class DecodeEngine:
         chunk=8,
         prefix_cache_size=8,
     ):
-        self.params = params
+        from sparsebit_tpu.llm.llama import quantize_llama_params
+        from sparsebit_tpu.llm.quant import QuantLinear
+
+        # host-side serving layout: nibble-pair codes make the in-jit u4
+        # conversion (prepare_params_for_decode) a free bitcast instead of
+        # a whole-model shift/mask unpack on every decode dispatch
+        self.params = quantize_llama_params(
+            params,
+            lambda path, lin: (
+                lin.with_u4_pairs() if isinstance(lin, QuantLinear) else lin
+            ),
+            skip=(),
+        )
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len or cfg.max_seq_len

@@ -391,7 +391,8 @@ def fused_layer_supported(cfg, gs, B=1):
 def fused_decoder_layer(x, pos, cos, sin, li,
                         wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
                         attn_norm, ffn_norm, k, v, ks, vs,
-                        cfg, gs, interpret=False, debug_out=None):
+                        cfg, gs, interpret=False, debug_out=None,
+                        _n_phases=5):
     """x (B, dim) f32 -> (out (B, dim) f32, k, v, ks, vs updated in place).
 
     pos (B,) int32 cache row == attended length; cos/sin (B, D) full-width
@@ -423,6 +424,9 @@ def fused_decoder_layer(x, pos, cos, sin, li,
     T1, T2, T3 = n1_t * k1_t, B * n_groups, k3_t
     T4, T5 = n4_t * k4_t, k5_t
     T = T1 + T2 + T3 + T4 + T5
+    # _n_phases < 5 truncates the grid after that phase — timing-only knob
+    # for per-phase profiling (outputs are garbage unless _n_phases == 5)
+    T_grid = [T1, T1 + T2, T1 + T2 + T3, T1 + T2 + T3 + T4, T][_n_phases - 1]
     Wn = 8 if Lx >= 8 else Lx
 
     B_pad = max(8, ((B + 7) // 8) * 8)
@@ -450,7 +454,7 @@ def fused_decoder_layer(x, pos, cos, sin, li,
     GB1, GB3, GB4, GB5 = KB1 // gs, KB3 // gs, KB4 // gs, KB5 // gs
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T,),
+        grid=(T_grid,),
         in_specs=[
             pl.BlockSpec((B_pad, dim), lambda s, li_r, len_r: (0, 0)),   # x
             pl.BlockSpec((Wn, dim), lambda s, li_r, len_r: (li_r[0] // Wn, 0)),

@@ -29,7 +29,35 @@ All pack/unpack is pure jnp (runs on device, jittable); kernels re-derive
 the same shifts inline.
 """
 
+import jax
 import jax.numpy as jnp
+
+
+def pack_u4_pairs(codes):
+    """codes (..., K, N) in [0, 16) -> (..., K, N//2) uint8 with ADJACENT
+    columns as nibble pairs, even column in the low nibble.
+
+    This is the host-side half of the free serving-layout conversion:
+    ``bitcast_convert_type(uint4)`` of the result reproduces the
+    (..., K, N) u4 codes array exactly (TPU/LE emits the low nibble first),
+    so the in-jit conversion the u4 MXU kernels need costs a bitcast +
+    minor-dim reshape instead of a whole-model VPU shift/mask unpack
+    (~50 ms per 7B dispatch, amortised over the decode chunk). The fold
+    layout above stays the canonical checkpoint format; this is a derived
+    serving artifact (QuantLinear.with_u4_pairs)."""
+    q = codes.astype(jnp.uint8)
+    lead, N = q.shape[:-1], q.shape[-1]
+    assert N % 2 == 0
+    pairs = q.reshape(lead + (N // 2, 2))
+    return pairs[..., 0] | (pairs[..., 1] << 4)
+
+
+def u4_from_pairs(u4p):
+    """(..., N//2) uint8 nibble pairs -> (..., N) uint4 codes, via bitcast
+    (no data movement; inverse of pack_u4_pairs). In-jit only — uint4
+    arrays cannot cross the jit boundary on this runtime."""
+    u4 = jax.lax.bitcast_convert_type(u4p, jnp.uint4)
+    return u4.reshape(u4.shape[:-2] + (u4.shape[-2] * 2,))
 
 
 def pallas_n_pad(N, bits):
@@ -99,6 +127,12 @@ def unpack_columns(packed, bits, N):
     (e.g. a layer-stack axis from decode.stack_layers) pass through."""
     if bits == 8:
         return packed["w"]
+    if bits == 4 and "u4p" in packed and "w" not in packed:
+        # nibble-pair serving layout as the sole container (pack_u4_pairs)
+        u4p = packed["u4p"]
+        lead = u4p.shape[:-1]
+        pairs = jnp.stack([u4p & 15, u4p >> 4], axis=-1)
+        return pairs.reshape(lead + (N,))
     if bits in (4, 2):
         p = 8 // bits
         w = packed["w"]

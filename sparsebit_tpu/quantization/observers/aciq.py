@@ -36,7 +36,7 @@ class Observer(BaseObserver):
         assert self.distribution in (
             "gaus",
             "laplace",
-        ), "ACIQ observer only support 'gaus' and 'laplace' mode!"
+        ), f"ACIQ distribution must be 'gaus' or 'laplace', got {self.distribution!r}"
 
     def calc_laplace_minmax(self):
         if self.is_perchannel:

@@ -323,6 +323,52 @@ def test_with_u4_quantlinear_parity():
     )
 
 
+def test_u4_pairs_bitcast_roundtrip():
+    """pack_u4_pairs -> u4_from_pairs reproduces the codes exactly (the
+    free-bitcast serving layout), including with leading stack axes."""
+    from sparsebit_tpu.ops.packing import pack_u4_pairs, u4_from_pairs
+
+    codes = jax.random.randint(
+        jax.random.PRNGKey(7), (3, 16, 256), 0, 16, jnp.int32
+    )
+    pairs = pack_u4_pairs(codes)
+    assert pairs.shape == (3, 16, 128) and pairs.dtype == jnp.uint8
+
+    @jax.jit
+    def back(p):
+        return u4_from_pairs(p).astype(jnp.uint8)
+
+    np.testing.assert_array_equal(np.asarray(back(pairs)), np.asarray(codes))
+
+
+def test_with_u4_pairs_quantlinear_parity():
+    """with_u4_pairs (host-side) + with_u4 (in-jit bitcast) produces the
+    same u4 codes and forward output as the shift/mask unpack path."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.ops.packing import unpack_columns
+
+    K, N = 256, 384
+    w = jax.random.normal(jax.random.PRNGKey(43), (K, N), jnp.float32)
+    ql = QuantLinear.from_dense(w, bits=4, groupsize=128, impl="a8")
+    qlp = ql.with_u4_pairs()  # outside jit: uint8 crosses the boundary
+    assert "u4p" in qlp.packed
+    x = jax.random.normal(jax.random.PRNGKey(44), (2, K), jnp.float32)
+
+    @jax.jit
+    def fwd(ql, x):
+        q2 = ql.with_u4()
+        return q2(x), q2.packed["u4"].astype(jnp.uint8)
+
+    out_p, u4_codes = fwd(qlp, x)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(ql(x)), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(u4_codes),
+        np.asarray(unpack_columns(ql.packed, 4, ql.n_padded)),
+    )
+
+
 def test_u4_stacked_kernel_interpret():
     """Layer-indexed scalar-prefetch kernel: for every layer index, the
     stacked kernel equals the per-layer dequant-dense oracle."""
