@@ -88,11 +88,16 @@ def build_quantized_llama(cfg, bits=4, groupsize=128, impl="a8", fused=True):
     layers = []
     for i in range(cfg.n_layers):
         ks = jax.random.split(keys[i], 7)
+        w2 = qlin(ks[6], cfg.ffn_dim, cfg.dim)
+        if bits == 4:
+            # K-pad w2 so the decode kernels get large K tiles (7B:
+            # 11008 = 86x128 caps K_BLK at 256; 11264 = 11x1024)
+            w2 = w2.with_k_pad(1024)
         layer = {
             "attn_norm": jnp.ones((cfg.dim,), dt),
             "ffn_norm": jnp.ones((cfg.dim,), dt),
             "wo": qlin(ks[3], cfg.n_heads * hd, cfg.dim),
-            "w2": qlin(ks[6], cfg.ffn_dim, cfg.dim),
+            "w2": w2,
         }
         if fused:
             layer["wqkv"] = qlin(

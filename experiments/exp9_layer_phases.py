@@ -43,8 +43,11 @@ gsz = 128
 
 
 def run(n_phases):
+    # stacked must be an ARGUMENT: closed over, the weights become jit
+    # constants and XLA constant-folds the u4 conversion on the host
+    # (3.2 GB single-threaded = tens of minutes)
     @jax.jit
-    def f(x, k8, v8, ks, vs):
+    def f(stacked, x, k8, v8, ks, vs):
         layers = prepare_stacked_params_for_decode(stacked)["layers"]
 
         def body(carry, li):
@@ -73,11 +76,11 @@ def run(n_phases):
             tok, (x, k8, v8, ks, vs), None, length=ITERS)
         return x
 
-    out = f(x, k8, v8, ks, vs)
+    out = f(stacked, x, k8, v8, ks, vs)
     jax.block_until_ready(out)
     trace_dir = f"/tmp/exp9_{n_phases}"
     with jax.profiler.trace(trace_dir):
-        jax.block_until_ready(f(x, k8, v8, ks, vs))
+        jax.block_until_ready(f(stacked, x, k8, v8, ks, vs))
     paths = sorted(glob.glob(trace_dir + "/plugins/profile/*/*.trace.json.gz"))
     data = json.load(gzip.open(paths[-1]))
     tot, cnt = 0.0, 0

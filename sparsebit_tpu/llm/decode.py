@@ -303,7 +303,8 @@ def _scan_uses_layer_kernel(S, layers, quant_mode, cfg, batch):
             return False
         if ln.n_padded != ln.out_features or ln.groupsize != gs or gs <= 0:
             return False
-    ok = fused_layer_supported(cfg, gs, batch)
+    f_pad = lins[3].packed["u4"].shape[-2]  # w2 may be with_k_pad-ded
+    ok = fused_layer_supported(cfg, gs, batch, f_pad=f_pad)
     if FORCE_LAYER_KERNEL is not None:
         return FORCE_LAYER_KERNEL and ok
     return ok and jax.default_backend() == "tpu"

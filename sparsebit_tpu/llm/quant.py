@@ -235,6 +235,63 @@ class QuantLinear:
         (shape[-1] so layer-stacked leaves — stack_layers — also work.)"""
         return self.scales.shape[-1]
 
+    @property
+    def k_padded(self):
+        """Packed (possibly padded) input width; >= the logical in_features
+        (with_k_pad). Derived from the scale groups so stacked leaves work."""
+        if self.groupsize > 0:
+            return self.scales.shape[-2] * self.groupsize
+        return self.in_features
+
+    def _pad_x(self, x):
+        """Zero-pad x's channel dim up to the packed K (with_k_pad rows
+        contribute exactly 0: codes 0 / zeros 0 / scales 1, and an
+        all-pad group's xsum is 0 in the A8 epilogue)."""
+        Kw = self.k_padded
+        if x.shape[-1] < Kw:
+            x = jnp.pad(
+                x, [(0, 0)] * (x.ndim - 1) + [(0, Kw - x.shape[-1])]
+            )
+        return x
+
+    def with_k_pad(self, mult):
+        """Return a copy whose packed codes are K-padded (input-channel
+        rows) to a multiple of ``mult`` with exact-zero rows (code 0,
+        zero 0, scale 1). Bigger K means bigger decode-kernel K tiles when
+        K has awkward factors — 7B's w2 K=11008 = 86x128 caps K_BLK at 256
+        (43 k-steps/launch); padded to 11264 = 11x1024 it runs 11.
+        Host-side (repacks the container); groupwise, unpermuted only.
+        __call__/call_stacked zero-pad x to match, so every consumer stays
+        correct."""
+        from sparsebit_tpu.ops.packing import (
+            pack_columns, pack_u4_pairs, unpack_columns)
+
+        assert self.perm is None, "with_k_pad: act-order perm indexes K"
+        assert self.groupsize > 0 and self.bits != 8
+        K = self.k_padded
+        pad = (-K) % mult
+        if pad == 0:
+            return self
+        assert pad % self.groupsize == 0, (
+            "with_k_pad: pad {} must be whole groups (gs={})".format(
+                pad, self.groupsize)
+        )
+        codes = unpack_columns(self.packed, self.bits, self.n_padded)
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+        gpad = pad // self.groupsize
+        scales = jnp.pad(self.scales, ((0, gpad), (0, 0)),
+                         constant_values=1.0)
+        zeros = jnp.pad(self.zeros, ((0, gpad), (0, 0)))
+        if "u4p" in self.packed and self.bits == 4:
+            packed = {"u4p": pack_u4_pairs(codes)}
+        else:
+            packed = pack_columns(codes, self.bits)
+        return QuantLinear(
+            packed, scales, zeros, self.bits, self.groupsize,
+            self.out_features, self.bias, self.impl, None,
+            self.bwd_wq, self.bwd_scale,
+        )
+
     def dequantize(self):
         W = dequant_weights(
             self.packed, self.scales, self.zeros, self.bits,
@@ -265,6 +322,7 @@ class QuantLinear:
     def __call__(self, x):
         if self.perm is not None:
             x = x[..., self.perm]  # act-order channel permutation
+        x = self._pad_x(x)  # no-op unless with_k_pad
         if self.bwd_wq is not None:
             from sparsebit_tpu.ops.quant_matmul import quant_matmul_a8bwd
 
@@ -301,6 +359,7 @@ class QuantLinear:
 
         if self.perm is not None:
             x = x[..., self.perm[li]]
+        x = self._pad_x(x)  # no-op unless with_k_pad
         out = quant_matmul_a8_stacked(
             x, self.packed, self.scales, self.zeros, li,
             self.bits, self.groupsize, self.n_padded,

@@ -33,6 +33,69 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _head_sel(Hsrc, hgq, base_kv, n_rep, dtype=jnp.float32):
+    """(Hsrc, hgq) one-hot matrix mapping q-column j -> kv head
+    base_kv + j // n_rep; a dot against it gathers per-head scale columns
+    for a whole head group in ONE MXU op (lane-dim head indexing cannot be
+    dynamically sliced)."""
+    src = jax.lax.broadcasted_iota(jnp.int32, (Hsrc, hgq), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Hsrc, hgq), 1) // n_rep
+    return (src == base_kv + col).astype(dtype)
+
+
+def _group_attention(k8g, v8g, qg, ks_cols, vs_cols, length, n_rep,
+                     f32_dots=False):
+    """Masked-softmax attention for a whole head GROUP in TWO MXU dots.
+
+    k8g/v8g (S, hg, D) int8 (or float when f32_dots); qg (hgq, D) f32 with
+    hgq = hg * n_rep; ks_cols/vs_cols (S, hgq) per-Q-COLUMN cache row
+    scales (pass ones for float caches); length scalar int32 (rows
+    [0, length] attend). Returns (hgq, D) f32.
+
+    The round-2 phase profile showed the per-head matvec loop dominating
+    the fused kernels (37.8 us vs ~6 us of slab DMA per layer at 7B): 2*hg
+    serial (S, D) x (D, n_rep) dots under-feed the MXU. Here scores for
+    every head ride ONE (S, hg*D) x (hg*D, hgq) dot against a BLOCK-
+    DIAGONAL q matrix (off-head rows zeroed, so cross-head terms vanish),
+    and the value mix is ONE (hgq, S) x (S, hg*D) dot from which each
+    row's own head block is extracted with an iota mask + sublane reduce.
+    The wasted hg x lanes are free — the MXU was idle either way — and
+    the bf16-mul/f32-acc precision matches the per-head formulation
+    exactly."""
+    S, hg, D = k8g.shape
+    hgq = qg.shape[0]
+    dt = jnp.float32 if f32_dots else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if f32_dots else None
+    K2 = k8g.reshape(S, hg * D).astype(dt)
+    V2 = v8g.reshape(S, hg * D).astype(dt)
+    qT = qg.T.astype(dt)  # (D, hgq) — 4 KB relayout
+    Vq = jnp.concatenate([qT] * hg, axis=0)  # (hg*D, hgq)
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hg * D, hgq), 0) // D
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hg * D, hgq), 1) // n_rep
+    Qbd = jnp.where(row_h == col_h, Vq, jnp.zeros((), dt))
+    scores = jnp.dot(K2, Qbd, preferred_element_type=jnp.float32,
+                     precision=prec)  # (S, hgq)
+    scores = scores * ks_cols * (1.0 / (D ** 0.5))
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (S, hgq), 0)
+    scores = jnp.where(s_idx <= length, scores, -1e30)
+    m = jnp.max(scores, axis=0, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=0, keepdims=True)  # (1, hgq)
+    p2 = (p * vs_cols).astype(dt)  # V's row scales fold into p
+    # contract S with S directly (no materialized (hgq, S) transpose)
+    outs = jax.lax.dot_general(
+        p2, V2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (hgq, hg*D)
+    o3 = outs.reshape(hgq, hg, D)
+    own = (
+        jax.lax.broadcasted_iota(jnp.int32, (hgq, hg, 1), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (hgq, hg, 1), 0) // n_rep
+    )
+    out = jnp.sum(jnp.where(own, o3, 0.0), axis=1)  # (hgq, D)
+    return out / denom.reshape(-1, 1)
+
+
 def _decode_attn_kernel(*refs, n_rep, quantized, stacked=False):
     if stacked:
         # stacked variant: scalar-prefetched layer index selects the K/V
@@ -67,41 +130,28 @@ def _decode_attn_kernel(*refs, n_rep, quantized, stacked=False):
         base_kv = pl.multiple_of(g * hg, hg)
         base_q = pl.multiple_of(g * hg * n_rep, hg * n_rep)
     sl = slice(None)
+    hgq = hg * n_rep
+    S_ = k_ref.shape[-3]
     k8g = k_ref[lead + (sl, pl.ds(base_kv, hg), sl)]  # (S, hg, D) int8/float
     v8g = v_ref[lead + (sl, pl.ds(base_kv, hg), sl)]
-    qg = q_ref[0, pl.ds(base_q, hg * n_rep), :]  # (hg*n_rep, D)
+    qg = q_ref[0, pl.ds(base_q, hgq), :]  # (hgq, D)
     if quantized:
         # Scale slabs put Hkv on the LANE dim, where dynamic slices must be
-        # 128-aligned — so select the head's column with an iota mask and a
-        # lane reduction instead of slicing (pure VPU, (S, Hkv) is tiny).
-        ks_slab = ks_ref[lead]  # (S, Hkv) f32
-        vs_slab = vs_ref[lead]
-        lane = jax.lax.broadcasted_iota(jnp.int32, ks_slab.shape, 1)
-
-    outs = []
-    for i in range(hg):  # static loop, temporaries bounded by the group
-        if quantized:
-            sel = lane == base_kv + i
-            ks_col = jnp.sum(jnp.where(sel, ks_slab, 0.0), 1, keepdims=True)
-            vs_col = jnp.sum(jnp.where(sel, vs_slab, 0.0), 1, keepdims=True)
-            kf = k8g[:, i, :].astype(jnp.float32) * ks_col
-            vf = v8g[:, i, :].astype(jnp.float32) * vs_col
-        else:
-            kf = k8g[:, i, :].astype(jnp.float32)
-            vf = v8g[:, i, :].astype(jnp.float32)
-        q_h = qg[i * n_rep:(i + 1) * n_rep, :].astype(jnp.float32)
-        scores = jnp.dot(kf, q_h.T, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        scores = scores * (1.0 / (D ** 0.5))  # (S, n_rep)
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-        scores = jnp.where(s_idx <= length, scores, -1e30)
-        m = jnp.max(scores, axis=0, keepdims=True)  # (1, n_rep)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=0)  # (n_rep,)
-        out = jnp.dot(p.T, vf, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        outs.append(out / denom.reshape(-1, 1))  # (n_rep, D)
-    o_ref[0, pl.ds(base_q, hg * n_rep), :] = jnp.concatenate(outs, axis=0)
+        # 128-aligned — gather the group's per-head columns with ONE
+        # one-hot dot instead of per-head mask+reduce.
+        sel = _head_sel(Hkv, hgq, base_kv, n_rep)
+        ks_cols = jnp.dot(ks_ref[lead], sel)  # (S, hgq)
+        vs_cols = jnp.dot(vs_ref[lead], sel)
+    else:
+        ks_cols = vs_cols = jnp.ones((S_, hgq), jnp.float32)
+    # f32 HIGHEST dots: this is the generic "exact" decode-attention API
+    # (2e-4 oracle tests); the serving-path update/megakernel variants use
+    # the bf16-mul/f32-acc formulation instead (XLA's own MXU default).
+    out = _group_attention(
+        k8g, v8g, qg.astype(jnp.float32), ks_cols, vs_cols, length, n_rep,
+        f32_dots=True,
+    )
+    o_ref[0, pl.ds(base_q, hgq), :] = out
 
 
 def decode_attention(q, k, v, k_scale, v_scale, length, n_heads,
@@ -294,46 +344,30 @@ def _attn_update_kernel(li_ref, len_ref, q_ref, kn_ref, vn_ref,
         base_kv = pl.multiple_of(g * hg, hg)
         base_q = pl.multiple_of(g * hg * n_rep, hg * n_rep)
     sl = slice(None)
+    hgq = hg * n_rep
     k8g = kslab[sl, pl.ds(base_kv, hg), sl]  # (S, hg, D) int8
     v8g = vslab[sl, pl.ds(base_kv, hg), sl]
-    qg = q_ref[0, pl.ds(base_q, hg * n_rep), :]
-    ks_full = ks_slab[...]  # (S, Hp)
-    vs_full = vs_slab[...]
-    lane_col = jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0)
+    qg = q_ref[0, pl.ds(base_q, hgq), :]
     row_is_new = (
-        jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) == length
-    )  # (S, 1)
+        jax.lax.broadcasted_iota(jnp.int32, (S, hgq), 0) == length
+    )
 
-    # VMEM-stack discipline (scoped limit 16 MB; the slab scratch already
-    # holds ~5 MB): the unrolled head loop's temporaries are SUMMED by the
-    # stack allocator, so per-head temps must stay small — scale columns
-    # come from a one-hot DOT (no (S, Hp) masked copies), K/V feed the MXU
-    # as bf16 casts (no scaled f32 slab copies; scales fold into scores
-    # and probabilities — same bf16-mul/f32-acc precision as the XLA path).
-    outs = []
-    for i in range(hg):
-        onehot = (lane_col == base_kv + i).astype(jnp.float32)  # (Hp, 1)
-        ks_col = jnp.dot(ks_full, onehot)  # (S, 1)
-        vs_col = jnp.dot(vs_full, onehot)
-        # the new row's scale (stale in the slab copy): mask it in
-        k_si = jnp.dot(ksrow[...], onehot)[0, 0]
-        v_si = jnp.dot(vsrow[...], onehot)[0, 0]
-        ks_col = jnp.where(row_is_new, k_si, ks_col)
-        vs_col = jnp.where(row_is_new, v_si, vs_col)
-        kf = k8g[:, i, :].astype(jnp.bfloat16)
-        vf = v8g[:, i, :].astype(jnp.bfloat16)
-        q_h = qg[i * n_rep:(i + 1) * n_rep, :].astype(jnp.bfloat16)
-        scores = jnp.dot(kf, q_h.T, preferred_element_type=jnp.float32)
-        scores = scores * ks_col * (1.0 / (D ** 0.5))
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-        scores = jnp.where(s_idx <= length, scores, -1e30)
-        m = jnp.max(scores, axis=0, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=0)
-        p2 = (p * vs_col).astype(jnp.bfloat16)  # V's row scales fold into p
-        out = jnp.dot(p2.T, vf, preferred_element_type=jnp.float32)
-        outs.append(out / denom.reshape(-1, 1))
-    o_ref[0, pl.ds(base_q, hg * n_rep), :] = jnp.concatenate(outs, axis=0)
+    # Scale columns for the whole group in ONE one-hot dot (lane-dim head
+    # indexing is not dynamically sliceable), with the new row's scale —
+    # stale in the slab copy — masked in; then the batched two-MXU-dot
+    # group attention (see _group_attention: the round-2 phase profile
+    # showed the per-head matvec loop at ~6x the slab-DMA cost).
+    sel = _head_sel(Hp, hgq, base_kv, n_rep)
+    ks_cols = jnp.dot(ks_slab[...], sel)  # (S, hgq)
+    vs_cols = jnp.dot(vs_slab[...], sel)
+    ks_new = jnp.dot(ksrow[...], sel)  # (1, hgq)
+    vs_new = jnp.dot(vsrow[...], sel)
+    ks_cols = jnp.where(row_is_new, ks_new, ks_cols)
+    vs_cols = jnp.where(row_is_new, vs_new, vs_cols)
+    out = _group_attention(
+        k8g, v8g, qg.astype(jnp.float32), ks_cols, vs_cols, length, n_rep
+    )
+    o_ref[0, pl.ds(base_q, hgq), :] = out
 
 
 def decode_attention_update(q, k_new, v_new, k, v, ks, vs, li, length,

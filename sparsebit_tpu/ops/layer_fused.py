@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sparsebit_tpu.ops.attention import _group_attention, _head_sel
 from sparsebit_tpu.ops.quant_matmul import (
     _lane_ok,
     _pick_tiles_u4,
@@ -101,7 +102,7 @@ def _layer_kernel(
     kslab, vslab, ks_slab, vs_slab, krow, vrow, ksrow, vsrow, sems,
     *, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
-    debug_out=None,
+    debug_out=None, prefetch_slabs=False,
 ):
     s = pl.program_id(0)
     li0 = li_ref[0]
@@ -148,11 +149,26 @@ def _layer_kernel(
             )
 
     # ---- phase 2: rope + KV row quant/update + attention --------------------
-    def rope(row, cosb, sinb):
-        # rotate-half on a (1, D) row: [x1, x2] -> [x1 c - x2 s, x2 c + x1 s]
-        h1_, h2_ = row[:, : D // 2], row[:, D // 2:]
-        rot = jnp.concatenate([-h2_, h1_], axis=1)
-        return row * cosb + rot * sinb
+    def _slab_loads(b):
+        return [
+            pltpu.make_async_copy(k_hbm.at[li0, b], kslab, sems.at[4]),
+            pltpu.make_async_copy(v_hbm.at[li0, b], vslab, sems.at[5]),
+            pltpu.make_async_copy(ks_hbm.at[li0, b], ks_slab, sems.at[6]),
+            pltpu.make_async_copy(vs_hbm.at[li0, b], vs_slab, sems.at[7]),
+        ]
+
+    # B == 1: the KV slab loads don't depend on anything this kernel
+    # computes — start them at the FIRST grid step so the ~4 MB (7B)
+    # streams behind the Wqkv tiles instead of serialising at the start
+    # of the attention phase. (B > 1 reuses the slab scratch per batch
+    # row, so loads stay at each row's first attention step. Skipped when
+    # the profiling grid truncation drops phase 2 — an un-waited DMA at
+    # kernel end aborts the TPU.)
+    if prefetch_slabs:
+        @pl.when(s == 0)
+        def _():
+            for c in _slab_loads(0):
+                c.start()
 
     in_p2 = (s >= T1) & (s < T1 + T2)
 
@@ -174,38 +190,48 @@ def _layer_kernel(
                            preferred_element_type=jnp.float32)  # (1, D)
             sinb = jnp.dot(bsel, sinf_ref[...],
                            preferred_element_type=jnp.float32)
-            ks_acc = jnp.zeros((1, Hp), jnp.float32)
-            vs_acc = jnp.zeros((1, Hp), jnp.float32)
-            lane_hp = jax.lax.broadcasted_iota(jnp.int32, (1, Hp), 1)
-            for h in range(Hq):
-                off = h * D
-                qh = rope(qkvb[:, off:off + D], cosb, sinb)
-                # rope'd q written back in place for the attention sweep
-                qkv[:, off:off + D] = jnp.where(
-                    bsel.T > 0, qh, qkv[:, off:off + D]
-                )
-            krows, vrows = [], []
-            for h in range(Hkv):
-                koff = HD + h * D
-                voff = HD + KVD + h * D
-                kh = rope(qkvb[:, koff:koff + D], cosb, sinb)  # (1, D)
-                vh = qkvb[:, voff:voff + D]
-                kmax = jnp.max(jnp.abs(kh))
-                vmax = jnp.max(jnp.abs(vh))
-                ksc = jnp.maximum(kmax, 1e-8) / 127.0
-                vsc = jnp.maximum(vmax, 1e-8) / 127.0
-                krows.append(jnp.clip(
-                    jnp.round(kh / ksc), -128, 127).astype(jnp.int8))
-                vrows.append(jnp.clip(
-                    jnp.round(vh / vsc), -128, 127).astype(jnp.int8))
-                ks_acc = jnp.where(lane_hp == h, ksc, ks_acc)
-                vs_acc = jnp.where(lane_hp == h, vsc, vs_acc)
-            krow[...] = jnp.concatenate(krows, axis=0)  # (Hkv, D)
-            vrow[...] = jnp.concatenate(vrows, axis=0)
-            ksrow[...] = ks_acc
-            vsrow[...] = vs_acc
+            # rope + per-head INT8 quant BATCHED over heads: two 16 KB
+            # relayouts ((1, H*D) <-> (H, D)) replace ~2*(Hq+Hkv) serial
+            # (1, D) ops — the round-2 phase profile put this section at
+            # ~20 us/layer at 7B (comparable to the whole attention DMA)
+            def rope_rows(rows, cosb, sinb):
+                # rotate-half on (H, D) rows, cos/sin broadcast over rows
+                h1_, h2_ = rows[:, : D // 2], rows[:, D // 2:]
+                rot = jnp.concatenate([-h2_, h1_], axis=1)
+                return rows * cosb + rot * sinb
 
-            copies = [
+            q_roped = rope_rows(qkvb[:, :HD].reshape(Hq, D), cosb, sinb)
+            qkv[:, :HD] = jnp.where(
+                bsel.T > 0, q_roped.reshape(1, HD), qkv[:, :HD]
+            )
+            kr = rope_rows(
+                qkvb[:, HD:HD + KVD].reshape(Hkv, D), cosb, sinb
+            )  # (Hkv, D)
+            vr = qkvb[:, HD + KVD:].reshape(Hkv, D)
+            ksc = jnp.maximum(
+                jnp.max(jnp.abs(kr), axis=1, keepdims=True), 1e-8
+            ) / 127.0  # (Hkv, 1)
+            vsc = jnp.maximum(
+                jnp.max(jnp.abs(vr), axis=1, keepdims=True), 1e-8
+            ) / 127.0
+            krow[...] = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(
+                jnp.int8)
+            vrow[...] = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(
+                jnp.int8)
+            ksc_t = jnp.transpose(ksc)  # (1, Hkv)
+            vsc_t = jnp.transpose(vsc)
+            if Hp == Hkv:
+                ksrow[...] = ksc_t
+                vsrow[...] = vsc_t
+            else:
+                zpad = jnp.zeros((1, Hp - Hkv), jnp.float32)
+                ksrow[...] = jnp.concatenate([ksc_t, zpad], axis=1)
+                vsrow[...] = jnp.concatenate([vsc_t, zpad], axis=1)
+
+            # the row writes and the (possibly prefetched) slab loads race
+            # on the cache row in HBM — harmless, the VMEM slab is patched
+            # with the fresh row below either way
+            row_writes = [
                 pltpu.make_async_copy(
                     krow, ko_hbm.at[li0, b, length], sems.at[0]),
                 pltpu.make_async_copy(
@@ -214,65 +240,45 @@ def _layer_kernel(
                     ksrow, kso_hbm.at[li0, b, pl.ds(length, 1)], sems.at[2]),
                 pltpu.make_async_copy(
                     vsrow, vso_hbm.at[li0, b, pl.ds(length, 1)], sems.at[3]),
-                pltpu.make_async_copy(k_hbm.at[li0, b], kslab, sems.at[4]),
-                pltpu.make_async_copy(v_hbm.at[li0, b], vslab, sems.at[5]),
-                pltpu.make_async_copy(ks_hbm.at[li0, b], ks_slab, sems.at[6]),
-                pltpu.make_async_copy(vs_hbm.at[li0, b], vs_slab, sems.at[7]),
             ]
-            for c in copies:
+            loads = _slab_loads(b)
+            for c in row_writes:
                 c.start()
-            for c in copies:
+            if not prefetch_slabs:  # else started at s == 0
+                for c in loads:
+                    c.start()
+            for c in row_writes + loads:
                 c.wait()
             kslab[length, :, :] = krow[...]
             vslab[length, :, :] = vrow[...]
 
         base_kv = pl.multiple_of(g * hg, hg) if n_groups > 1 else 0
+        hgq = hg * n_rep
         k8g = kslab[slice(None), pl.ds(base_kv, hg), :]  # (S, hg, D)
         v8g = vslab[slice(None), pl.ds(base_kv, hg), :]
-        ks_full = ks_slab[...]
-        vs_full = vs_slab[...]
-        lane_col = jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0)
-        row_is_new = (
-            jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) == length
-        )
         bcol = bsel.T  # (B, 1)
-        for i in range(hg):
-            onehot = (lane_col == base_kv + i).astype(jnp.float32)
-            ks_col = jnp.dot(ks_full, onehot)
-            vs_col = jnp.dot(vs_full, onehot)
-            k_si = jnp.dot(ksrow[...], onehot)[0, 0]
-            v_si = jnp.dot(vsrow[...], onehot)[0, 0]
-            ks_col = jnp.where(row_is_new, k_si, ks_col)
-            vs_col = jnp.where(row_is_new, v_si, vs_col)
-            kf = k8g[:, i, :].astype(jnp.bfloat16)
-            vf = v8g[:, i, :].astype(jnp.bfloat16)
-            for r in range(n_rep):
-                # head index is traced (base_kv from the grid step):
-                # lane offset is a provable multiple of D=128
-                hoff = pl.multiple_of(
-                    (base_kv + i) * n_rep * D + r * D, D
-                )
-                qh = jnp.dot(bsel, qkv[:, pl.ds(hoff, D)],
-                             preferred_element_type=jnp.float32)
-                scores = jnp.dot(
-                    kf, qh.astype(jnp.bfloat16).T,
-                    preferred_element_type=jnp.float32,
-                )  # (S, 1)
-                scores = scores * ks_col * (1.0 / (D ** 0.5))
-                s_idx = jax.lax.broadcasted_iota(
-                    jnp.int32, scores.shape, 0
-                )
-                scores = jnp.where(s_idx <= length, scores, -1e30)
-                m = jnp.max(scores, axis=0, keepdims=True)
-                p = jnp.exp(scores - m)
-                denom = jnp.sum(p, axis=0)
-                p2 = (p * vs_col).astype(jnp.bfloat16)
-                outh = jnp.dot(p2.T, vf,
-                               preferred_element_type=jnp.float32)
-                outh = outh / denom.reshape(-1, 1)  # (1, D)
-                aout[:, pl.ds(hoff, D)] = jnp.where(
-                    bcol > 0, outh, aout[:, pl.ds(hoff, D)]
-                )
+        # whole head group in two MXU dots (ops/attention._group_attention;
+        # the per-head matvec loop was the fused kernels' top overhead in
+        # the round-2 phase profile) — scale columns gathered by one
+        # one-hot dot, the new row's scale (stale in the slab copy) masked
+        row_is_new = (
+            jax.lax.broadcasted_iota(jnp.int32, (S, hgq), 0) == length
+        )
+        sel = _head_sel(Hp, hgq, base_kv, n_rep)
+        ks_cols = jnp.dot(ks_slab[...], sel)  # (S, hgq)
+        vs_cols = jnp.dot(vs_slab[...], sel)
+        ks_cols = jnp.where(row_is_new, jnp.dot(ksrow[...], sel), ks_cols)
+        vs_cols = jnp.where(row_is_new, jnp.dot(vsrow[...], sel), vs_cols)
+        base_qoff = pl.multiple_of(base_kv * n_rep * D, D)
+        qrow = jnp.dot(bsel, qkv[:, pl.ds(base_qoff, hgq * D)],
+                       preferred_element_type=jnp.float32)  # (1, hgq*D)
+        out_g = _group_attention(
+            k8g, v8g, qrow.reshape(hgq, D), ks_cols, vs_cols, length, n_rep
+        )
+        orow = out_g.reshape(1, hgq * D)
+        aout[:, pl.ds(base_qoff, hgq * D)] = jnp.where(
+            bcol > 0, orow, aout[:, pl.ds(base_qoff, hgq * D)]
+        )
 
     # ---- phase 3: Wo tiles + residual + ffn norm ----------------------------
     in_p3 = (s >= T1 + T2) & (s < T1 + T2 + T3)
@@ -336,6 +342,9 @@ def _layer_kernel(
         g_, u_ = h[:, :F], h[:, F:]
         a = (g_ * jax.nn.sigmoid(g_)) * u_
         q, sc = _quant_rows(a)
+        F_pad = g8buf.shape[-1]  # W2 may be K-padded (with_k_pad): zero
+        if F_pad != F:           # codes in x make the pad rows exact 0
+            q = jnp.pad(q, ((0, 0), (0, F_pad - F)))
         g8buf[...] = q
         gs8[...] = sc
 
@@ -368,13 +377,16 @@ def _layer_kernel(
                 o_ref[...] = acc2[...] * gs8[...]
 
 
-def fused_layer_supported(cfg, gs, B=1):
+def fused_layer_supported(cfg, gs, B=1, f_pad=None):
+    """f_pad: W2's (possibly with_k_pad-ded) input width; defaults to
+    cfg.ffn_dim."""
     dim, F = cfg.dim, cfg.ffn_dim
+    Fp = f_pad or F
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     Nq = (Hq + 2 * Hkv) * D
-    if gs <= 0 or B > 8 or D % 128:
+    if gs <= 0 or B > 8 or D % 128 or Fp < F:
         return False
-    for K, N in ((dim, Nq), (Hq * D, dim), (dim, 2 * F), (F, dim)):
+    for K, N in ((dim, Nq), (Hq * D, dim), (dim, 2 * F), (Fp, dim)):
         if K % gs or N % 128:
             return False
         KB, NT = _pick_tiles_u4(K, N, gs, False)
@@ -383,7 +395,7 @@ def fused_layer_supported(cfg, gs, B=1):
     # Wo and W2 output tiles must span the full row (residual adds)
     if _pick_tiles_u4(Hq * D, dim, gs, False)[1] != dim:
         return False
-    if _pick_tiles_u4(F, dim, gs, False)[1] != dim:
+    if _pick_tiles_u4(Fp, dim, gs, False)[1] != dim:
         return False
     return True
 
@@ -401,6 +413,7 @@ def fused_decoder_layer(x, pos, cos, sin, li,
     B, dim = x.shape
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     F = cfg.ffn_dim
+    Fp = w2.shape[-2]  # >= F when W2 is with_k_pad-ded
     Nq = (Hq + 2 * Hkv) * D
     HD = Hq * D
     S = k.shape[2]
@@ -412,15 +425,15 @@ def fused_decoder_layer(x, pos, cos, sin, li,
     KB1, NT1 = _pick_tiles_u4(dim, Nq, gs, False)
     KB3, NT3 = _pick_tiles_u4(HD, dim, gs, False)
     KB4, NT4 = _pick_tiles_u4(dim, 2 * F, gs, False)
-    KB5, NT5 = _pick_tiles_u4(F, dim, gs, False)
+    KB5, NT5 = _pick_tiles_u4(Fp, dim, gs, False)
     k1_t, n1_t = dim // KB1, Nq // NT1
     k3_t = HD // KB3
     k4_t, n4_t = dim // KB4, (2 * F) // NT4
-    k5_t = F // KB5
+    k5_t = Fp // KB5
     G81 = _sz_layout(dim // gs, KB1 // gs)
     G83 = _sz_layout(HD // gs, KB3 // gs)
     G84 = _sz_layout(dim // gs, KB4 // gs)
-    G85 = _sz_layout(F // gs, KB5 // gs)
+    G85 = _sz_layout(Fp // gs, KB5 // gs)
     T1, T2, T3 = n1_t * k1_t, B * n_groups, k3_t
     T4, T5 = n4_t * k4_t, k5_t
     T = T1 + T2 + T3 + T4 + T5
@@ -534,7 +547,7 @@ def fused_decoder_layer(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad, 1), jnp.float32),   # as_
             pltpu.VMEM((B_pad, dim), jnp.float32),  # xmid
             pltpu.VMEM((B_pad, 2 * F), jnp.float32),  # h1
-            pltpu.VMEM((B_pad, F), jnp.int8),      # g8 (w2 input)
+            pltpu.VMEM((B_pad, Fp), jnp.int8),     # g8 (w2 input; K-padded)
             pltpu.VMEM((B_pad, 1), jnp.float32),   # gs8
             pltpu.VMEM((B_pad, NT1), jnp.float32),  # accq
             pltpu.VMEM((B_pad, NT3), jnp.float32),  # acco
@@ -558,6 +571,7 @@ def fused_decoder_layer(x, pos, cos, sin, li,
             k1_t=k1_t, n1_t=n1_t, G81=G81, k3_t=k3_t, G83=G83,
             k4_t=k4_t, n4_t=n4_t, G84=G84, k5_t=k5_t, G85=G85,
             debug_out=debug_out,
+            prefetch_slabs=(B == 1 and _n_phases >= 2),
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -433,38 +433,57 @@ def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk,
     o_ref[...] = acc_ref[...]
 
 
-# u4 tiles cost 0.5 byte/cell + 1 byte/cell for the s8 cast temp; the
-# budget doubles vs the u8-container kernels (same ~10 MB live VMEM).
-_TILE_CELL_BUDGET_U4 = 3_200_000
+# u4 tiles cost 0.5 byte/cell + 1 byte/cell for the s8 cast temp. The
+# round-2 per-phase profile put per-grid-step overhead at ~0.33 us, so
+# fewer/bigger k-steps win until the double-buffered tile pair (+ s8 temp)
+# crowds VMEM: 6.6M cells = 3.3 MB/tile, ~13 MB live with the cast temp —
+# still inside the 16 MB scoped default for the standalone kernels.
+_TILE_CELL_BUDGET_U4 = 6_600_000
 
 
 def _pick_tiles_u4(K, N, gs_eff, per_channel):
+    """Grouped path: K tiles are chosen FIRST, preferring K_BLK = 8*gs
+    (then the scale/zero window rows are picked statically — _sz_rows'
+    masked-select over an (8, NT) window costs ~0.4 us/step at 7B widths),
+    trading N-tile width down within the cell budget. Fewer, bigger
+    k-steps also amortise the ~0.33 us/grid-step overhead (round-2 phase
+    profile)."""
     if per_channel:
         K_BLK = 512
         while K % K_BLK != 0 and K_BLK > 8:
             K_BLK //= 2
         if K % K_BLK != 0:
             K_BLK = K
-    else:
-        K_BLK = gs_eff
-    NT = N
-    for cand in sorted(
+        NT = N
+        for cand in sorted(
+            {d for d in range(128, N + 1, 128) if N % d == 0} | {N},
+            reverse=True,
+        ):
+            if K_BLK * cand <= _TILE_CELL_BUDGET_U4:
+                NT = cand
+                break
+        else:
+            NT = 128 if N % 128 == 0 else N
+        return K_BLK, NT
+
+    kcands = [
+        m for m in range(gs_eff, min(K, 1024) + 1, gs_eff) if K % m == 0
+    ]
+    static8 = [m for m in kcands if (m // gs_eff) % 8 == 0]
+    ncands = sorted(
         {d for d in range(128, N + 1, 128) if N % d == 0} | {N},
         reverse=True,
-    ):
+    )
+    K_BLK = max(static8) if static8 else max(kcands, default=gs_eff)
+    for cand in ncands:
         if K_BLK * cand <= _TILE_CELL_BUDGET_U4:
-            NT = cand
-            break
-    else:
-        NT = 128 if N % 128 == 0 else N
-    while (
-        not per_channel
-        and K_BLK < 512
-        and K % (K_BLK * 2) == 0
-        and K_BLK * 2 * NT <= _TILE_CELL_BUDGET_U4
-    ):
-        K_BLK *= 2
-    return K_BLK, NT
+            return K_BLK, cand
+    # N has no narrow-enough lane divisor: shrink K instead
+    NT = ncands[-1] if ncands else N
+    for m in sorted(kcands, reverse=True):
+        if m * NT <= _TILE_CELL_BUDGET_U4:
+            return m, NT
+    return gs_eff, NT
 
 
 def _supports_pallas_u4(K, N, gs, B=1):

@@ -83,8 +83,8 @@ def test_scanned_decode_with_layer_kernel_matches_unrolled():
     np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_ref))
 
 
-@pytest.mark.parametrize("B", [1, 2])
-def test_fused_decoder_layer_matches_oracle(B):
+@pytest.mark.parametrize("B,k_pad", [(1, None), (2, None), (1, 256)])
+def test_fused_decoder_layer_matches_oracle(B, k_pad):
     cfg = _mk_cfg()
     gs = 64
     assert fused_layer_supported(cfg, gs, B)
@@ -144,6 +144,12 @@ def test_fused_decoder_layer_matches_oracle(B):
     expected = x1 + a8(q["w2"], jax.nn.silu(g_) * u_)
 
     # ---- fused kernel ----------------------------------------------------
+    if k_pad:
+        # K-padded W2 (with_k_pad): pad rows are exact zeros; the kernel's
+        # padded g8 scratch must reproduce the unpadded oracle
+        q["w2"] = q["w2"].with_k_pad(k_pad)
+        assert q["w2"].k_padded == 512
+        assert fused_layer_supported(cfg, gs, B, f_pad=512)
     Hp = 128
     pad = ((0, 0), (0, 0), (0, Hp - Hkv))
 

@@ -369,6 +369,31 @@ def test_with_u4_pairs_quantlinear_parity():
     )
 
 
+def test_with_k_pad_forward_parity():
+    """with_k_pad (zero rows, scale 1) preserves forward semantics exactly:
+    callers' x is zero-padded to the packed K and pad rows contribute 0 in
+    both the dense-dequant and A8 epilogues."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    K, N = 384, 256
+    w = jax.random.normal(jax.random.PRNGKey(45), (K, N), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(46), (2, K), jnp.float32)
+    for impl in ("auto", "a8"):
+        ql = QuantLinear.from_dense(w, bits=4, groupsize=128, impl=impl)
+        qlp = ql.with_k_pad(256)
+        assert qlp.k_padded == 512 and qlp.scales.shape == (4, N)
+        # K-grouping changes the summation order: tiny fp drift only
+        np.testing.assert_allclose(
+            np.asarray(qlp(x)), np.asarray(ql(x)), rtol=1e-4, atol=1e-5
+        )
+    # pairs container round-trips through the pad too
+    qlp2 = ql.with_u4_pairs(drop_fold=True).with_k_pad(256)
+    assert "u4p" in qlp2.packed and qlp2.packed["u4p"].shape[0] == 512
+    np.testing.assert_allclose(
+        np.asarray(qlp2(x)), np.asarray(ql(x)), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_u4_stacked_kernel_interpret():
     """Layer-indexed scalar-prefetch kernel: for every layer index, the
     stacked kernel equals the per-layer dequant-dense oracle."""
