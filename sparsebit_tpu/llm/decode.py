@@ -360,8 +360,10 @@ def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
 
     B0, S0 = tokens.shape
     if _scan_uses_layer_kernel(S0, layers, quant_mode, cfg, B0):
-        # whole decoder layer = ONE kernel launch (ops/layer_fused.py)
-        from sparsebit_tpu.ops.layer_fused import fused_decoder_layer
+        # the WHOLE backbone = ONE kernel launch: grid (n_layers, phases)
+        # with the activation carried in VMEM scratch between layers
+        # (ops/layer_fused.fused_decoder_layers)
+        from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
 
         angles = pos0[:, None].astype(jnp.float32) * inv_freq  # (B, D/2)
         cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)
@@ -369,28 +371,21 @@ def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
         gs = layers["wqkv"].groupsize
         interp = jax.default_backend() != "tpu"
 
-        def body_fused(carry, li):
-            x, k, v, ks, vs = carry
-            out, k, v, ks, vs = fused_decoder_layer(
-                x[:, 0].astype(jnp.float32), pos0, cosf, sinf, li,
-                layers["wqkv"].packed["u4"], layers["wqkv"].scales,
-                layers["wqkv"].zeros,
-                layers["wo"].packed["u4"], layers["wo"].scales,
-                layers["wo"].zeros,
-                layers["w13"].packed["u4"], layers["w13"].scales,
-                layers["w13"].zeros,
-                layers["w2"].packed["u4"], layers["w2"].scales,
-                layers["w2"].zeros,
-                layers["attn_norm"], layers["ffn_norm"],
-                k, v, ks, vs, cfg, gs, interpret=interp,
-            )
-            return (out[:, None].astype(x.dtype), k, v, ks, vs), None
-
         k, v, ks, vs = kvs
-        (x, k, v, ks, vs), _ = jax.lax.scan(
-            body_fused, (x, k, v, ks, vs),
-            jnp.arange(cfg.n_layers, dtype=jnp.int32),
+        out, k, v, ks, vs = fused_decoder_layers(
+            x[:, 0].astype(jnp.float32), pos0, cosf, sinf,
+            layers["wqkv"].packed["u4"], layers["wqkv"].scales,
+            layers["wqkv"].zeros,
+            layers["wo"].packed["u4"], layers["wo"].scales,
+            layers["wo"].zeros,
+            layers["w13"].packed["u4"], layers["w13"].scales,
+            layers["w13"].zeros,
+            layers["w2"].packed["u4"], layers["w2"].scales,
+            layers["w2"].zeros,
+            layers["attn_norm"], layers["ffn_norm"],
+            k, v, ks, vs, cfg, gs, interpret=interp,
         )
+        x = out[:, None].astype(x.dtype)
         x = L.rms_norm(x, params["norm"], cfg.rms_eps)
         logits = params["lm_head"](x).astype(jnp.float32)
         return logits, (k, v, ks, vs)

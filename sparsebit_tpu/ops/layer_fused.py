@@ -1,4 +1,8 @@
-"""Whole-decoder-layer decode megakernel: ONE launch per layer.
+"""Decoder-layer decode megakernel: ONE launch per layer — or, via
+``fused_decoder_layers``, ONE launch for the whole backbone (grid
+``(n_layers, phases)`` with the activation row carried in VMEM scratch
+between layers, so the per-launch pipeline fill and dispatch gap are paid
+once per token instead of once per layer).
 
     x' = x + Wo(attn(rope(Wqkv(rms_norm(x))), cache))          (attn half)
     out = x' + W2(glu(W13(rms_norm(x'))))                      (ffn half)
@@ -97,15 +101,26 @@ def _layer_kernel(
     w13_ref, s13_ref, z13_ref, w2_ref, s2_ref, z2_ref,
     k_hbm, v_hbm, ks_hbm, vs_hbm,
     o_ref, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
-    xq8, xs, qkv, aout, a8, as_, xmid, h1, g8buf, gs8,
+    xcur, xq8, xs, qkv, aout, a8, as_, xmid, h1, g8buf, gs8,
     accq, acco, acc13, acc2,
     kslab, vslab, ks_slab, vs_slab, krow, vrow, ksrow, vsrow, sems,
     *, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False,
 ):
-    s = pl.program_id(0)
-    li0 = li_ref[0]
+    # grid is (n_grid_layers, T): the leading dimension walks whole decoder
+    # layers with the activation carried in VMEM scratch (xcur) — one
+    # launch covers the whole backbone, so the per-launch pipeline fill
+    # (~15 us: first tile of every phase + scalar prefetch) is paid once
+    # per TOKEN instead of once per layer, and weight DMA streams across
+    # layer boundaries.
+    l = pl.program_id(0)
+    s = pl.program_id(1)
+    li0 = li_ref[0] + l
+
+    @pl.when((l == 0) & (s == 0))
+    def _():
+        xcur[...] = x_ref[...].astype(jnp.float32)
     S = kslab.shape[0]
     Hp = ks_slab.shape[-1]
     HD = Hq * D
@@ -120,7 +135,7 @@ def _layer_kernel(
     # ---- phase 0: attn norm + int8 quant of x -------------------------------
     @pl.when(s == 0)
     def _():
-        xf = x_ref[...].astype(jnp.float32)
+        xf = xcur[...]
         xn = _norm_row(an_ref, li0, eps, xf)
         q, sc = _quant_rows(xn)
         xq8[...] = q
@@ -301,7 +316,7 @@ def _layer_kernel(
 
         @pl.when(k == T3 - 1)
         def _():
-            xm = x_ref[...].astype(jnp.float32) + acco[...] * as_[...]
+            xm = xcur[...] + acco[...] * as_[...]
             xmid[...] = xm
             xn = _norm_row(fn_ref, li0, eps, xm)
             q, sc = _quant_rows(xn)
@@ -363,8 +378,17 @@ def _layer_kernel(
 
         @pl.when(k == k5_t - 1)
         def _():
+            out = xmid[...] + acc2[...] * gs8[...]
+            if B != out.shape[0]:
+                # zero the batch-pad rows: attention never writes them, so
+                # they carry VMEM garbage (inf/nan) through the row-local
+                # phases, and the next layer's one-hot batch-row dots would
+                # propagate 0 x nan into the real rows
+                row_ok = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) < B
+                out = jnp.where(row_ok, out, 0.0)
+            xcur[...] = out  # real carry even under debug_out
             if debug_out is None:
-                o_ref[...] = xmid[...] + acc2[...] * gs8[...]
+                o_ref[...] = out
             elif debug_out == "xmid":
                 o_ref[...] = xmid[...]
             elif debug_out == "aout":
@@ -410,6 +434,41 @@ def fused_decoder_layer(x, pos, cos, sin, li,
     pos (B,) int32 cache row == attended length; cos/sin (B, D) full-width
     rotate-half rope terms for this position; weight/scale stacks as in
     ffn_fused; caches as in decode_attention_update (ks/vs lane-padded)."""
+    return _fused_call(
+        x, pos, cos, sin, li, wq, sq, zq, wo, so, zo, w13, s13, z13,
+        w2, s2, z2, attn_norm, ffn_norm, k, v, ks, vs, cfg, gs,
+        interpret=interpret, debug_out=debug_out, _n_phases=_n_phases,
+        n_grid_layers=1,
+    )
+
+
+def fused_decoder_layers(x, pos, cos, sin,
+                         wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
+                         attn_norm, ffn_norm, k, v, ks, vs,
+                         cfg, gs, interpret=False):
+    """The WHOLE backbone in one launch: grid (n_layers, T) walks every
+    decoder layer's five phases with the activation row carried in VMEM
+    scratch between layers. vs. one launch per layer this saves the
+    per-launch pipeline fill (~15 us/layer measured at 7B) and the
+    inter-launch dispatch gap, and lets the weight stream run into the
+    next layer while the current one finishes.
+
+    x (B, dim) f32 -> (out (B, dim) f32 post-last-layer (pre final norm),
+    k, v, ks, vs updated in place). Weight/scale stacks are (L, ...);
+    caches (L, B, S, ...)."""
+    return _fused_call(
+        x, pos, cos, sin, jnp.int32(0), wq, sq, zq, wo, so, zo,
+        w13, s13, z13, w2, s2, z2, attn_norm, ffn_norm, k, v, ks, vs,
+        cfg, gs, interpret=interpret, debug_out=None, _n_phases=5,
+        n_grid_layers=k.shape[0],
+    )
+
+
+def _fused_call(x, pos, cos, sin, li,
+                wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
+                attn_norm, ffn_norm, k, v, ks, vs,
+                cfg, gs, interpret=False, debug_out=None,
+                _n_phases=5, n_grid_layers=1):
     B, dim = x.shape
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     F = cfg.ffn_dim
@@ -467,64 +526,72 @@ def fused_decoder_layer(x, pos, cos, sin, li,
     GB1, GB3, GB4, GB5 = KB1 // gs, KB3 // gs, KB4 // gs, KB5 // gs
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T_grid,),
+        grid=(n_grid_layers, T_grid),
         in_specs=[
-            pl.BlockSpec((B_pad, dim), lambda s, li_r, len_r: (0, 0)),   # x
-            pl.BlockSpec((Wn, dim), lambda s, li_r, len_r: (li_r[0] // Wn, 0)),
-            pl.BlockSpec((Wn, dim), lambda s, li_r, len_r: (li_r[0] // Wn, 0)),
-            pl.BlockSpec((B_pad, D), lambda s, li_r, len_r: (0, 0)),     # cos
-            pl.BlockSpec((B_pad, D), lambda s, li_r, len_r: (0, 0)),     # sin
+            pl.BlockSpec((B_pad, dim), lambda l, s, li_r, len_r: (0, 0)),  # x
+            pl.BlockSpec(
+                (Wn, dim), lambda l, s, li_r, len_r: ((li_r[0] + l) // Wn, 0)
+            ),
+            pl.BlockSpec(
+                (Wn, dim), lambda l, s, li_r, len_r: ((li_r[0] + l) // Wn, 0)
+            ),
+            pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r: (0, 0)),  # cos
+            pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r: (0, 0)),  # sin
             pl.BlockSpec(
                 (1, KB1, NT1),
-                lambda s, li_r, len_r: (li_r[0], p1(s), n1_of(s)),
+                lambda l, s, li_r, len_r: (li_r[0] + l, p1(s), n1_of(s)),
             ),
             pl.BlockSpec(
                 (1, G81, NT1),
-                lambda s, li_r, len_r: (
-                    li_r[0], (p1(s) * GB1) // G81, n1_of(s)),
+                lambda l, s, li_r, len_r: (
+                    li_r[0] + l, (p1(s) * GB1) // G81, n1_of(s)),
             ),
             pl.BlockSpec(
                 (1, G81, NT1),
-                lambda s, li_r, len_r: (
-                    li_r[0], (p1(s) * GB1) // G81, n1_of(s)),
+                lambda l, s, li_r, len_r: (
+                    li_r[0] + l, (p1(s) * GB1) // G81, n1_of(s)),
             ),
             pl.BlockSpec(
                 (1, KB3, NT3),
-                lambda s, li_r, len_r: (li_r[0], p3(s), 0),
+                lambda l, s, li_r, len_r: (li_r[0] + l, p3(s), 0),
             ),
             pl.BlockSpec(
                 (1, G83, NT3),
-                lambda s, li_r, len_r: (li_r[0], (p3(s) * GB3) // G83, 0),
+                lambda l, s, li_r, len_r: (
+                    li_r[0] + l, (p3(s) * GB3) // G83, 0),
             ),
             pl.BlockSpec(
                 (1, G83, NT3),
-                lambda s, li_r, len_r: (li_r[0], (p3(s) * GB3) // G83, 0),
+                lambda l, s, li_r, len_r: (
+                    li_r[0] + l, (p3(s) * GB3) // G83, 0),
             ),
             pl.BlockSpec(
                 (1, KB4, NT4),
-                lambda s, li_r, len_r: (li_r[0], p4(s), n4_of(s)),
+                lambda l, s, li_r, len_r: (li_r[0] + l, p4(s), n4_of(s)),
             ),
             pl.BlockSpec(
                 (1, G84, NT4),
-                lambda s, li_r, len_r: (
-                    li_r[0], (p4(s) * GB4) // G84, n4_of(s)),
+                lambda l, s, li_r, len_r: (
+                    li_r[0] + l, (p4(s) * GB4) // G84, n4_of(s)),
             ),
             pl.BlockSpec(
                 (1, G84, NT4),
-                lambda s, li_r, len_r: (
-                    li_r[0], (p4(s) * GB4) // G84, n4_of(s)),
+                lambda l, s, li_r, len_r: (
+                    li_r[0] + l, (p4(s) * GB4) // G84, n4_of(s)),
             ),
             pl.BlockSpec(
                 (1, KB5, NT5),
-                lambda s, li_r, len_r: (li_r[0], p5(s), 0),
+                lambda l, s, li_r, len_r: (li_r[0] + l, p5(s), 0),
             ),
             pl.BlockSpec(
                 (1, G85, NT5),
-                lambda s, li_r, len_r: (li_r[0], (p5(s) * GB5) // G85, 0),
+                lambda l, s, li_r, len_r: (
+                    li_r[0] + l, (p5(s) * GB5) // G85, 0),
             ),
             pl.BlockSpec(
                 (1, G85, NT5),
-                lambda s, li_r, len_r: (li_r[0], (p5(s) * GB5) // G85, 0),
+                lambda l, s, li_r, len_r: (
+                    li_r[0] + l, (p5(s) * GB5) // G85, 0),
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),  # k
             pl.BlockSpec(memory_space=pltpu.HBM),  # v
@@ -532,13 +599,14 @@ def fused_decoder_layer(x, pos, cos, sin, li,
             pl.BlockSpec(memory_space=pltpu.HBM),  # vs
         ],
         out_specs=[
-            pl.BlockSpec((B_pad, dim), lambda s, li_r, len_r: (0, 0)),
+            pl.BlockSpec((B_pad, dim), lambda l, s, li_r, len_r: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
+            pltpu.VMEM((B_pad, dim), jnp.float32),  # xcur (carried act row)
             pltpu.VMEM((B_pad, dim), jnp.int8),    # xq8
             pltpu.VMEM((B_pad, 1), jnp.float32),   # xs
             pltpu.VMEM((B_pad, Nq), jnp.float32),  # qkv
@@ -585,7 +653,7 @@ def fused_decoder_layer(x, pos, cos, sin, li,
         # caches are inputs 19..22) -> outputs 1..4
         input_output_aliases={19: 1, 20: 2, 21: 3, 22: 4},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             # five phases' tiles + KV slabs + activation scratch exceed the
             # 16 MB default scoped-VMEM budget; v5e has far more physical
             # VMEM — raise the cap rather than shrink tiles

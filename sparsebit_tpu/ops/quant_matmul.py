@@ -784,6 +784,15 @@ def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     xq, x_scale = tokenwise_quant(x2.astype(jnp.float32))
+    if bits == 4 and "u4p" in packed and "u4" not in packed:
+        # nibble-pair serving layout (QuantLinear.with_u4_pairs, possibly
+        # drop_fold-ed so no "w" container exists): the u4 kernel view is
+        # a free in-jit bitcast. Keep "u4p" so the dense fallback's
+        # unpack_columns still has a jit-boundary-crossing container.
+        from sparsebit_tpu.ops.packing import u4_from_pairs
+
+        packed = dict(packed)
+        packed["u4"] = u4_from_pairs(packed["u4p"])
     if (
         "u4" in packed
         and _supports_pallas_u4(K, N, groupsize, xq.shape[0])
@@ -793,7 +802,8 @@ def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
             xq, packed["u4"], scales, zeros, groupsize, N
         )
     elif (
-        _supports_pallas(bits, K, N, groupsize, xq.shape[0])
+        (bits == 3 or "w" in packed)
+        and _supports_pallas(bits, K, N, groupsize, xq.shape[0])
         and jax.default_backend() == "tpu"
     ):
         if bits == 3:
@@ -831,10 +841,14 @@ def _qmm_fwd_impl(x, packed, scales, zeros, bits, groupsize, N, impl):
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    use_pallas = impl == "pallas" or (
-        impl == "auto"
-        and _supports_pallas(bits, K, N, groupsize, x2.shape[0])
-        and jax.default_backend() == "tpu"
+    has_kernel_container = bits == 3 or "w" in packed
+    use_pallas = has_kernel_container and (
+        impl == "pallas"
+        or (
+            impl == "auto"
+            and _supports_pallas(bits, K, N, groupsize, x2.shape[0])
+            and jax.default_backend() == "tpu"
+        )
     )
     if use_pallas and bits == 3:
         out = _quant_matmul_pallas_3bit(x2, packed, scales, zeros, groupsize, N)

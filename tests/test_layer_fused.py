@@ -83,6 +83,66 @@ def test_scanned_decode_with_layer_kernel_matches_unrolled():
     np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_ref))
 
 
+def test_fused_decoder_layers_matches_sequential():
+    """Whole-backbone launch (grid (L, T), activation carried in VMEM
+    scratch) == one fused_decoder_layer launch per layer. B=2 exercises
+    the batch-pad-row masking of the carried activation."""
+    from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
+
+    cfg = _mk_cfg()
+    gs = 64
+    D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    B, S, Lx = 2, 32, 2
+    keys = jax.random.split(jax.random.PRNGKey(0), Lx)
+    built = [_build(cfg, gs, k) for k in keys]
+    names = ("wqkv", "wo", "w13", "w2")
+    u4s = {n: jnp.stack([codes_to_u4(b[0][n].packed, 4, b[0][n].out_features)
+                         for b in built]) for n in names}
+    scs = {n: jnp.stack([b[0][n].scales for b in built]) for n in names}
+    zrs = {n: jnp.stack([b[0][n].zeros for b in built]) for n in names}
+    ans = jnp.stack([b[1] for b in built])
+    fns = jnp.stack([b[2] for b in built])
+    Hp = 128
+    kk, kv, kx = jax.random.split(jax.random.PRNGKey(1), 3)
+    k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
+    pos = jnp.asarray([5, 9], jnp.int32)
+    inv_freq = L.rope_frequencies(cfg)
+    angles = pos[:, None].astype(jnp.float32) * inv_freq
+    cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)
+    sinf = jnp.concatenate([jnp.sin(angles)] * 2, axis=1)
+    args = (u4s["wqkv"], scs["wqkv"], zrs["wqkv"],
+            u4s["wo"], scs["wo"], zrs["wo"],
+            u4s["w13"], scs["w13"], zrs["w13"],
+            u4s["w2"], scs["w2"], zrs["w2"], ans, fns)
+
+    @jax.jit
+    def seq():
+        st = (x, k8, v8, kssc, vssc)
+        for li in range(Lx):
+            st = fused_decoder_layer(
+                st[0], pos, cosf, sinf, jnp.int32(li), *args,
+                *st[1:], cfg, gs, interpret=True)
+        return st
+
+    @jax.jit
+    def multi():
+        return fused_decoder_layers(
+            x, pos, cosf, sinf, *args, k8, v8, kssc, vssc, cfg, gs,
+            interpret=True)
+
+    o1, o2 = seq(), multi()
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("B,k_pad", [(1, None), (2, None), (1, 256)])
 def test_fused_decoder_layer_matches_oracle(B, k_pad):
     cfg = _mk_cfg()

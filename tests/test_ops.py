@@ -341,6 +341,39 @@ def test_u4_pairs_bitcast_roundtrip():
     np.testing.assert_array_equal(np.asarray(back(pairs)), np.asarray(codes))
 
 
+def test_u4p_only_dispatch_no_fold_container(monkeypatch):
+    """quant_matmul_a8 with a pairs-ONLY packed dict (with_u4_pairs
+    drop_fold=True: no "w" fold) must dispatch cleanly on the TPU branch
+    selector at every batch regime. Regression: the prefill-size branch
+    (rows > 64, u4 kernel gated off) used to fall into the folded-weight
+    Pallas branch and KeyError on packed["w"]."""
+    import importlib
+
+    # attribute lookup via the ops package returns the rebound custom_vjp
+    # function, not the module — resolve the module itself
+    qm = importlib.import_module("sparsebit_tpu.ops.quant_matmul")
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    K, N = 256, 384
+    w = jax.random.normal(jax.random.PRNGKey(47), (K, N), jnp.float32)
+    ql = QuantLinear.from_dense(w, bits=4, groupsize=128, impl="a8")
+    qlp = ql.with_u4_pairs(drop_fold=True)
+    assert "w" not in qlp.packed
+    x = jax.random.normal(jax.random.PRNGKey(48), (80, K), jnp.float32)
+    ref = ql(x)  # same A8 semantics, computed before the backend patch
+    # pretend we're on TPU for branch selection, but keep every kernel off
+    # (CPU can't run compiled Pallas) — the dense fallback must be chosen
+    # without touching packed["w"]
+    monkeypatch.setattr(qm.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(qm, "_supports_pallas_u4", lambda *a, **k: False)
+    out = qm.quant_matmul_a8(
+        x, qlp.packed, qlp.scales, qlp.zeros, 4, 128, qlp.n_padded
+    )[..., : ql.out_features]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_with_u4_pairs_quantlinear_parity():
     """with_u4_pairs (host-side) + with_u4 (in-jit bitcast) produces the
     same u4 codes and forward output as the shift/mask unpack path."""
