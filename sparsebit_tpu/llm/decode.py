@@ -283,6 +283,20 @@ FORCE_FFN_KERNEL = None
 FORCE_LAYER_KERNEL = None
 
 
+def _u4_serving(lin):
+    """The QuantLinear's u4-kernel weight array, preferring the u8
+    row-pair container (with_u4_rows: kernel-side free bitcast, weights
+    stay loop invariants) over the in-jit uint4 view. None if neither."""
+    return lin.packed.get("u4r", lin.packed.get("u4"))
+
+
+def _u4_k_rows(lin):
+    """Logical K (input-channel rows) of the u4 serving array — row-pair
+    u8 arrays store K//2 sublanes."""
+    w = _u4_serving(lin)
+    return w.shape[-2] * (2 if w.dtype == jnp.uint8 else 1)
+
+
 def _scan_uses_layer_kernel(S, layers, quant_mode, cfg, batch):
     """True when the scanned decode runs each decoder layer as ONE fused
     launch (ops/layer_fused.py): fused-wqkv u4 QuantLinears for all four
@@ -299,11 +313,12 @@ def _scan_uses_layer_kernel(S, layers, quant_mode, cfg, batch):
         return False
     gs = lins[0].groupsize
     for ln in lins:
-        if "u4" not in ln.packed or ln.perm is not None or ln.bias is not None:
+        if _u4_serving(ln) is None or ln.perm is not None \
+                or ln.bias is not None:
             return False
         if ln.n_padded != ln.out_features or ln.groupsize != gs or gs <= 0:
             return False
-    f_pad = lins[3].packed["u4"].shape[-2]  # w2 may be with_k_pad-ded
+    f_pad = _u4_k_rows(lins[3])  # w2 may be with_k_pad-ded
     ok = fused_layer_supported(cfg, gs, batch, f_pad=f_pad)
     if FORCE_LAYER_KERNEL is not None:
         return FORCE_LAYER_KERNEL and ok
@@ -322,7 +337,7 @@ def _scan_uses_ffn_kernel(S, layers, cfg, batch):
     w13, w2 = layers.get("w13"), layers.get("w2")
     if not (isinstance(w13, QuantLinear) and isinstance(w2, QuantLinear)):
         return False
-    if "u4" not in w13.packed or "u4" not in w2.packed:
+    if _u4_serving(w13) is None or _u4_serving(w2) is None:
         return False
     if w13.perm is not None or w2.perm is not None:
         return False
@@ -333,7 +348,7 @@ def _scan_uses_ffn_kernel(S, layers, cfg, batch):
     gs = w13.groupsize
     if gs <= 0 or w2.groupsize != gs:
         return False
-    F = w2.packed["u4"].shape[-2]  # (L, F, dim)
+    F = _u4_k_rows(w2)  # (L, F, dim) u4 / (L, F//2, dim) u8 row-pairs
     if w13.out_features != 2 * F:
         return False
     ok = ffn_block_supported(cfg.dim, F, gs, batch)
@@ -374,13 +389,13 @@ def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
         k, v, ks, vs = kvs
         out, k, v, ks, vs = fused_decoder_layers(
             x[:, 0].astype(jnp.float32), pos0, cosf, sinf,
-            layers["wqkv"].packed["u4"], layers["wqkv"].scales,
+            _u4_serving(layers["wqkv"]), layers["wqkv"].scales,
             layers["wqkv"].zeros,
-            layers["wo"].packed["u4"], layers["wo"].scales,
+            _u4_serving(layers["wo"]), layers["wo"].scales,
             layers["wo"].zeros,
-            layers["w13"].packed["u4"], layers["w13"].scales,
+            _u4_serving(layers["w13"]), layers["w13"].scales,
             layers["w13"].zeros,
-            layers["w2"].packed["u4"], layers["w2"].scales,
+            _u4_serving(layers["w2"]), layers["w2"].scales,
             layers["w2"].zeros,
             layers["attn_norm"], layers["ffn_norm"],
             k, v, ks, vs, cfg, gs, interpret=interp,
@@ -456,8 +471,8 @@ def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
 
             w13, w2 = layers["w13"], layers["w2"]
             x = ffn_block_fused(
-                x[:, 0], w13.packed["u4"], w13.scales, w13.zeros,
-                w2.packed["u4"], w2.scales, w2.zeros,
+                x[:, 0], _u4_serving(w13), w13.scales, w13.zeros,
+                _u4_serving(w2), w2.scales, w2.zeros,
                 layers["ffn_norm"], li, w13.groupsize, cfg.rms_eps,
                 interpret=jax.default_backend() != "tpu",
             )[:, None].astype(x.dtype)
@@ -523,6 +538,36 @@ def decode_step_scanned(params_stacked, tokens, cache, cfg):
         cache.length + 1, cache.quantized,
     )
     return logits[:, 0], cache
+
+
+def prepare_params_host(params, drop_fold=True):
+    """HOST-side (outside jit) serving preparation: convert every packed
+    QuantLinear to the u8 ROW-PAIR layout (QuantLinear.with_u4_rows).
+    One-time repack at model load; after it the decode jits need no
+    in-jit weight conversion at all — the u8 arrays are true loop
+    invariants of the token scan and the kernels bitcast tiles to u4 in
+    register for free. (The previous in-jit with_u4/with_u4_pairs views
+    were re-materialised + re-copied by XLA INSIDE the token while-loop:
+    ~58 ms/tok at 7B vs the megakernel's 6 ms — trace 2026-08-17.)
+    Works on stacked (dict-of-stacked-leaves) and unstacked (list of
+    layer dicts) params."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    def conv(lin):
+        if isinstance(lin, QuantLinear):
+            return lin.with_u4_rows(drop_fold=drop_fold)
+        return lin
+
+    out = dict(params)
+    layers = params["layers"]
+    if isinstance(layers, dict):
+        out["layers"] = {k2: conv(v2) for k2, v2 in layers.items()}
+    else:
+        out["layers"] = [
+            {k2: conv(v2) for k2, v2 in lyr.items()} for lyr in layers
+        ]
+    out["lm_head"] = conv(out["lm_head"])
+    return out
 
 
 def prepare_stacked_params_for_decode(params_stacked):

@@ -177,6 +177,8 @@ class QuantLinear:
     def in_features(self):
         if "u4" in self.packed:
             return self.packed["u4"].shape[0]
+        if "u4r" in self.packed:
+            return self.packed["u4r"].shape[0] * 2
         first = next(iter(self.packed.values()))
         return first.shape[0]
 
@@ -191,7 +193,9 @@ class QuantLinear:
 
         from sparsebit_tpu.ops.packing import u4_from_pairs
 
-        if self.bits == 8 or "u4" in self.packed:
+        if self.bits == 8 or "u4" in self.packed or "u4r" in self.packed:
+            # u4r needs no in-jit view at all: the kernels bitcast u8
+            # row-pair tiles to u4 internally for free
             return self
         packed = dict(self.packed)
         if "u4p" in packed:
@@ -223,6 +227,36 @@ class QuantLinear:
         codes = unpack_columns(self.packed, self.bits, self.n_padded)
         packed = {} if (drop_fold and self.bits == 4) else dict(self.packed)
         packed["u4p"] = pack_u4_pairs(codes)
+        return QuantLinear(
+            packed, self.scales, self.zeros, self.bits, self.groupsize,
+            self.out_features, self.bias, self.impl, self.perm,
+            self.bwd_wq, self.bwd_scale,
+        )
+
+    def with_u4_rows(self, drop_fold=False):
+        """Return a copy carrying the uint8 ROW-PAIR codes array
+        (ops/packing.pack_u4_rows): THE u4 serving layout. The kernels
+        bitcast u8 tiles to u4 in-register for free, so — unlike with_u4
+        (in-jit uint4 view) or with_u4_pairs (in-jit bitcast that XLA
+        re-materialises and re-copies INSIDE the token while-loop,
+        measured ~58 ms/tok at 7B) — the weights cross the jit boundary
+        as plain uint8 and stay true loop invariants of the decode scan.
+        Host-side (one-time repack at load). Works on layer-stacked
+        leaves. drop_fold=True removes the canonical fold container
+        (halves serving HBM; 4-bit only — unpack_columns reconstructs
+        codes from the row-pairs, so dequantize keeps working)."""
+        from sparsebit_tpu.ops.packing import pack_u4_rows, unpack_columns
+
+        if (
+            self.bits == 8
+            or "u4r" in self.packed
+            or "u4" in self.packed
+            or "u4p" in self.packed
+        ):
+            return self
+        codes = unpack_columns(self.packed, self.bits, self.n_padded)
+        packed = {} if (drop_fold and self.bits == 4) else dict(self.packed)
+        packed["u4r"] = pack_u4_rows(codes)
         return QuantLinear(
             packed, self.scales, self.zeros, self.bits, self.groupsize,
             self.out_features, self.bias, self.impl, self.perm,
@@ -264,7 +298,7 @@ class QuantLinear:
         __call__/call_stacked zero-pad x to match, so every consumer stays
         correct."""
         from sparsebit_tpu.ops.packing import (
-            pack_columns, pack_u4_pairs, unpack_columns)
+            pack_columns, pack_u4_pairs, pack_u4_rows, unpack_columns)
 
         assert self.perm is None, "with_k_pad: act-order perm indexes K"
         assert self.groupsize > 0 and self.bits != 8
@@ -282,7 +316,9 @@ class QuantLinear:
         scales = jnp.pad(self.scales, ((0, gpad), (0, 0)),
                          constant_values=1.0)
         zeros = jnp.pad(self.zeros, ((0, gpad), (0, 0)))
-        if "u4p" in self.packed and self.bits == 4:
+        if "u4r" in self.packed and self.bits == 4:
+            packed = {"u4r": pack_u4_rows(codes)}
+        elif "u4p" in self.packed and self.bits == 4:
             packed = {"u4p": pack_u4_pairs(codes)}
         else:
             packed = pack_columns(codes, self.bits)

@@ -78,7 +78,7 @@ class DecodeEngine:
         self.params = quantize_llama_params(
             params,
             lambda path, lin: (
-                lin.with_u4_pairs() if isinstance(lin, QuantLinear) else lin
+                lin.with_u4_rows() if isinstance(lin, QuantLinear) else lin
             ),
             skip=(),
         )

@@ -38,6 +38,7 @@ from sparsebit_tpu.ops.quant_matmul import (
     _pick_tiles_u4,
     _sz_layout,
     _sz_rows,
+    _u4_tile,
 )
 
 
@@ -82,7 +83,7 @@ def _ffn_kernel(li_ref, x_ref, xres_ref, nw_ref,
 
         off = pl.multiple_of(k1 * KB1, KB1)
         xb = xq_ref[:, pl.ds(off, KB1)]  # (B, KB1) int8
-        codes = w13_ref[0].astype(jnp.int8)  # (KB1, NT1)
+        codes = _u4_tile(w13_ref[0]).astype(jnp.int8)  # (KB1, NT1)
         acc = None
         for g in range(GB1):
             xg = xb[:, g * gs: (g + 1) * gs]
@@ -125,7 +126,7 @@ def _ffn_kernel(li_ref, x_ref, xres_ref, nw_ref,
 
         off = pl.multiple_of(k2 * KB2, KB2)
         ab = a8_ref[:, pl.ds(off, KB2)]  # (B, KB2) int8
-        codes = w2_ref[0].astype(jnp.int8)  # (KB2, NT2)
+        codes = _u4_tile(w2_ref[0]).astype(jnp.int8)  # (KB2, NT2)
         acc = None
         for g in range(GB2):
             xg = ab[:, g * gs: (g + 1) * gs]
@@ -169,12 +170,15 @@ def ffn_block_fused(x, w13_u4, s13, z13, w2_u4, s2, z2, norm_w, li,
                     gs, eps, interpret=False):
     """x (B, dim) f32/bf16 -> (B, dim) f32 = x + FFN(rms_norm(x)).
 
-    w13_u4 (L, dim, 2F) uint4; s13/z13 (L, G1, 2F) f32;
-    w2_u4 (L, F, dim) uint4; s2/z2 (L, G2, dim) f32; norm_w (L, dim);
-    li () int32 layer index (scalar-prefetched). Unstacked callers pass
-    L=1 views and li=0.
+    w13_u4 (L, dim, 2F) uint4 or (L, dim//2, 2F) uint8 row-pairs
+    (pack_u4_rows; both weights must use the same layout);
+    s13/z13 (L, G1, 2F) f32; w2_u4 (L, F, dim) uint4 or (L, F//2, dim)
+    uint8; s2/z2 (L, G2, dim) f32; norm_w (L, dim); li () int32 layer
+    index (scalar-prefetched). Unstacked callers pass L=1 views and li=0.
     """
     B, dim = x.shape
+    rowpair = w13_u4.dtype == jnp.uint8
+    assert (w2_u4.dtype == jnp.uint8) == rowpair
     Lx, _, N1 = w13_u4.shape
     F = N1 // 2
     KB1, NT1 = _pick_tiles_u4(dim, N1, gs, False)
@@ -214,7 +218,7 @@ def ffn_block_fused(x, w13_u4, s13, z13, w2_u4, s2, z2, norm_w, li,
             # row li % W (default tiling — no whole-array retile)
             pl.BlockSpec((Wn, dim), lambda s, li_r: (li_r[0] // Wn, 0)),
             pl.BlockSpec(
-                (1, KB1, NT1),
+                (1, KB1 // 2 if rowpair else KB1, NT1),
                 lambda s, li_r: (li_r[0], pin13(s, li_r)[1], pin13(s, li_r)[0]),
             ),                                                      # w13
             # scale/zero blocks are (G8, NT) windows with DEFAULT tiling —
@@ -236,7 +240,8 @@ def ffn_block_fused(x, w13_u4, s13, z13, w2_u4, s2, z2, norm_w, li,
                 ),
             ),                                                      # z13
             pl.BlockSpec(
-                (1, KB2, NT2), lambda s, li_r: (li_r[0], pin2(s, li_r), 0),
+                (1, KB2 // 2 if rowpair else KB2, NT2),
+                lambda s, li_r: (li_r[0], pin2(s, li_r), 0),
             ),                                                      # w2
             pl.BlockSpec(
                 (1, G82, NT2),

@@ -48,7 +48,14 @@ from sparsebit_tpu.ops.quant_matmul import (
     _pick_tiles_u4,
     _sz_layout,
     _sz_rows,
+    _u4_tile,
 )
+
+
+def _kb_of(w_ref):
+    """Logical K rows of a weight tile ref: u8 row-pair tiles
+    (pack_u4_rows) hold KB//2 sublanes."""
+    return w_ref.shape[-2] * (2 if w_ref.dtype == jnp.uint8 else 1)
 
 
 def _norm_row(nw_ref, li, eps, xf):
@@ -75,9 +82,9 @@ def _quant_rows(x, eps=1e-8):
 
 def _mm_step(xq_ref, w_ref, s_ref, z_ref, acc_ref, k, col_off, *, gs, GB, G8):
     """One W4A8 k-step: int8 dot + group-factored epilogue into acc."""
-    KB = w_ref.shape[-2]
+    codes = _u4_tile(w_ref[0]).astype(jnp.int8)  # (KB, NT)
+    KB = codes.shape[-2]
     xb = xq_ref[:, pl.ds(col_off, KB)]  # (B, KB) int8
-    codes = w_ref[0].astype(jnp.int8)  # (KB, NT)
     acc = None
     for g in range(GB):
         xg = xb[:, g * gs: (g + 1) * gs]
@@ -150,7 +157,7 @@ def _layer_kernel(
         def _():
             accq[...] = jnp.zeros_like(accq)
 
-        KB = wq_ref.shape[-2]
+        KB = _kb_of(wq_ref)
         GB = KB // gs
         _mm_step(xq8, wq_ref, sq_ref, zq_ref, accq, k,
                  pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G81)
@@ -309,7 +316,7 @@ def _layer_kernel(
             a8[...] = q
             as_[...] = sc
 
-        KB = wo_ref.shape[-2]
+        KB = _kb_of(wo_ref)
         GB = KB // gs
         _mm_step(a8, wo_ref, so_ref, zo_ref, acco, k,
                  pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G83)
@@ -335,7 +342,7 @@ def _layer_kernel(
         def _():
             acc13[...] = jnp.zeros_like(acc13)
 
-        KB = w13_ref.shape[-2]
+        KB = _kb_of(w13_ref)
         GB = KB // gs
         _mm_step(xq8, w13_ref, s13_ref, z13_ref, acc13, k,
                  pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G84)
@@ -371,7 +378,7 @@ def _layer_kernel(
         def _():
             acc2[...] = jnp.zeros_like(acc2)
 
-        KB = w2_ref.shape[-2]
+        KB = _kb_of(w2_ref)
         GB = KB // gs
         _mm_step(g8buf, w2_ref, s2_ref, z2_ref, acc2, k,
                  pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G85)
@@ -472,7 +479,10 @@ def _fused_call(x, pos, cos, sin, li,
     B, dim = x.shape
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     F = cfg.ffn_dim
-    Fp = w2.shape[-2]  # >= F when W2 is with_k_pad-ded
+    rowpair = wq.dtype == jnp.uint8  # pack_u4_rows serving layout
+    assert all((w.dtype == jnp.uint8) == rowpair for w in (wo, w13, w2))
+    kdiv = 2 if rowpair else 1
+    Fp = w2.shape[-2] * kdiv  # >= F when W2 is with_k_pad-ded
     Nq = (Hq + 2 * Hkv) * D
     HD = Hq * D
     S = k.shape[2]
@@ -538,7 +548,7 @@ def _fused_call(x, pos, cos, sin, li,
             pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r: (0, 0)),  # cos
             pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r: (0, 0)),  # sin
             pl.BlockSpec(
-                (1, KB1, NT1),
+                (1, KB1 // kdiv, NT1),
                 lambda l, s, li_r, len_r: (li_r[0] + l, p1(s), n1_of(s)),
             ),
             pl.BlockSpec(
@@ -552,7 +562,7 @@ def _fused_call(x, pos, cos, sin, li,
                     li_r[0] + l, (p1(s) * GB1) // G81, n1_of(s)),
             ),
             pl.BlockSpec(
-                (1, KB3, NT3),
+                (1, KB3 // kdiv, NT3),
                 lambda l, s, li_r, len_r: (li_r[0] + l, p3(s), 0),
             ),
             pl.BlockSpec(
@@ -566,7 +576,7 @@ def _fused_call(x, pos, cos, sin, li,
                     li_r[0] + l, (p3(s) * GB3) // G83, 0),
             ),
             pl.BlockSpec(
-                (1, KB4, NT4),
+                (1, KB4 // kdiv, NT4),
                 lambda l, s, li_r, len_r: (li_r[0] + l, p4(s), n4_of(s)),
             ),
             pl.BlockSpec(
@@ -580,7 +590,7 @@ def _fused_call(x, pos, cos, sin, li,
                     li_r[0] + l, (p4(s) * GB4) // G84, n4_of(s)),
             ),
             pl.BlockSpec(
-                (1, KB5, NT5),
+                (1, KB5 // kdiv, NT5),
                 lambda l, s, li_r, len_r: (li_r[0] + l, p5(s), 0),
             ),
             pl.BlockSpec(

@@ -60,6 +60,39 @@ def u4_from_pairs(u4p):
     return u4.reshape(u4.shape[:-2] + (u4.shape[-2] * 2,))
 
 
+def pack_u4_rows(codes):
+    """codes (..., K, N) in [0, 16) -> (..., K//2, N) uint8 with ADJACENT
+    ROWS (input channels) as nibble pairs, even row in the low nibble.
+
+    THE u4 serving layout. Inside a Pallas kernel,
+    ``pltpu.bitcast(u8_tile, uint4)`` doubles the SUBLANE dim interleaved
+    low-nibble-first (measured on v5e), exactly inverting this packing —
+    so the kernel-side unpack is a free register reinterpret. Unlike the
+    in-jit uint4 conversion (with_u4/u4p), the top-level array stays
+    uint8: it crosses jit boundaries and stays a true loop invariant of
+    the token scan. The u4p route measured ~58 ms/tok of re-materialised
+    conversion/copy chains inside the decode while-loop at 7B; this
+    layout eliminates them entirely (round-1 VERDICT #7).
+
+    Pairing is on K: group boundaries (groupsize >= 2, always even here)
+    and N-column qparams are unaffected; only kernels' K-tiles must be
+    even-sized."""
+    q = codes.astype(jnp.uint8)
+    lead, K, N = q.shape[:-2], q.shape[-2], q.shape[-1]
+    assert K % 2 == 0, "pack_u4_rows: K must be even"
+    rows = q.reshape(lead + (K // 2, 2, N))
+    return rows[..., 0, :] | (rows[..., 1, :] << 4)
+
+
+def unpack_u4_rows(u8r):
+    """Inverse of pack_u4_rows -> (..., K, N) uint8 codes (host/fallback
+    path; the kernels never call this)."""
+    lead, K2, N = u8r.shape[:-2], u8r.shape[-2], u8r.shape[-1]
+    lo = (u8r & 15).astype(jnp.uint8)
+    hi = (u8r >> 4).astype(jnp.uint8)
+    return jnp.stack([lo, hi], axis=-2).reshape(lead + (K2 * 2, N))
+
+
 def pallas_n_pad(N, bits):
     """Columns of padding needed so the packed width is a 128-lane multiple
     (the Pallas kernels' tiling requirement). 3-bit needs N % 1024 == 0
@@ -133,6 +166,9 @@ def unpack_columns(packed, bits, N):
         lead = u4p.shape[:-1]
         pairs = jnp.stack([u4p & 15, u4p >> 4], axis=-1)
         return pairs.reshape(lead + (N,))
+    if bits == 4 and "u4r" in packed and "w" not in packed:
+        # row-pair serving layout as the sole container (pack_u4_rows)
+        return unpack_u4_rows(packed["u4r"])
     if bits in (4, 2):
         p = 8 // bits
         w = packed["w"]

@@ -404,6 +404,17 @@ def _sz_rows(s_ref, z_ref, k, g, GB, G8, lead=()):
     return sg, zg
 
 
+def _u4_tile(wb):
+    """Weight tile -> (KB, NT) u4 codes. uint8 tiles are ROW-PAIR packed
+    (ops/packing.pack_u4_rows, KB/2 sublanes): pltpu.bitcast doubles the
+    sublane dim interleaved low-nibble-first — a free register
+    reinterpret, zero VPU unpack ops. uint4 tiles pass through (legacy
+    in-jit with_u4 layout)."""
+    if wb.dtype == jnp.uint8:
+        return pltpu.bitcast(wb, jnp.uint4)
+    return wb
+
+
 def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk,
                    g8):
     k = pl.program_id(1)
@@ -413,7 +424,7 @@ def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     xb = x_ref[...]  # (B, K_BLK) int8
-    codes = w_ref[...].astype(jnp.int8)  # u4 -> s8, no shift/mask
+    codes = _u4_tile(w_ref[...]).astype(jnp.int8)  # u4 -> s8, no shift/mask
     acc = None
     for g in range(g_blk):
         xg = xb[:, g * gs : (g + 1) * gs]
@@ -496,10 +507,13 @@ def _supports_pallas_u4(K, N, gs, B=1):
 
 def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
                             k_blk=None, nt=None, vmem_limit=None):
-    """x8 (B, K) int8; w4 (K, N) uint4; scales/zeros (G, N) f32.
-    Returns UNSCALED f32 (B, N) (caller applies the per-token act scale).
-    k_blk/nt/vmem_limit override the tile heuristics (perf experiments)."""
+    """x8 (B, K) int8; w4 (K, N) uint4 OR (K//2, N) uint8 row-pairs
+    (pack_u4_rows — the serving layout; the kernel bitcasts tiles back to
+    u4 for free); scales/zeros (G, N) f32. Returns UNSCALED f32 (B, N)
+    (caller applies the per-token act scale). k_blk/nt/vmem_limit
+    override the tile heuristics (perf experiments)."""
     B, K = x8.shape
+    rowpair = w4.dtype == jnp.uint8
     G = scales.shape[0]
     per_channel = gs <= 0
     gs_eff = gs if gs > 0 else K
@@ -527,7 +541,10 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
         grid=grid,
         in_specs=[
             pl.BlockSpec((B_pad, K_BLK), lambda i, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K_BLK, NT), lambda i, k: (k, i), memory_space=pltpu.VMEM),
+            # row-pair u8 arrays have K//2 sublanes; the block INDEX is in
+            # block units, so only the block shape halves
+            pl.BlockSpec((K_BLK // 2 if rowpair else K_BLK, NT),
+                         lambda i, k: (k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((G8, NT), s_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((G8, NT), s_index, memory_space=pltpu.VMEM),
         ],
@@ -570,7 +587,7 @@ def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     xb = x_ref[...]  # (B, K_BLK) int8
-    codes = w_ref[0].astype(jnp.int8)  # (K_BLK, NT): u4 -> s8
+    codes = _u4_tile(w_ref[0]).astype(jnp.int8)  # (K_BLK, NT): u4 -> s8
     acc = None
     for g in range(g_blk):
         xg = xb[:, g * gs : (g + 1) * gs]
@@ -592,9 +609,11 @@ def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
 
 def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
                                     interpret=False):
-    """x8 (B, K) int8; w4s (L, K, N) uint4; s4/z4 (L, G, N) f32;
-    li scalar int32 layer index. Returns UNSCALED f32 (B, N)."""
+    """x8 (B, K) int8; w4s (L, K, N) uint4 or (L, K//2, N) uint8
+    row-pairs (pack_u4_rows); s4/z4 (L, G, N) f32; li scalar int32 layer
+    index. Returns UNSCALED f32 (B, N)."""
     B, K = x8.shape
+    rowpair = w4s.dtype == jnp.uint8
     Lk = w4s.shape[0]
     G = s4.shape[1]
     per_channel = gs <= 0
@@ -616,7 +635,8 @@ def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
         grid=(N // NT, K // K_BLK),
         in_specs=[
             pl.BlockSpec((B_pad, K_BLK), lambda i, k, li_ref: (0, k)),
-            pl.BlockSpec((1, K_BLK, NT), lambda i, k, li_ref: (li_ref[0], k, i)),
+            pl.BlockSpec((1, K_BLK // 2 if rowpair else K_BLK, NT),
+                         lambda i, k, li_ref: (li_ref[0], k, i)),
             pl.BlockSpec((1, G8, NT), s_index),
             pl.BlockSpec((1, G8, NT), s_index),
         ],
@@ -652,13 +672,13 @@ def quant_matmul_a8_stacked(x, packed, scales, zeros, li, bits, groupsize, N,
     Lk = scales.shape[0]
     G = scales.shape[1]
     use_pallas = (
-        "u4" in packed
+        ("u4r" in packed or "u4" in packed)
         and _supports_pallas_u4(K, N, groupsize, xq.shape[0])
         and (interpret or jax.default_backend() == "tpu")
     )
     if use_pallas:
         out = _quant_matmul_pallas_u4_stacked(
-            xq, packed["u4"], scales, zeros,
+            xq, packed.get("u4r", packed.get("u4")), scales, zeros,
             li, groupsize, N, interpret=interpret,
         )
     else:
@@ -794,12 +814,15 @@ def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
         packed = dict(packed)
         packed["u4"] = u4_from_pairs(packed["u4p"])
     if (
-        "u4" in packed
+        ("u4r" in packed or "u4" in packed)
         and _supports_pallas_u4(K, N, groupsize, xq.shape[0])
         and jax.default_backend() == "tpu"
     ):
+        # prefer the u8 row-pair container (with_u4_rows): it needs no
+        # top-level conversion at all (kernel-side free bitcast)
         out = _quant_matmul_pallas_u4(
-            xq, packed["u4"], scales, zeros, groupsize, N
+            xq, packed.get("u4r", packed.get("u4")), scales, zeros,
+            groupsize, N
         )
     elif (
         (bits == 3 or "w" in packed)

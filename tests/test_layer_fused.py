@@ -83,11 +83,14 @@ def test_scanned_decode_with_layer_kernel_matches_unrolled():
     np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_ref))
 
 
-def test_fused_decoder_layers_matches_sequential():
+@pytest.mark.parametrize("layout", ["u4", "u4r"])
+def test_fused_decoder_layers_matches_sequential(layout):
     """Whole-backbone launch (grid (L, T), activation carried in VMEM
     scratch) == one fused_decoder_layer launch per layer. B=2 exercises
-    the batch-pad-row masking of the carried activation."""
+    the batch-pad-row masking of the carried activation. layout=u4r runs
+    the u8 row-pair serving weights (kernel-side bitcast unpack)."""
     from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
+    from sparsebit_tpu.ops.packing import pack_u4_rows, unpack_columns
 
     cfg = _mk_cfg()
     gs = 64
@@ -96,8 +99,13 @@ def test_fused_decoder_layers_matches_sequential():
     keys = jax.random.split(jax.random.PRNGKey(0), Lx)
     built = [_build(cfg, gs, k) for k in keys]
     names = ("wqkv", "wo", "w13", "w2")
-    u4s = {n: jnp.stack([codes_to_u4(b[0][n].packed, 4, b[0][n].out_features)
-                         for b in built]) for n in names}
+
+    def _warr(lin):
+        if layout == "u4r":
+            return pack_u4_rows(unpack_columns(lin.packed, 4, lin.n_padded))
+        return codes_to_u4(lin.packed, 4, lin.out_features)
+
+    u4s = {n: jnp.stack([_warr(b[0][n]) for b in built]) for n in names}
     scs = {n: jnp.stack([b[0][n].scales for b in built]) for n in names}
     zrs = {n: jnp.stack([b[0][n].zeros for b in built]) for n in names}
     ans = jnp.stack([b[1] for b in built])

@@ -341,6 +341,67 @@ def test_u4_pairs_bitcast_roundtrip():
     np.testing.assert_array_equal(np.asarray(back(pairs)), np.asarray(codes))
 
 
+def test_pack_u4_rows_roundtrip():
+    from sparsebit_tpu.ops.packing import pack_u4_rows, unpack_u4_rows
+
+    codes = jax.random.randint(jax.random.PRNGKey(51), (3, 8, 256), 0, 16,
+                               jnp.int32).astype(jnp.uint8)
+    u8r = pack_u4_rows(codes)
+    assert u8r.shape == (3, 4, 256) and u8r.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(unpack_u4_rows(u8r)), np.asarray(codes)
+    )
+
+
+def test_u4r_kernel_interpret_parity():
+    """Row-pair u8 weights through the u4 kernel (interpret: the in-kernel
+    pltpu.bitcast sublane unpack) == dequant-dense oracle."""
+    from sparsebit_tpu.ops.packing import pack_u4_rows
+    from sparsebit_tpu.ops.quant_matmul import _quant_matmul_pallas_u4
+
+    K, N, gs, B = 256, 384, 128, 2
+    G = K // gs
+    kc, ks, kz, kx = jax.random.split(jax.random.PRNGKey(52), 4)
+    codes = jax.random.randint(kc, (K, N), 0, 16, jnp.int32)
+    scales = jax.random.uniform(ks, (G, N), jnp.float32, 0.001, 0.01)
+    zeros = jax.random.randint(kz, (G, N), 0, 16, jnp.int32).astype(
+        jnp.float32)
+    x8 = jax.random.randint(kx, (B, K), -127, 127, jnp.int32).astype(jnp.int8)
+    u8r = pack_u4_rows(codes)
+    out = _quant_matmul_pallas_u4(
+        x8, u8r, scales, zeros, gs, N, interpret=True
+    )
+    W = (codes.astype(jnp.float32) - jnp.repeat(zeros, gs, 0)) * jnp.repeat(
+        scales, gs, 0)
+    ref = x8.astype(jnp.float32) @ W
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_with_u4_rows_quantlinear_parity():
+    """with_u4_rows(drop_fold=True): forward (dense-fallback path through
+    the u4r unpack), dequantize, and with_k_pad all keep exact parity with
+    the fold container."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    K, N = 256, 384
+    w = jax.random.normal(jax.random.PRNGKey(53), (K, N), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(54), (2, K), jnp.float32)
+    ql = QuantLinear.from_dense(w, bits=4, groupsize=128, impl="a8")
+    qlr = ql.with_u4_rows(drop_fold=True)
+    assert set(qlr.packed) == {"u4r"}
+    assert qlr.in_features == K
+    np.testing.assert_allclose(np.asarray(qlr(x)), np.asarray(ql(x)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(qlr.dequantize()),
+                                  np.asarray(ql.dequantize()))
+    qlrp = qlr.with_k_pad(256)
+    # padded K=256 -> u4r stores K//2 = 128 row-pair sublanes
+    assert "u4r" in qlrp.packed and qlrp.packed["u4r"].shape[0] == 128
+    np.testing.assert_allclose(np.asarray(qlrp(x)), np.asarray(ql(x)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_u4p_only_dispatch_no_fold_container(monkeypatch):
     """quant_matmul_a8 with a pairs-ONLY packed dict (with_u4_pairs
     drop_fold=True: no "w" fold) must dispatch cleanly on the TPU branch
