@@ -133,7 +133,6 @@ def main():
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    from sparsebit_tpu.llm.decode import decode_step, prefill
     from sparsebit_tpu.llm.kv_cache import init_kv_cache
     from sparsebit_tpu.llm import llama as L
 
@@ -146,24 +145,27 @@ def main():
         cfg = L.llama_tiny()
         batch, warmup, iters = 1, 2, 10
 
-    # unrolled layers: ~35 min compile but full runtime throughput (the
-    # scanned path compiles in minutes yet re-copies each layer's stacked
-    # weights every token — 140 -> 73 tok/s; see decode.stack_layers)
-    from sparsebit_tpu.llm.decode import decode_tokens
+    # scanned decode (both loops lax.scan): O(1)-depth compile AND the
+    # fastest path — stacked u8 row-pair weights stay loop invariants and
+    # the whole backbone is ONE Pallas launch per token
+    # (ops/layer_fused.fused_decoder_layers); the round-1 unrolled path
+    # (35-min compile, 149.7 tok/s) is strictly dominated now.
+    from sparsebit_tpu.llm.decode import (
+        decode_tokens_scanned, prefill_scanned, stack_layers)
 
-    params = build_quantized_llama(cfg, bits=4, groupsize=128)
+    params = stack_layers(build_quantized_llama(cfg, bits=4, groupsize=128))
     cache = init_kv_cache(cfg, batch, max_len=cfg.max_seq_len, quantized=True)
     prompt = jnp.zeros((batch, 16), jnp.int32)
-    logits, cache = prefill(params, prompt, cache, cfg)
+    logits, cache = prefill_scanned(params, prompt, cache, cfg)
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     # whole decode loop runs on device (lax.scan) — timing is per-token
     # device throughput, not host/tunnel dispatch latency
-    toks, cache = decode_tokens(params, tok, cache, cfg, iters)  # compile
+    toks, cache = decode_tokens_scanned(params, tok, cache, cfg, iters)
     jax.block_until_ready(toks)
     # wall measurement first (untraced: trace streaming wrecks wall time)
     t0 = time.perf_counter()
-    toks, cache = decode_tokens(params, toks[:, -1], cache, cfg, iters)
+    toks, cache = decode_tokens_scanned(params, toks[:, -1], cache, cfg, iters)
     jax.block_until_ready(toks)
     dt = time.perf_counter() - t0
     wall_toks_per_s = iters * batch / dt
@@ -172,7 +174,8 @@ def main():
     traced = False
     try:
         with jax.profiler.trace(trace_dir):
-            toks, cache = decode_tokens(params, toks[:, -1], cache, cfg, iters)
+            toks, cache = decode_tokens_scanned(
+                params, toks[:, -1], cache, cfg, iters)
             jax.block_until_ready(toks)
         traced = True
     except Exception:
@@ -183,7 +186,7 @@ def main():
     # so chip throughput comes from the profiler trace when available
     toks_per_s = wall_toks_per_s
     if traced:
-        dev_s = _device_seconds(trace_dir, "jit_decode_tokens")
+        dev_s = _device_seconds(trace_dir, "jit_decode_tokens_scanned")
         if dev_s:
             toks_per_s = iters * batch / dev_s
 

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from bench import build_quantized_llama
 from sparsebit_tpu.llm import llama as L
-from sparsebit_tpu.llm.decode import stack_layers, prepare_stacked_params_for_decode
+from sparsebit_tpu.llm.decode import (
+    stack_layers, prepare_stacked_params_for_decode, _u4_serving)
 from sparsebit_tpu.ops.layer_fused import fused_decoder_layer
 
 ITERS = 30
@@ -54,13 +55,13 @@ def run(n_phases):
             x, k8, v8, ks, vs = carry
             out, k8, v8, ks, vs = fused_decoder_layer(
                 x, pos, cosf, sinf, li,
-                layers["wqkv"].packed["u4"], layers["wqkv"].scales,
+                _u4_serving(layers["wqkv"]), layers["wqkv"].scales,
                 layers["wqkv"].zeros,
-                layers["wo"].packed["u4"], layers["wo"].scales,
+                _u4_serving(layers["wo"]), layers["wo"].scales,
                 layers["wo"].zeros,
-                layers["w13"].packed["u4"], layers["w13"].scales,
+                _u4_serving(layers["w13"]), layers["w13"].scales,
                 layers["w13"].zeros,
-                layers["w2"].packed["u4"], layers["w2"].scales,
+                _u4_serving(layers["w2"]), layers["w2"].scales,
                 layers["w2"].zeros,
                 layers["attn_norm"], layers["ffn_norm"],
                 k8, v8, ks, vs, cfg, gsz, _n_phases=n_phases,

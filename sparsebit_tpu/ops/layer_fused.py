@@ -489,7 +489,12 @@ def _fused_call(x, pos, cos, sin, li,
     Hp = ks.shape[-1]
     Lx = k.shape[0]
     n_rep = Hq // Hkv
-    n_groups = Hkv // 8 if Hkv % 8 == 0 else 1
+    # ONE head group: the whole-KV block-diagonal dot pair beats 4x
+    # (Hkv//8)-head groups by 18 us/layer at 7B (fewer slab casts,
+    # relayouts and softmaxes; measured 2026-08-17: attention marginal
+    # 26.8 -> 8.6 us/layer). The grouped machinery stays (n_groups > 1
+    # still correct) for VMEM-constrained future shapes.
+    n_groups = 1
 
     KB1, NT1 = _pick_tiles_u4(dim, Nq, gs, False)
     KB3, NT3 = _pick_tiles_u4(HD, dim, gs, False)
@@ -534,6 +539,71 @@ def _fused_call(x, pos, cos, sin, li,
         return jnp.clip(sidx - (T1 + T2 + T3), 0, T4 - 1) // k4_t
 
     GB1, GB3, GB4, GB5 = KB1 // gs, KB3 // gs, KB4 // gs, KB5 // gs
+
+    # ---- phase-aligned layer switching (multi-layer grid) -------------------
+    # Naively adding the layer axis made EVERY phase's block index jump to
+    # layer l at step (l, 0): Pallas then fetched first tiles of ALL FOUR
+    # matmuls (~16 MB) before step 0 could run — a measured ~13 us stall
+    # per layer (phase-1 marginal 47.9 vs ~35 us of useful DMA). Instead,
+    # each operand holds layer l-1's LAST block (resident -> no DMA)
+    # until the phase BEFORE it is consumed, so its first-tile fetch
+    # overlaps the preceding phase's compute/DMA:
+    #   wo   switches at S1 (attention phase covers the 2 MB tile),
+    #   w13  switches at S2 (Wo phase covers 5.6 MB),
+    #   w2   switches at S3 (W13 phase covers 5.5 MB),
+    #   wqkv prefetches layer l+1's first tile from S3 (W13+W2 cover it).
+    # l == 0 keeps plain current-layer maps (the once-per-launch fill).
+    Lg = n_grid_layers
+    S1, S2, S3 = T1, T1 + T2, T1 + T2 + T3
+
+    def wq_maps():
+        # switch two steps after w2's (a fetch gates the step whose index
+        # changed, overlapped only with the ONE preceding step — don't
+        # stack both multi-MB fetches on the same step)
+        S3b = S3 + min(2, max(T4 - 1, 0))
+
+        def w(l, s, li_r, len_r):
+            cur = li_r[0] + l
+            nxt = (s >= S3b) & (l + 1 < Lg)
+            return (jnp.where(nxt, cur + 1, cur),
+                    jnp.where(nxt, 0, p1(s)),
+                    jnp.where(nxt, 0, n1_of(s)))
+
+        def sz(l, s, li_r, len_r):
+            cur = li_r[0] + l
+            nxt = (s >= S3b) & (l + 1 < Lg)
+            return (jnp.where(nxt, cur + 1, cur),
+                    jnp.where(nxt, 0, (p1(s) * GB1) // G81),
+                    jnp.where(nxt, 0, n1_of(s)))
+
+        return w, sz
+
+    def _prev_maps(switch_at, pk, kt, GB, G8, n_of=None, last_n=0):
+        def w(l, s, li_r, len_r):
+            cur = li_r[0] + l
+            prev = (s < switch_at) & (l > 0)
+            n = n_of(s) if n_of else 0
+            return (jnp.where(prev, cur - 1, cur),
+                    jnp.where(prev, kt - 1, pk(s)),
+                    jnp.where(prev, last_n, n))
+
+        def sz(l, s, li_r, len_r):
+            cur = li_r[0] + l
+            prev = (s < switch_at) & (l > 0)
+            n = n_of(s) if n_of else 0
+            return (jnp.where(prev, cur - 1, cur),
+                    jnp.where(prev, ((kt - 1) * GB) // G8,
+                              (pk(s) * GB) // G8),
+                    jnp.where(prev, last_n, n))
+
+        return w, sz
+
+    wq_w, wq_sz = wq_maps()
+    wo_w, wo_sz = _prev_maps(S1, p3, k3_t, GB3, G83)
+    w13_w, w13_sz = _prev_maps(S2, p4, k4_t, GB4, G84,
+                               n_of=n4_of, last_n=n4_t - 1)
+    w2_w, w2_sz = _prev_maps(S3, p5, k5_t, GB5, G85)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_grid_layers, T_grid),
@@ -547,62 +617,18 @@ def _fused_call(x, pos, cos, sin, li,
             ),
             pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r: (0, 0)),  # cos
             pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r: (0, 0)),  # sin
-            pl.BlockSpec(
-                (1, KB1 // kdiv, NT1),
-                lambda l, s, li_r, len_r: (li_r[0] + l, p1(s), n1_of(s)),
-            ),
-            pl.BlockSpec(
-                (1, G81, NT1),
-                lambda l, s, li_r, len_r: (
-                    li_r[0] + l, (p1(s) * GB1) // G81, n1_of(s)),
-            ),
-            pl.BlockSpec(
-                (1, G81, NT1),
-                lambda l, s, li_r, len_r: (
-                    li_r[0] + l, (p1(s) * GB1) // G81, n1_of(s)),
-            ),
-            pl.BlockSpec(
-                (1, KB3 // kdiv, NT3),
-                lambda l, s, li_r, len_r: (li_r[0] + l, p3(s), 0),
-            ),
-            pl.BlockSpec(
-                (1, G83, NT3),
-                lambda l, s, li_r, len_r: (
-                    li_r[0] + l, (p3(s) * GB3) // G83, 0),
-            ),
-            pl.BlockSpec(
-                (1, G83, NT3),
-                lambda l, s, li_r, len_r: (
-                    li_r[0] + l, (p3(s) * GB3) // G83, 0),
-            ),
-            pl.BlockSpec(
-                (1, KB4 // kdiv, NT4),
-                lambda l, s, li_r, len_r: (li_r[0] + l, p4(s), n4_of(s)),
-            ),
-            pl.BlockSpec(
-                (1, G84, NT4),
-                lambda l, s, li_r, len_r: (
-                    li_r[0] + l, (p4(s) * GB4) // G84, n4_of(s)),
-            ),
-            pl.BlockSpec(
-                (1, G84, NT4),
-                lambda l, s, li_r, len_r: (
-                    li_r[0] + l, (p4(s) * GB4) // G84, n4_of(s)),
-            ),
-            pl.BlockSpec(
-                (1, KB5 // kdiv, NT5),
-                lambda l, s, li_r, len_r: (li_r[0] + l, p5(s), 0),
-            ),
-            pl.BlockSpec(
-                (1, G85, NT5),
-                lambda l, s, li_r, len_r: (
-                    li_r[0] + l, (p5(s) * GB5) // G85, 0),
-            ),
-            pl.BlockSpec(
-                (1, G85, NT5),
-                lambda l, s, li_r, len_r: (
-                    li_r[0] + l, (p5(s) * GB5) // G85, 0),
-            ),
+            pl.BlockSpec((1, KB1 // kdiv, NT1), wq_w),
+            pl.BlockSpec((1, G81, NT1), wq_sz),
+            pl.BlockSpec((1, G81, NT1), wq_sz),
+            pl.BlockSpec((1, KB3 // kdiv, NT3), wo_w),
+            pl.BlockSpec((1, G83, NT3), wo_sz),
+            pl.BlockSpec((1, G83, NT3), wo_sz),
+            pl.BlockSpec((1, KB4 // kdiv, NT4), w13_w),
+            pl.BlockSpec((1, G84, NT4), w13_sz),
+            pl.BlockSpec((1, G84, NT4), w13_sz),
+            pl.BlockSpec((1, KB5 // kdiv, NT5), w2_w),
+            pl.BlockSpec((1, G85, NT5), w2_sz),
+            pl.BlockSpec((1, G85, NT5), w2_sz),
             pl.BlockSpec(memory_space=pltpu.HBM),  # k
             pl.BlockSpec(memory_space=pltpu.HBM),  # v
             pl.BlockSpec(memory_space=pltpu.HBM),  # ks
