@@ -51,6 +51,20 @@ from sparsebit_tpu.ops.quant_matmul import (
     _u4_tile,
 )
 
+# the megakernel runs under a raised (100 MB) scoped-VMEM limit and its u8
+# row-pair tiles cost half the bytes of the standalone kernels' assumption,
+# so it affords double the tile cells and 2x K rows: fewer, bigger k-steps
+# (the per-step un-hidden epilogue/cast was ~1.3 us on 7B wqkv tiles;
+# measured +1.7 tok/s end-to-end)
+_FUSED_TILE_BUDGET = 13_200_000
+_FUSED_K_CAP = 2048
+
+
+def _fused_tiles(K, N, gs):
+    return _pick_tiles_u4(
+        K, N, gs, False, cell_budget=_FUSED_TILE_BUDGET, k_cap=_FUSED_K_CAP
+    )
+
 
 def _kb_of(w_ref):
     """Logical K rows of a weight tile ref: u8 row-pair tiles
@@ -420,13 +434,13 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None):
     for K, N in ((dim, Nq), (Hq * D, dim), (dim, 2 * F), (Fp, dim)):
         if K % gs or N % 128:
             return False
-        KB, NT = _pick_tiles_u4(K, N, gs, False)
+        KB, NT = _fused_tiles(K, N, gs)
         if not (_lane_ok(KB, K) and _lane_ok(NT, N)):
             return False
     # Wo and W2 output tiles must span the full row (residual adds)
-    if _pick_tiles_u4(Hq * D, dim, gs, False)[1] != dim:
+    if _fused_tiles(Hq * D, dim, gs)[1] != dim:
         return False
-    if _pick_tiles_u4(Fp, dim, gs, False)[1] != dim:
+    if _fused_tiles(Fp, dim, gs)[1] != dim:
         return False
     return True
 
@@ -496,10 +510,10 @@ def _fused_call(x, pos, cos, sin, li,
     # still correct) for VMEM-constrained future shapes.
     n_groups = 1
 
-    KB1, NT1 = _pick_tiles_u4(dim, Nq, gs, False)
-    KB3, NT3 = _pick_tiles_u4(HD, dim, gs, False)
-    KB4, NT4 = _pick_tiles_u4(dim, 2 * F, gs, False)
-    KB5, NT5 = _pick_tiles_u4(Fp, dim, gs, False)
+    KB1, NT1 = _fused_tiles(dim, Nq, gs)
+    KB3, NT3 = _fused_tiles(HD, dim, gs)
+    KB4, NT4 = _fused_tiles(dim, 2 * F, gs)
+    KB5, NT5 = _fused_tiles(Fp, dim, gs)
     k1_t, n1_t = dim // KB1, Nq // NT1
     k3_t = HD // KB3
     k4_t, n4_t = dim // KB4, (2 * F) // NT4

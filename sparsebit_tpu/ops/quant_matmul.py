@@ -452,13 +452,18 @@ def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk,
 _TILE_CELL_BUDGET_U4 = 6_600_000
 
 
-def _pick_tiles_u4(K, N, gs_eff, per_channel):
+def _pick_tiles_u4(K, N, gs_eff, per_channel, cell_budget=None, k_cap=1024):
     """Grouped path: K tiles are chosen FIRST, preferring K_BLK = 8*gs
     (then the scale/zero window rows are picked statically — _sz_rows'
     masked-select over an (8, NT) window costs ~0.4 us/step at 7B widths),
     trading N-tile width down within the cell budget. Fewer, bigger
     k-steps also amortise the ~0.33 us/grid-step overhead (round-2 phase
-    profile)."""
+    profile). cell_budget/k_cap default to the standalone kernels' 16 MB
+    scoped-VMEM-safe values; the whole-layer megakernel raises both
+    (u8 row-pair tiles cost half the bytes, and it already runs under a
+    100 MB limit — measured +1.7 tok/s at 7B)."""
+    if cell_budget is None:
+        cell_budget = _TILE_CELL_BUDGET_U4
     if per_channel:
         K_BLK = 512
         while K % K_BLK != 0 and K_BLK > 8:
@@ -470,7 +475,7 @@ def _pick_tiles_u4(K, N, gs_eff, per_channel):
             {d for d in range(128, N + 1, 128) if N % d == 0} | {N},
             reverse=True,
         ):
-            if K_BLK * cand <= _TILE_CELL_BUDGET_U4:
+            if K_BLK * cand <= cell_budget:
                 NT = cand
                 break
         else:
@@ -478,7 +483,7 @@ def _pick_tiles_u4(K, N, gs_eff, per_channel):
         return K_BLK, NT
 
     kcands = [
-        m for m in range(gs_eff, min(K, 1024) + 1, gs_eff) if K % m == 0
+        m for m in range(gs_eff, min(K, k_cap) + 1, gs_eff) if K % m == 0
     ]
     static8 = [m for m in kcands if (m // gs_eff) % 8 == 0]
     ncands = sorted(
@@ -487,12 +492,12 @@ def _pick_tiles_u4(K, N, gs_eff, per_channel):
     )
     K_BLK = max(static8) if static8 else max(kcands, default=gs_eff)
     for cand in ncands:
-        if K_BLK * cand <= _TILE_CELL_BUDGET_U4:
+        if K_BLK * cand <= cell_budget:
             return K_BLK, cand
     # N has no narrow-enough lane divisor: shrink K instead
     NT = ncands[-1] if ncands else N
     for m in sorted(kcands, reverse=True):
-        if m * NT <= _TILE_CELL_BUDGET_U4:
+        if m * NT <= cell_budget:
             return m, NT
     return gs_eff, NT
 

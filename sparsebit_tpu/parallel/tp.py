@@ -223,8 +223,13 @@ def _spec_tree(params, lin_spec, rep_spec):
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
 def tp_llama_forward(params_tp, tokens, cfg, mesh):
-    """Full logits (B, S, V), batch sharded over dp, vocab gathered."""
+    """Full logits (B, S, V), batch sharded over dp, vocab gathered.
+
+    jitted (cfg/mesh static): an EAGER shard_map dispatches every
+    primitive as its own multi-device program — measured 137 s vs 1.3 s
+    for one jitted grad step of the tiny test model on a CPU mesh."""
     T = mesh.shape["tp"]
     in_specs = (_spec_tree(params_tp, P("tp"), P()), P("dp"))
 
@@ -300,10 +305,12 @@ def _cache_specs(cache):
     return KVCache(list(kv), list(kv), sc, list(sc), P(None), cache.quantized)
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
 def tp_decode_step(params_tp, tokens, cache, cfg, mesh):
     """Tensor-parallel decode step: packed weight shards + head-sharded
     INT8 KV cache (the north star's serving configuration). Batch is
-    replicated across dp for simplicity (decode batches are small)."""
+    replicated across dp for simplicity (decode batches are small).
+    jitted — see tp_llama_forward."""
     T = mesh.shape["tp"]
     cspec = _cache_specs(cache)
     in_specs = (_spec_tree(params_tp, P("tp"), P()), P(None), cspec)
@@ -327,9 +334,10 @@ def shard_kv_cache_tp(cache, mesh):
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
 def tp_llama_loss(params_tp, tokens, cfg, mesh):
     """Mean next-token NLL with vocab-parallel softmax (never materialises
-    full logits)."""
+    full logits). jitted — see tp_llama_forward."""
     T = mesh.shape["tp"]
     V_loc = cfg.vocab_size // T
     in_specs = (_spec_tree(params_tp, P("tp"), P()), P("dp"))

@@ -16,3 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is COMPILE-bound (tiny models,
+# but hundreds of distinct jits incl. 8-device shard_map programs — ~35 min
+# cold on one core). Cached executables cut re-runs to minutes; the dir is
+# machine-local (gitignored).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
