@@ -661,6 +661,59 @@ def decode_tokens(params, tok0, cache, cfg, n_tokens):
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def decode_chunk_paged(params_stacked, tok0, pcache, temps, key, cfg,
+                       n_tokens):
+    """Serving inner loop against a PAGED cache (kv_cache.PagedKVCache):
+    n_tokens decode steps fully on device, the whole backbone as ONE
+    megakernel launch per token reading/writing pool blocks through the
+    block table (ops/layer_fused, bt scalar prefetch). The table must
+    already cover length + n_tokens rows per slot — the engine's block
+    allocator pre-extends tables before each chunk, so the table is a
+    loop INVARIANT of the chunk. temps (B,) per-slot temperatures
+    (<= 0 greedy). Returns (tokens (B, n_tokens), updated pcache)."""
+    from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
+
+    params = prepare_stacked_params_for_decode(params_stacked)
+    layers = params["layers"]
+    inv_freq = L.rope_frequencies(cfg)
+    gs = layers["wqkv"].groupsize
+    interp = jax.default_backend() != "tpu"
+    bt = pcache.block_table
+    names = ("wqkv", "wo", "w13", "w2")
+    wargs = []
+    for n in names:
+        ln = layers[n]
+        wargs += [_u4_serving(ln), ln.scales, ln.zeros]
+
+    def body(carry, k_):
+        tok, kp, vp, ksp, vsp, length = carry
+        x = params["tok_embed"][tok]  # (B, dim)
+        angles = length[:, None].astype(jnp.float32) * inv_freq
+        cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)
+        sinf = jnp.concatenate([jnp.sin(angles)] * 2, axis=1)
+        out, kp, vp, ksp, vsp = fused_decoder_layers(
+            x.astype(jnp.float32), length, cosf, sinf, *wargs,
+            layers["attn_norm"], layers["ffn_norm"],
+            kp, vp, ksp, vsp, cfg, gs, interpret=interp, bt=bt,
+        )
+        h = L.rms_norm(out[:, None].astype(x.dtype), params["norm"],
+                       cfg.rms_eps)
+        logits = params["lm_head"](h)[:, 0].astype(jnp.float32)
+        tok = sample_logits_vec(logits, k_, temps)
+        return (tok, kp, vp, ksp, vsp, length + 1), tok
+
+    keys = jax.random.split(key, n_tokens)
+    (tok, kp, vp, ksp, vsp, length), toks = jax.lax.scan(
+        body,
+        (tok0, pcache.k, pcache.v, pcache.k_scale, pcache.v_scale,
+         pcache.length),
+        keys,
+    )
+    pcache = pcache.__class__(kp, vp, ksp, vsp, bt, length)
+    return jnp.swapaxes(toks, 0, 1), pcache
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
 def decode_chunk(params, tok0, cache, temps, key, cfg, n_tokens):
     """Serving inner loop: n_tokens decode steps fully on device with
     per-slot temperature sampling (temps (B,) f32; <=0 means greedy).

@@ -132,3 +132,84 @@ def cache_read(cache, layer_idx, dtype):
         )
         return k, v
     return cache.k[layer_idx].astype(dtype), cache.v[layer_idx].astype(dtype)
+
+
+# ---- paged (block-table) cache ----------------------------------------------
+#
+# vLLM-style paged KV for the serving engine (reference serves one request
+# at a time; BASELINE.json's continuous-batching north star + round-1
+# VERDICT #6 ask for a block allocator). Physical storage is a POOL of
+# fixed-size row blocks shared by all slots; each slot's logical sequence
+# is its block_table row — so cache HBM is provisioned for the ENGINE's
+# total context budget, not max_batch x max_len, and identical prompt
+# prefixes can SHARE read-only blocks (allocator refcounts). The decode
+# megakernel takes the table via scalar prefetch and DMAs exactly the
+# blocks within each slot's context (ops/layer_fused, length-chunked
+# loads) — the gather indirection is SMEM scalar arithmetic, not a
+# data-plane gather.
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k", "v", "k_scale", "v_scale", "block_table",
+                      "length"],
+         meta_fields=[])
+@dataclass
+class PagedKVCache:
+    k: jnp.ndarray        # (L, n_blocks, block, n_kv, hd) int8
+    v: jnp.ndarray        # (L, n_blocks, block, n_kv, hd) int8
+    k_scale: jnp.ndarray  # (L, n_blocks, block, Hp) f32, lane-padded heads
+    v_scale: jnp.ndarray  # (L, n_blocks, block, Hp) f32
+    block_table: jnp.ndarray  # (B, max_chunks) int32 physical block ids
+    length: jnp.ndarray   # (B,) int32 tokens filled per slot
+
+    @property
+    def block(self):
+        return self.k.shape[2]
+
+    @property
+    def n_blocks(self):
+        return self.k.shape[1]
+
+
+def init_paged_kv_cache(cfg, batch, n_blocks, block=128, max_chunks=None):
+    """INT8 pools (the decode megakernel's cache format) + an all-zeros
+    block table. max_chunks defaults to ceil(max_seq_len / block)."""
+    if max_chunks is None:
+        max_chunks = -(-cfg.max_seq_len // block)
+    Hp = max(128, cfg.n_kv_heads)
+    Lx = cfg.n_layers
+    shape = (Lx, n_blocks, block, cfg.n_kv_heads, cfg.head_dim)
+    return PagedKVCache(
+        k=jnp.zeros(shape, jnp.int8),
+        v=jnp.zeros(shape, jnp.int8),
+        k_scale=jnp.zeros((Lx, n_blocks, block, Hp), jnp.float32),
+        v_scale=jnp.zeros((Lx, n_blocks, block, Hp), jnp.float32),
+        block_table=jnp.zeros((batch, max_chunks), jnp.int32),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def paged_write_rows(pcache, slot_blocks, rows_k, rows_v, rows_ks, rows_vs,
+                     n_rows, offset):
+    """Scatter ``n_rows`` contiguous logical rows (from a prefill) into one
+    slot's blocks starting at logical row ``offset``.
+
+    slot_blocks (max_chunks,) int32; rows_k/v (L, S_buf, n_kv, hd) int8;
+    rows_ks/vs (L, S_buf, Hp) f32; n_rows/offset scalars (S_buf static).
+    Rows land at pool[blk[(offset+i)//block], (offset+i) % block]; rows
+    >= n_rows are masked out (scatter drops out-of-range indices)."""
+    block = pcache.block
+    S_buf = rows_k.shape[1]
+    i = jnp.arange(S_buf, dtype=jnp.int32)
+    logical = offset + i
+    blk = slot_blocks[jnp.clip(logical // block, 0,
+                               slot_blocks.shape[0] - 1)]
+    row = logical % block
+    # out-of-range block id disables the write (scatter drop semantics)
+    blk = jnp.where(i < n_rows, blk, pcache.n_blocks)
+    k = pcache.k.at[:, blk, row].set(rows_k, mode="drop")
+    v = pcache.v.at[:, blk, row].set(rows_v, mode="drop")
+    ks = pcache.k_scale.at[:, blk, row].set(rows_ks, mode="drop")
+    vs = pcache.v_scale.at[:, blk, row].set(rows_vs, mode="drop")
+    return PagedKVCache(k, v, ks, vs, pcache.block_table, pcache.length)

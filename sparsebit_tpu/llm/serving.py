@@ -88,7 +88,10 @@ class DecodeEngine:
         self.kv_quantized = kv_quantized
         self.eos_id = eos_id
         self.chunk = chunk
-        self.cache = init_kv_cache(cfg, max_batch, self.max_len, kv_quantized)
+        self.cache = (
+            None if getattr(self, "_skip_slot_cache", False)
+            else init_kv_cache(cfg, max_batch, self.max_len, kv_quantized)
+        )
         self.slots = [None] * max_batch  # _Request or None
         self.queue = []
         self.next_tok = jnp.zeros((max_batch,), jnp.int32)
@@ -321,3 +324,287 @@ class DecodeEngine:
         if hit_eos or hit_len or full:
             req.done = True
             self.slots[slot] = None
+
+
+class PagedDecodeEngine(DecodeEngine):
+    """Block-table (paged) variant: one physical block POOL shared by all
+    slots (vLLM-style; round-1 VERDICT #6). vs the fixed-slot engine:
+
+    - cache HBM is provisioned as n_blocks x block rows TOTAL, not
+      max_batch x max_len — short requests don't reserve worst-case rows;
+    - identical prompt prefixes SHARE full blocks (allocator refcounts,
+      zero-copy admission for the shared rows — only the partial tail
+      block's rows are re-prefilled);
+    - the decode megakernel reads/writes pool blocks through the
+      scalar-prefetched block table (ops/layer_fused), so the gather
+      indirection costs SMEM arithmetic, not data-plane gathers.
+
+    Requires the megakernel-compatible model: fused wqkv/w13 packed
+    4-bit QuantLinears, uniform groupsize, int8 KV.
+    """
+
+    def __init__(self, params, cfg, max_batch=8, n_blocks=None, block=128,
+                 eos_id=None, seed=0, chunk=8, prefix_cache_size=8,
+                 max_len=None):
+        from sparsebit_tpu.llm.decode import stack_layers
+        from sparsebit_tpu.llm.kv_cache import init_paged_kv_cache
+
+        max_len = max_len or cfg.max_seq_len
+        if n_blocks is None:
+            n_blocks = max_batch * (-(-max_len // block))
+        self._skip_slot_cache = True  # pools replace the contiguous cache
+        super().__init__(
+            params, cfg, max_batch=max_batch, max_len=max_len,
+            kv_quantized=True, eos_id=eos_id, seed=seed, chunk=chunk,
+            prefix_cache_size=prefix_cache_size,
+        )
+        assert "wqkv" in self.params["layers"][0], (
+            "PagedDecodeEngine needs the fused-wqkv/w13 packed model "
+            "(llama.fuse_llama_params + 4-bit QuantLinears)"
+        )
+        self.params_stacked = stack_layers(self.params)
+        self.block = block
+        self.max_chunks = -(-max_len // block)
+        self.pcache = init_paged_kv_cache(
+            cfg, max_batch, n_blocks, block, self.max_chunks
+        )
+        # the LAST block is a reserved TRASH target: idle slots keep
+        # decoding inside the batched chunk (their tokens are discarded)
+        # and their KV row writes must not land in recycled blocks owned
+        # by live requests — stale tables point here instead
+        self._trash = n_blocks - 1
+        self._free = list(range(n_blocks - 1))
+        self._ref = [0] * n_blocks
+        self._slot_blocks = [[] for _ in range(max_batch)]
+        self._bt = np.full((max_batch, self.max_chunks), self._trash,
+                           np.int32)
+        self._len = np.zeros((max_batch,), np.int64)
+
+    # ---- allocator ----------------------------------------------------------
+    def _alloc_block(self):
+        if not self._free:
+            # evict prefix-cache entries (oldest first) to reclaim blocks
+            while self._prefix and not self._free:
+                self._prefix_evict(next(iter(self._prefix)))
+        if not self._free:
+            raise RuntimeError("KV block pool exhausted")
+        bid = self._free.pop()
+        self._ref[bid] = 1
+        return bid
+
+    def _release_block(self, bid):
+        self._ref[bid] -= 1
+        if self._ref[bid] == 0:
+            self._free.append(bid)
+
+    def _prefix_evict(self, key):
+        for bid in self._prefix.pop(key)["blocks"]:
+            self._release_block(bid)
+
+    def _ensure_blocks(self, slot, n_rows):
+        """Grow ``slot``'s table to cover n_rows logical rows."""
+        blocks = self._slot_blocks[slot]
+        while len(blocks) * self.block < n_rows:
+            bid = self._alloc_block()
+            self._bt[slot, len(blocks)] = bid
+            blocks.append(bid)
+
+    # ---- prefix cache over blocks -------------------------------------------
+    def _prefix_store(self, prompt, scratch_unused, slot, total_len):
+        # keyed by the FULL-BLOCK-truncated prefix so len(key) == usable
+        # offset everywhere (the base _admit_all sizes buckets from
+        # len(key); partial-block rows are re-prefilled on reuse rather
+        # than copy-on-write-ing the tail block)
+        if self._prefix_cache_size <= 0:
+            return
+        n_full = min(total_len, len(prompt)) // self.block
+        if n_full == 0:
+            return
+        key = tuple(prompt[: n_full * self.block].tolist())
+        if key in self._prefix:
+            self._prefix.pop(key)
+        blocks = self._slot_blocks[slot][:n_full]
+        for bid in blocks:
+            self._ref[bid] += 1
+        self._prefix[key] = {"len": n_full * self.block, "blocks": blocks}
+        while len(self._prefix) > self._prefix_cache_size:
+            self._prefix_evict(next(iter(self._prefix)))
+
+    # ---- admission ----------------------------------------------------------
+    def _admit_group(self, admits, Sb, S_scratch):
+        """Batched tail prefill into the contiguous scratch (as the base
+        engine), then SCATTER the new rows into freshly-allocated pool
+        blocks; prefix hits share the cached FULL blocks outright and only
+        seed the scratch so the tail forward can attend to them."""
+        from sparsebit_tpu.llm.kv_cache import paged_write_rows
+
+        n = len(admits)
+        tails, offsets, lasts = [], [], []
+        for _, req, pkey in admits:
+            P = self._prefix[pkey]["len"] if pkey else 0
+            tails.append(req.prompt[P:])
+            offsets.append(P)
+            lasts.append(len(req.prompt) - P - 1)
+        scratch = self._get_scratch(n, S_scratch)
+
+        # seed cached prefix rows into the scratch from the POOL blocks
+        if any(pkey for _, _, pkey in admits):
+            k, v = list(scratch.k), list(scratch.v)
+            ks, vs = list(scratch.k_scale), list(scratch.v_scale)
+            for row, (_, _, pkey) in enumerate(admits):
+                if not pkey:
+                    continue
+                e = self._prefix[pkey]
+                self._prefix.pop(pkey)
+                self._prefix[pkey] = e  # LRU refresh
+                P = e["len"]
+                bids = jnp.asarray(e["blocks"], jnp.int32)
+                Hkv = self.cfg.n_kv_heads
+                # (L, n_full, block, ...) -> (L, P, ...)
+                kk = self.pcache.k[:, bids].reshape(
+                    (self.cfg.n_layers, P) + self.pcache.k.shape[3:])
+                vv = self.pcache.v[:, bids].reshape(
+                    (self.cfg.n_layers, P) + self.pcache.v.shape[3:])
+                kss = self.pcache.k_scale[:, bids].reshape(
+                    self.cfg.n_layers, P, -1)[..., :Hkv]
+                vss = self.pcache.v_scale[:, bids].reshape(
+                    self.cfg.n_layers, P, -1)[..., :Hkv]
+                for li in range(self.cfg.n_layers):
+                    k[li] = k[li].at[row, :P].set(kk[li])
+                    v[li] = v[li].at[row, :P].set(vv[li])
+                    ks[li] = ks[li].at[row, :P].set(kss[li])
+                    vs[li] = vs[li].at[row, :P].set(vss[li])
+            scratch = KVCache(k, v, ks, vs, scratch.length, scratch.quantized)
+
+        padded = np.zeros((n, Sb), np.int32)
+        for row, t in enumerate(tails):
+            padded[row, : len(t)] = t
+        logits, scratch = prefill_at(
+            self.params, jnp.asarray(padded), scratch, self.cfg,
+            jnp.asarray(lasts, jnp.int32), jnp.asarray(offsets, jnp.int32),
+        )
+        self._scratch[(n, S_scratch)] = scratch
+
+        self._key, sub = jax.random.split(self._key)
+        temps = jnp.asarray([r.temperature for _, r, _ in admits], jnp.float32)
+        first = sample_logits_vec(logits, sub, temps)
+        first_np = np.asarray(first)
+        Hp = self.pcache.k_scale.shape[-1]
+        Hkv = self.cfg.n_kv_heads
+        for row, (slot, req, pkey) in enumerate(admits):
+            total_len = offsets[row] + len(tails[row])
+            # table: shared full prefix blocks first, fresh blocks after
+            self._slot_blocks[slot] = []
+            self._bt[slot, :] = self._trash
+            if pkey:
+                for ci, bid in enumerate(self._prefix[pkey]["blocks"]):
+                    self._ref[bid] += 1
+                    self._bt[slot, ci] = bid
+                    self._slot_blocks[slot].append(bid)
+            self._ensure_blocks(slot, total_len)
+            self.pcache = PagedKVCacheReplace(
+                self.pcache, block_table=jnp.asarray(self._bt),
+                length=self.pcache.length.at[slot].set(total_len),
+            )
+            # scatter the freshly-prefilled rows [offset, total_len)
+            off = offsets[row]
+            S_buf = scratch.k[0].shape[1]
+            rows_k = jnp.stack([kl[row] for kl in scratch.k])  # (L,S,..)
+            rows_v = jnp.stack([vl[row] for vl in scratch.v])
+            pad = Hp - Hkv
+            rows_ks = jnp.pad(
+                jnp.stack([s[row] for s in scratch.k_scale]),
+                ((0, 0), (0, 0), (0, pad)))
+            rows_vs = jnp.pad(
+                jnp.stack([s[row] for s in scratch.v_scale]),
+                ((0, 0), (0, 0), (0, pad)))
+            # shift so scatter covers [off, total_len): write whole buffer
+            # with offset 0 rows masked via n_rows/offset arithmetic
+            self.pcache = paged_write_rows(
+                self.pcache, jnp.asarray(self._bt[slot], jnp.int32),
+                rows_k, rows_v, rows_ks, rows_vs,
+                jnp.int32(total_len), jnp.int32(0),
+            )
+            self._len[slot] = total_len
+            self._prefix_store(req.prompt, None, slot, total_len)
+            self.slots[slot] = req
+            self.next_tok = self.next_tok.at[slot].set(first_np[row])
+            req.generated.append(int(first_np[row]))
+
+    # ---- decode -------------------------------------------------------------
+    def step(self):
+        from sparsebit_tpu.llm.decode import decode_chunk_paged
+
+        emitted = self._admit_all()
+        active = [s for s in self.slots if s is not None]
+        if not active:
+            return emitted
+
+        headroom = min(
+            self.max_len - int(self._len[i])
+            for i, s in enumerate(self.slots) if s is not None
+        )
+        n = max(1, min(self.chunk, headroom))
+        # pre-extend tables: the chunk writes rows length..length+n-1
+        for i, s in enumerate(self.slots):
+            if s is not None:
+                self._ensure_blocks(i, int(self._len[i]) + n)
+        self.pcache = PagedKVCacheReplace(
+            self.pcache, block_table=jnp.asarray(self._bt))
+        temps = jnp.asarray(
+            [s.temperature if s is not None else 0.0 for s in self.slots],
+            jnp.float32,
+        )
+        self._key, sub = jax.random.split(self._key)
+        toks, self.pcache = decode_chunk_paged(
+            self.params_stacked, self.next_tok, self.pcache, temps, sub,
+            self.cfg, n,
+        )
+        toks_np = np.asarray(toks)
+        self.next_tok = toks[:, -1]
+        for i, s in enumerate(self.slots):
+            if s is not None:
+                self._len[i] += n
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            want = req.max_new_tokens - len(req.generated)
+            take = toks_np[slot, : max(0, min(n, want))].tolist()
+            if self.eos_id is not None and self.eos_id in take:
+                take = take[: take.index(self.eos_id) + 1]
+            req.generated.extend(take)
+            emitted.setdefault(req.rid, []).extend(take)
+            self._maybe_finish(slot, chunk_len=n)
+        return emitted
+
+    def _maybe_finish(self, slot, chunk_len=0):
+        req = self.slots[slot]
+        if req is None:
+            return
+        hit_eos = (
+            self.eos_id is not None
+            and bool(req.generated)
+            and req.generated[-1] == self.eos_id
+        )
+        hit_len = len(req.generated) >= req.max_new_tokens
+        full = int(self._len[slot]) + 1 >= self.max_len
+        if hit_eos or hit_len or full:
+            req.done = True
+            self.slots[slot] = None
+            for bid in self._slot_blocks[slot]:
+                self._release_block(bid)
+            self._slot_blocks[slot] = []
+            self._bt[slot, :] = self._trash
+            self._len[slot] = 0
+            self.pcache = PagedKVCacheReplace(
+                self.pcache, block_table=jnp.asarray(self._bt),
+                length=self.pcache.length.at[slot].set(0))
+
+
+def PagedKVCacheReplace(pc, **kw):
+    from sparsebit_tpu.llm.kv_cache import PagedKVCache
+
+    fields = dict(k=pc.k, v=pc.v, k_scale=pc.k_scale, v_scale=pc.v_scale,
+                  block_table=pc.block_table, length=pc.length)
+    fields.update(kw)
+    return PagedKVCache(**fields)

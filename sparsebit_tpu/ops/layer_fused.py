@@ -116,7 +116,7 @@ def _mm_step(xq_ref, w_ref, s_ref, z_ref, acc_ref, k, col_off, *, gs, GB, G8):
 
 
 def _layer_kernel(
-    li_ref, len_ref,
+    li_ref, len_ref, bt_ref,
     x_ref, an_ref, fn_ref, cosf_ref, sinf_ref,
     wq_ref, sq_ref, zq_ref, wo_ref, so_ref, zo_ref,
     w13_ref, s13_ref, z13_ref, w2_ref, s2_ref, z2_ref,
@@ -127,7 +127,7 @@ def _layer_kernel(
     kslab, vslab, ks_slab, vs_slab, krow, vrow, ksrow, vsrow, sems,
     *, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
-    debug_out=None, prefetch_slabs=False,
+    debug_out=None, prefetch_slabs=False, paged=False, sc=128,
 ):
     # grid is (n_grid_layers, T): the leading dimension walks whole decoder
     # layers with the activation carried in VMEM scratch (xcur) — one
@@ -193,23 +193,30 @@ def _layer_kernel(
     # _group_attention and the scale columns are zeroed below (a NaN in
     # an unloaded f32 scale row would otherwise ride 0*NaN into the
     # value mix).
-    SC = 128 if S % 128 == 0 else S
-    n_sc = S // SC
+    n_sc = S // sc
 
     def _slab_copies(b):
         length = len_ref[b]
         out = []
         for c in range(n_sc):
-            sl = pl.ds(c * SC, SC)
-            cond = (c * SC) <= length
-            out.append((cond, pltpu.make_async_copy(
-                k_hbm.at[li0, b, sl], kslab.at[sl], sems.at[4])))
-            out.append((cond, pltpu.make_async_copy(
-                v_hbm.at[li0, b, sl], vslab.at[sl], sems.at[5])))
-            out.append((cond, pltpu.make_async_copy(
-                ks_hbm.at[li0, b, sl], ks_slab.at[sl], sems.at[6])))
-            out.append((cond, pltpu.make_async_copy(
-                vs_hbm.at[li0, b, sl], vs_slab.at[sl], sems.at[7])))
+            sl = pl.ds(c * sc, sc)
+            cond = (c * sc) <= length
+            if paged:
+                # block-table indirection: logical chunk c of row b lives
+                # in physical pool block bt[b, c] (vLLM-style paged KV;
+                # the index is SMEM scalar arithmetic, the DMA itself is
+                # identical to the contiguous case)
+                blk = bt_ref[b, c]
+                srcs = (k_hbm.at[li0, blk], v_hbm.at[li0, blk],
+                        ks_hbm.at[li0, blk], vs_hbm.at[li0, blk])
+            else:
+                srcs = (k_hbm.at[li0, b, sl], v_hbm.at[li0, b, sl],
+                        ks_hbm.at[li0, b, sl], vs_hbm.at[li0, b, sl])
+            for i, (src, dst) in enumerate(zip(
+                    srcs, (kslab.at[sl], vslab.at[sl],
+                           ks_slab.at[sl], vs_slab.at[sl]))):
+                out.append((cond, pltpu.make_async_copy(
+                    src, dst, sems.at[4 + i])))
         return out
 
     def _start_copies(copies):
@@ -297,15 +304,30 @@ def _layer_kernel(
             # the row writes and the (possibly prefetched) slab loads race
             # on the cache row in HBM — harmless, the VMEM slab is patched
             # with the fresh row below either way
+            if paged:
+                blk_w = bt_ref[b, length // sc]
+                row_w = length % sc
+            else:
+                blk_w, row_w = b, length
             row_writes = [
                 pltpu.make_async_copy(
-                    krow, ko_hbm.at[li0, b, length], sems.at[0]),
+                    krow,
+                    (ko_hbm.at[li0, blk_w, row_w] if paged
+                     else ko_hbm.at[li0, b, length]), sems.at[0]),
                 pltpu.make_async_copy(
-                    vrow, vo_hbm.at[li0, b, length], sems.at[1]),
+                    vrow,
+                    (vo_hbm.at[li0, blk_w, row_w] if paged
+                     else vo_hbm.at[li0, b, length]), sems.at[1]),
                 pltpu.make_async_copy(
-                    ksrow, kso_hbm.at[li0, b, pl.ds(length, 1)], sems.at[2]),
+                    ksrow,
+                    (kso_hbm.at[li0, blk_w, pl.ds(row_w, 1)] if paged
+                     else kso_hbm.at[li0, b, pl.ds(length, 1)]),
+                    sems.at[2]),
                 pltpu.make_async_copy(
-                    vsrow, vso_hbm.at[li0, b, pl.ds(length, 1)], sems.at[3]),
+                    vsrow,
+                    (vso_hbm.at[li0, blk_w, pl.ds(row_w, 1)] if paged
+                     else vso_hbm.at[li0, b, pl.ds(length, 1)]),
+                    sems.at[3]),
             ]
             loads = _slab_copies(b)
             for c in row_writes:
@@ -463,6 +485,10 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None):
     Nq = (Hq + 2 * Hkv) * D
     if gs <= 0 or B > 8 or D % 128 or Fp < F:
         return False
+    if Hkv % 4:
+        # the per-token KV row write DMAs a (Hkv, D) int8 slice; Mosaic
+        # requires the sublane dim aligned to the (4, 128) int8 tiling
+        return False
     for K, N in ((dim, Nq), (Hq * D, dim), (dim, 2 * F), (Fp, dim)):
         if K % gs or N % 128:
             return False
@@ -498,7 +524,7 @@ def fused_decoder_layer(x, pos, cos, sin, li,
 def fused_decoder_layers(x, pos, cos, sin,
                          wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
                          attn_norm, ffn_norm, k, v, ks, vs,
-                         cfg, gs, interpret=False):
+                         cfg, gs, interpret=False, bt=None):
     """The WHOLE backbone in one launch: grid (n_layers, T) walks every
     decoder layer's five phases with the activation row carried in VMEM
     scratch between layers. vs. one launch per layer this saves the
@@ -507,13 +533,18 @@ def fused_decoder_layers(x, pos, cos, sin,
     next layer while the current one finishes.
 
     x (B, dim) f32 -> (out (B, dim) f32 post-last-layer (pre final norm),
-    k, v, ks, vs updated in place). Weight/scale stacks are (L, ...);
-    caches (L, B, S, ...)."""
+    k, v, ks, vs updated in place). Weight/scale stacks are (L, ...).
+
+    Caches: contiguous (L, B, S, ...) when bt is None, else PAGED pools
+    (L, n_blocks, block, ...) with bt (B, n_chunks) int32 mapping row b's
+    logical chunk c to its physical pool block (vLLM-style block table;
+    llm/kv_cache.PagedKVCache + the serving engine's allocator own the
+    tables)."""
     return _fused_call(
         x, pos, cos, sin, jnp.int32(0), wq, sq, zq, wo, so, zo,
         w13, s13, z13, w2, s2, z2, attn_norm, ffn_norm, k, v, ks, vs,
         cfg, gs, interpret=interpret, debug_out=None, _n_phases=5,
-        n_grid_layers=k.shape[0],
+        n_grid_layers=k.shape[0], bt=bt,
     )
 
 
@@ -521,7 +552,7 @@ def _fused_call(x, pos, cos, sin, li,
                 wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
                 attn_norm, ffn_norm, k, v, ks, vs,
                 cfg, gs, interpret=False, debug_out=None,
-                _n_phases=5, n_grid_layers=1):
+                _n_phases=5, n_grid_layers=1, bt=None):
     B, dim = x.shape
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     F = cfg.ffn_dim
@@ -531,7 +562,17 @@ def _fused_call(x, pos, cos, sin, li,
     Fp = w2.shape[-2] * kdiv  # >= F when W2 is with_k_pad-ded
     Nq = (Hq + 2 * Hkv) * D
     HD = Hq * D
-    S = k.shape[2]
+    paged = bt is not None
+    if paged:
+        # k/v/ks/vs are physical POOLS (L, n_blocks, block, ...); the
+        # logical sequence view is bt's n_chunks x block rows
+        SC = k.shape[2]
+        S = bt.shape[1] * SC
+        bt_arr = bt.astype(jnp.int32)
+    else:
+        S = k.shape[2]
+        SC = 128 if S % 128 == 0 else S
+        bt_arr = jnp.zeros((1, 1), jnp.int32)  # unused
     Hp = ks.shape[-1]
     Lx = k.shape[0]
     n_rep = Hq // Hkv
@@ -608,14 +649,14 @@ def _fused_call(x, pos, cos, sin, li,
         # stack both multi-MB fetches on the same step)
         S3b = S3 + min(2, max(T4 - 1, 0))
 
-        def w(l, s, li_r, len_r):
+        def w(l, s, li_r, len_r, bt_r):
             cur = li_r[0] + l
             nxt = (s >= S3b) & (l + 1 < Lg)
             return (jnp.where(nxt, cur + 1, cur),
                     jnp.where(nxt, 0, p1(s)),
                     jnp.where(nxt, 0, n1_of(s)))
 
-        def sz(l, s, li_r, len_r):
+        def sz(l, s, li_r, len_r, bt_r):
             cur = li_r[0] + l
             nxt = (s >= S3b) & (l + 1 < Lg)
             return (jnp.where(nxt, cur + 1, cur),
@@ -625,7 +666,7 @@ def _fused_call(x, pos, cos, sin, li,
         return w, sz
 
     def _prev_maps(switch_at, pk, kt, GB, G8, n_of=None, last_n=0):
-        def w(l, s, li_r, len_r):
+        def w(l, s, li_r, len_r, bt_r):
             cur = li_r[0] + l
             prev = (s < switch_at) & (l > 0)
             n = n_of(s) if n_of else 0
@@ -633,7 +674,7 @@ def _fused_call(x, pos, cos, sin, li,
                     jnp.where(prev, kt - 1, pk(s)),
                     jnp.where(prev, last_n, n))
 
-        def sz(l, s, li_r, len_r):
+        def sz(l, s, li_r, len_r, bt_r):
             cur = li_r[0] + l
             prev = (s < switch_at) & (l > 0)
             n = n_of(s) if n_of else 0
@@ -651,18 +692,18 @@ def _fused_call(x, pos, cos, sin, li,
     w2_w, w2_sz = _prev_maps(S3, p5, k5_t, GB5, G85)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_grid_layers, T_grid),
         in_specs=[
-            pl.BlockSpec((B_pad, dim), lambda l, s, li_r, len_r: (0, 0)),  # x
+            pl.BlockSpec((B_pad, dim), lambda l, s, li_r, len_r, bt_r: (0, 0)),  # x
             pl.BlockSpec(
-                (Wn, dim), lambda l, s, li_r, len_r: ((li_r[0] + l) // Wn, 0)
+                (Wn, dim), lambda l, s, li_r, len_r, bt_r: ((li_r[0] + l) // Wn, 0)
             ),
             pl.BlockSpec(
-                (Wn, dim), lambda l, s, li_r, len_r: ((li_r[0] + l) // Wn, 0)
+                (Wn, dim), lambda l, s, li_r, len_r, bt_r: ((li_r[0] + l) // Wn, 0)
             ),
-            pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r: (0, 0)),  # cos
-            pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r: (0, 0)),  # sin
+            pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r, bt_r: (0, 0)),  # cos
+            pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r, bt_r: (0, 0)),  # sin
             pl.BlockSpec((1, KB1 // kdiv, NT1), wq_w),
             pl.BlockSpec((1, G81, NT1), wq_sz),
             pl.BlockSpec((1, G81, NT1), wq_sz),
@@ -681,7 +722,7 @@ def _fused_call(x, pos, cos, sin, li,
             pl.BlockSpec(memory_space=pltpu.HBM),  # vs
         ],
         out_specs=[
-            pl.BlockSpec((B_pad, dim), lambda l, s, li_r, len_r: (0, 0)),
+            pl.BlockSpec((B_pad, dim), lambda l, s, li_r, len_r, bt_r: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -722,6 +763,7 @@ def _fused_call(x, pos, cos, sin, li,
             k4_t=k4_t, n4_t=n4_t, G84=G84, k5_t=k5_t, G85=G85,
             debug_out=debug_out,
             prefetch_slabs=(B == 1 and _n_phases >= 2),
+            paged=paged, sc=SC,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -731,9 +773,9 @@ def _fused_call(x, pos, cos, sin, li,
             jax.ShapeDtypeStruct(ks.shape, ks.dtype),
             jax.ShapeDtypeStruct(vs.shape, vs.dtype),
         ],
-        # cache stacks in place (after 2 scalar-prefetch + 17 tensor args,
-        # caches are inputs 19..22) -> outputs 1..4
-        input_output_aliases={19: 1, 20: 2, 21: 3, 22: 4},
+        # cache stacks/pools in place (after 3 scalar-prefetch + 17
+        # tensor args, caches are inputs 20..23) -> outputs 1..4
+        input_output_aliases={20: 1, 21: 2, 22: 3, 23: 4},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # five phases' tiles + KV slabs + activation scratch exceed the
@@ -743,6 +785,7 @@ def _fused_call(x, pos, cos, sin, li,
         ),
         interpret=interpret,
     )(jnp.reshape(li, (1,)).astype(jnp.int32), pos.astype(jnp.int32),
+      bt_arr,
       x, attn_norm, ffn_norm, cos, sin,
       wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2, k, v, ks, vs)
     return out[:B], k2, v2, ks2, vs2

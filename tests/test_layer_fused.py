@@ -250,3 +250,88 @@ def test_fused_decoder_layer_matches_oracle(B, k_pad):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), rtol=2e-2, atol=2e-2
     )
+
+
+def test_fused_decoder_layers_paged_matches_contiguous():
+    """Paged pools + scrambled block table == contiguous caches: same
+    output row, and the pool rows gather back to the contiguous result.
+    pos spans two 128-row chunks (row 1 writes into its second block)."""
+    from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
+    from sparsebit_tpu.ops.packing import pack_u4_rows, unpack_columns
+
+    cfg = _mk_cfg()
+    gs = 64
+    D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    B, S, Lx, SC = 2, 256, 2, 128
+    n_sc = S // SC
+    keys = jax.random.split(jax.random.PRNGKey(7), Lx)
+    built = [_build(cfg, gs, k) for k in keys]
+    names = ("wqkv", "wo", "w13", "w2")
+    u4s = {n: jnp.stack([
+        pack_u4_rows(unpack_columns(b[0][n].packed, 4, b[0][n].n_padded))
+        for b in built]) for n in names}
+    scs = {n: jnp.stack([b[0][n].scales for b in built]) for n in names}
+    zrs = {n: jnp.stack([b[0][n].zeros for b in built]) for n in names}
+    ans = jnp.stack([b[1] for b in built])
+    fns = jnp.stack([b[2] for b in built])
+    Hp = 128
+    kk, kv, kx = jax.random.split(jax.random.PRNGKey(8), 3)
+    k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
+    pos = jnp.asarray([5, 130], jnp.int32)  # row 1 -> second chunk
+    inv_freq = L.rope_frequencies(cfg)
+    angles = pos[:, None].astype(jnp.float32) * inv_freq
+    cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)
+    sinf = jnp.concatenate([jnp.sin(angles)] * 2, axis=1)
+    args = (u4s["wqkv"], scs["wqkv"], zrs["wqkv"],
+            u4s["wo"], scs["wo"], zrs["wo"],
+            u4s["w13"], scs["w13"], zrs["w13"],
+            u4s["w2"], scs["w2"], zrs["w2"], ans, fns)
+
+    @jax.jit
+    def contiguous():
+        return fused_decoder_layers(
+            x, pos, cosf, sinf, *args, k8, v8, kssc, vssc, cfg, gs,
+            interpret=True)
+
+    # scrambled block table over a 6-block pool (2 spare garbage blocks)
+    NBLK = B * n_sc + 2
+    bt = jnp.asarray([[5, 2], [0, 3]], jnp.int32)
+
+    def to_pool(cache, fill):
+        pool = jnp.full((Lx, NBLK, SC) + cache.shape[3:], fill, cache.dtype)
+        for b in range(B):
+            for c in range(n_sc):
+                pool = pool.at[:, int(bt[b, c])].set(
+                    cache[:, b, c * SC:(c + 1) * SC])
+        return pool
+
+    kp, vp = to_pool(k8, 0), to_pool(v8, 0)
+    ksp, vsp = to_pool(kssc, jnp.nan), to_pool(vssc, jnp.nan)
+
+    @jax.jit
+    def paged(kp, vp, ksp, vsp):
+        return fused_decoder_layers(
+            x, pos, cosf, sinf, *args, kp, vp, ksp, vsp, cfg, gs,
+            interpret=True, bt=bt)
+
+    o_ref, k_r, v_r, ks_r, vs_r = contiguous()
+    o_p, kp2, vp2, ksp2, vsp2 = paged(kp, vp, ksp, vsp)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def from_pool(pool):
+        rows = [jnp.concatenate([pool[:, int(bt[b, c])] for c in range(n_sc)],
+                                axis=1) for b in range(B)]
+        return jnp.stack(rows, axis=1)
+
+    for got, want in ((from_pool(kp2), k_r), (from_pool(vp2), v_r),
+                      (from_pool(ksp2), ks_r), (from_pool(vsp2), vs_r)):
+        np.testing.assert_allclose(np.asarray(got, np.float64),
+                                   np.asarray(want, np.float64),
+                                   rtol=1e-6, atol=1e-6)

@@ -117,3 +117,77 @@ def test_engine_per_slot_temperature():
     np.testing.assert_array_equal(np.asarray(out[g]), np.asarray(ref))
     assert len(out[s]) == 6
     assert all(0 <= t < CFG.vocab_size for t in out[s])
+
+
+def _fused_quant_model(cfg, gs=64):
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    params = L.init_llama_params(cfg, jax.random.PRNGKey(0))
+    params = L.fuse_llama_params(params)
+    return L.quantize_llama_params(
+        params,
+        lambda p, lin: QuantLinear.from_dense(
+            lin.w.astype(jnp.float32), bits=4, groupsize=gs
+        ),
+    )
+
+
+def test_paged_engine_matches_fixed_slot_engine():
+    """PagedDecodeEngine (block-table pools, 16-row blocks) produces the
+    same greedy tokens as the fixed-slot engine on the same quantized
+    model — including a third request queued behind 2 slots."""
+    from sparsebit_tpu.llm.serving import PagedDecodeEngine
+
+    cfg = L.llama_tiny(dim=256, n_heads=2, n_kv_heads=2, ffn_dim=384,
+                       vocab_size=128, max_seq_len=48, dtype="float32")
+    qparams = _fused_quant_model(cfg)
+    prompts = [
+        np.array([3, 17, 91, 30, 7], np.int32),
+        np.array([5, 9], np.int32),
+        np.array([8, 1, 2, 3, 4, 5], np.int32),
+    ]
+    n_new = 5
+
+    ref_engine = DecodeEngine(qparams, cfg, max_batch=2, max_len=48)
+    rids = [ref_engine.add_request(p, max_new_tokens=n_new) for p in prompts]
+    ref = ref_engine.run()
+
+    eng = PagedDecodeEngine(qparams, cfg, max_batch=2, block=16,
+                            n_blocks=8, max_len=48)
+    rids_p = [eng.add_request(p, max_new_tokens=n_new) for p in prompts]
+    got = eng.run()
+    for r_ref, r_got in zip(rids, rids_p):
+        np.testing.assert_array_equal(
+            np.asarray(got[r_got]), np.asarray(ref[r_ref]),
+            err_msg=str(r_ref))
+    # after completion only prefix-cache entries may hold blocks; the
+    # rest are back in the pool (trash block excluded from both)
+    held = sum(1 for bid in range(8 - 1) if eng._ref[bid] > 0)
+    cached = sum(len(e["blocks"]) for e in eng._prefix.values())
+    assert held == cached, (held, cached)
+    assert len(eng._free) == 8 - 1 - cached
+
+
+def test_paged_engine_prefix_block_sharing():
+    """Identical 20-token prompts: the second admission SHARES the first's
+    full 16-row block (refcount > 1 while both live; the partial tail is
+    re-prefilled) and produces identical tokens."""
+    from sparsebit_tpu.llm.serving import PagedDecodeEngine
+
+    cfg = L.llama_tiny(dim=256, n_heads=2, n_kv_heads=2, ffn_dim=384,
+                       vocab_size=128, max_seq_len=48, dtype="float32")
+    qparams = _fused_quant_model(cfg)
+    prompt = np.arange(2, 22, dtype=np.int32)  # 20 tokens -> 1 full block
+
+    eng = PagedDecodeEngine(qparams, cfg, max_batch=1, block=16,
+                            n_blocks=6, max_len=48, prefix_cache_size=4)
+    r1 = eng.add_request(prompt, max_new_tokens=4)
+    out1 = eng.run()
+    assert eng.prefix_hits == 0 and len(eng._prefix) >= 1
+    r2 = eng.add_request(prompt.copy(), max_new_tokens=4)
+    out2 = eng.run()
+    assert eng.prefix_hits == 1
+    np.testing.assert_array_equal(np.asarray(out1[r1]), np.asarray(out2[r2]))
+    # slots freed -> only prefix-cache refs keep blocks out of the pool
+    held = sum(1 for r in eng._ref if r > 0)
+    assert held == sum(len(e["blocks"]) for e in eng._prefix.values())
