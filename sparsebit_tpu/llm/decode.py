@@ -31,7 +31,8 @@ def _use_attn_kernel(S, quantized, cfg):
     from sparsebit_tpu.ops.attention import decode_attention_supported
 
     supported = S == 1 and decode_attention_supported(
-        (1, cfg.n_heads, cfg.head_dim), None, quantized
+        (1, cfg.n_heads, cfg.head_dim), None, quantized,
+        n_kv_heads=cfg.n_kv_heads,
     )
     if FORCE_ATTN_KERNEL is not None:
         return FORCE_ATTN_KERNEL and supported

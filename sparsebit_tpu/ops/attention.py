@@ -452,9 +452,19 @@ def decode_attention_update(q, k_new, v_new, k, v, ks, vs, li, length,
     return out, k2, v2, ks2, vs2
 
 
-def decode_attention_supported(q_shape, k_shape, quantized):
+def decode_attention_supported(q_shape, k_shape, quantized,
+                               n_kv_heads=None):
     """Kernel constraints: one token per step (q has no seq axis here),
-    int8/float cache (int4-packed uses the XLA path), and lane-aligned
-    head_dim."""
+    int8/float cache (int4-packed uses the XLA path), lane-aligned
+    head_dim, and sublane-aligned KV heads — the update kernel DMAs an
+    (Hkv, D) row slice into the HBM cache stack, so Hkv must be a
+    multiple of the dtype's sublane tile (4 for int8, 8 for f32);
+    Mosaic rejects the memref_slice otherwise."""
     D = q_shape[-1]
-    return quantized in (False, "int8") and D % 128 == 0
+    if quantized not in (False, "int8") or D % 128:
+        return False
+    if n_kv_heads is not None:
+        tile = 4 if quantized == "int8" else 8
+        if n_kv_heads % tile:
+            return False
+    return True

@@ -21,8 +21,11 @@ def _rms(x, w, eps):
 
 
 def _mk_cfg():
+    # n_kv_heads=4: the fused layer's per-token KV row DMA needs the
+    # (Hkv, D) int8 slice sublane-aligned to the (4, 128) tiling — see
+    # fused_layer_supported. head_dim = dim / n_heads = 128.
     return L.llama_tiny(
-        dim=256, n_heads=2, n_kv_heads=2, ffn_dim=384, max_seq_len=64
+        dim=512, n_heads=4, n_kv_heads=4, ffn_dim=384, max_seq_len=64
     )
 
 
@@ -44,11 +47,17 @@ def _build(cfg, gs, key):
 
 
 def test_scanned_decode_with_layer_kernel_matches_unrolled():
-    """decode_tokens_scanned with the whole-layer megakernel forced
-    (interpret) produces the same greedy tokens as the unrolled XLA path."""
+    """decode_step_scanned with the whole-layer megakernel forced
+    (interpret) matches the unrolled XLA path step by step.
+
+    Teacher-forced: both paths consume the SAME token each step so a
+    bf16 argmax tie (the paths differ by a few ulps from different
+    accumulation orders) can't cascade into divergent sequences. Logits
+    must agree within bf16 noise; greedy tokens must agree wherever the
+    top-2 margin exceeds that noise."""
     from sparsebit_tpu.llm import decode as Dmod
     from sparsebit_tpu.llm.decode import (
-        decode_tokens, decode_tokens_scanned, prefill, prefill_scanned,
+        decode_step, decode_step_scanned, prefill, prefill_scanned,
         stack_layers)
     from sparsebit_tpu.llm.kv_cache import init_kv_cache
 
@@ -63,24 +72,36 @@ def test_scanned_decode_with_layer_kernel_matches_unrolled():
     )
     prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, cfg.vocab_size)
 
-    cache = init_kv_cache(cfg, 2, 32, quantized=True)
-    logits, cache_u = prefill(qparams, prompt, cache, cfg)
-    tok = jnp.argmax(logits, -1).astype(jnp.int32)
-    toks_ref, _ = decode_tokens(qparams, tok, cache_u, cfg, 5)
+    ATOL = 0.1  # bf16 ulp noise at |logit|~1-2 across 2 layers
 
     old = Dmod.FORCE_LAYER_KERNEL
     try:
+        cache_u = init_kv_cache(cfg, 2, 32, quantized=True)
+        logits, cache_u = prefill(qparams, prompt, cache_u, cfg)
+
         Dmod.FORCE_LAYER_KERNEL = True
         stacked = stack_layers(qparams)
-        cache = init_kv_cache(cfg, 2, 32, quantized=True)
-        logits_s, cache_s = prefill_scanned(stacked, prompt, cache, cfg)
-        tok_s = jnp.argmax(logits_s, -1).astype(jnp.int32)
-        toks_s, _ = decode_tokens_scanned(stacked, tok_s, cache_s, cfg, 5)
+        cache_s = init_kv_cache(cfg, 2, 32, quantized=True)
+        logits_s, cache_s = prefill_scanned(stacked, prompt, cache_s, cfg)
+        np.testing.assert_allclose(
+            np.asarray(logits_s, np.float32),
+            np.asarray(logits, np.float32), atol=ATOL)
+
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        for _ in range(5):
+            lg_u, cache_u = decode_step(qparams, tok, cache_u, cfg)
+            lg_s, cache_s = decode_step_scanned(stacked, tok, cache_s, cfg)
+            lu = np.asarray(lg_u, np.float32)
+            ls = np.asarray(lg_s, np.float32)
+            np.testing.assert_allclose(ls, lu, atol=ATOL)
+            top2 = np.sort(lu, -1)[:, -2:]
+            margin = top2[:, 1] - top2[:, 0]
+            decisive = margin > 2 * ATOL
+            au, as_ = lu.argmax(-1), ls.argmax(-1)
+            np.testing.assert_array_equal(au[decisive], as_[decisive])
+            tok = jnp.asarray(au, jnp.int32)
     finally:
         Dmod.FORCE_LAYER_KERNEL = old
-
-    np.testing.assert_array_equal(np.asarray(tok_s), np.asarray(tok))
-    np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_ref))
 
 
 @pytest.mark.parametrize("layout", ["u4", "u4r"])
@@ -247,8 +268,10 @@ def test_fused_decoder_layer_matches_oracle(B, k_pad):
         np.asarray(ks2[0][..., :Hkv]), np.asarray(ks_u), rtol=1e-5
     )
     # output: attention runs in bf16 (f32 accumulate) inside the kernel
+    # vs the f32 oracle; at dim=512 the accumulated bf16 noise on O(1-3)
+    # activations reaches ~0.05 abs on a few elements
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(expected), rtol=2e-2, atol=2e-2
+        np.asarray(out), np.asarray(expected), rtol=2e-2, atol=6e-2
     )
 
 
