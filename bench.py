@@ -63,7 +63,7 @@ def build_quantized_llama(cfg, bits=4, groupsize=128, impl="a8", fused=True):
     alongside; codes are uniform random — bandwidth identical). Serving
     configuration: fused wqkv/w13 (fewer kernel launches) + W4A8 kernel."""
     from sparsebit_tpu.llm.quant import QuantLinear
-    from sparsebit_tpu.ops.packing import pack_columns, pack_u4_rows
+    from sparsebit_tpu.ops.packing import pack_columns, pack_s4_rows
 
     key = jax.random.PRNGKey(0)
 
@@ -74,10 +74,10 @@ def build_quantized_llama(cfg, bits=4, groupsize=128, impl="a8", fused=True):
         scales = jax.random.uniform(k2, (G, N), jnp.float32, 0.001, 0.01)
         zeros = jnp.full((G, N), float(2 ** (bits - 1)), jnp.float32)
         if bits == 4:
-            # row-pair serving layout: the kernels bitcast u8 tiles to u4
-            # in register for free and the weights stay loop invariants
-            # of the token scan (no per-token conversion/copy chains)
-            packed = {"u4r": pack_u4_rows(codes)}
+            # signed row-pair serving layout: the kernels bitcast u8 tiles
+            # to int4 in register for free (cheapest widening cast, exp13)
+            # and the weights stay loop invariants of the token scan
+            packed = {"s4r": pack_s4_rows(codes)}
         else:
             packed = pack_columns(codes, bits)
         return QuantLinear(packed, scales, zeros, bits,

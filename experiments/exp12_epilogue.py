@@ -68,9 +68,14 @@ def kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, variant):
         o_ref[...] = acc_ref[...]
         return
     if variant == "v4":
-        # cast only: touch every unpacked s8 code, one reduce, no MXU
-        acc_ref[...] += jnp.sum(codes, axis=0,
-                                keepdims=True).astype(jnp.float32)
+        # cast only: touch every unpacked s8 code group by group (mirrors
+        # the loop structure), reduce, no MXU
+        acc = None
+        for g in range(GB):
+            cg = codes[g * gs:(g + 1) * gs, :]
+            t = jnp.sum(cg.astype(jnp.int32), axis=0, keepdims=True)
+            acc = t if acc is None else acc + t
+        acc_ref[...] += acc.astype(jnp.float32)
         o_ref[...] = acc_ref[...]
         return
     if variant == "v5":
@@ -84,9 +89,21 @@ def kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, variant):
         o_ref[...] = acc_ref[...]
         return
     if variant == "v6":
-        # stream only: no unpack, no dot — DMA floor probe
-        acc_ref[...] += jnp.sum(w_ref[...].astype(jnp.float32), axis=0,
-                                keepdims=True)
+        # stream only: no unpack, no dot — DMA floor probe (chunked u8
+        # reduce so no full-tile wide temp)
+        wb = w_ref[...]
+        acc = None
+        for g in range(GB // 2):
+            cg = wb[g * gs:(g + 1) * gs, :]
+            t = jnp.sum(cg.astype(jnp.int32), axis=0, keepdims=True)
+            acc = t if acc is None else acc + t
+        acc_ref[...] += acc.astype(jnp.float32)
+        o_ref[...] = acc_ref[...]
+        return
+    if variant == "v7":
+        # true DMA floor: the BlockSpec still streams the whole tile,
+        # compute touches only an (8, NT) slice of the raw u8
+        acc_ref[...] += w_ref[0:8, :].astype(jnp.int32).astype(jnp.float32)
         o_ref[...] = acc_ref[...]
         return
     if variant == "v0":
@@ -150,6 +167,7 @@ def build(variant):
         scratch_shapes=[pltpu.VMEM((B, NT), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )
 

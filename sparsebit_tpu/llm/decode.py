@@ -285,10 +285,17 @@ FORCE_LAYER_KERNEL = None
 
 
 def _u4_serving(lin):
-    """The QuantLinear's u4-kernel weight array, preferring the u8
-    row-pair container (with_u4_rows: kernel-side free bitcast, weights
-    stay loop invariants) over the in-jit uint4 view. None if neither."""
-    return lin.packed.get("u4r", lin.packed.get("u4"))
+    """The QuantLinear's 4-bit kernel weight array: signed row-pairs
+    (with_s4_rows — cheapest in-kernel cast) > unsigned row-pairs
+    (with_u4_rows) > in-jit uint4 view. u8 containers cross the jit
+    boundary and stay loop invariants. None if no serving container."""
+    return lin.packed.get(
+        "s4r", lin.packed.get("u4r", lin.packed.get("u4")))
+
+
+def _s4_serving(lin):
+    """True when _u4_serving returns a SIGNED (pack_s4_rows) container."""
+    return "s4r" in lin.packed
 
 
 def _u4_k_rows(lin):
@@ -319,6 +326,8 @@ def _scan_uses_layer_kernel(S, layers, quant_mode, cfg, batch):
             return False
         if ln.n_padded != ln.out_features or ln.groupsize != gs or gs <= 0:
             return False
+        if _s4_serving(ln) != _s4_serving(lins[0]):
+            return False  # one signedness flag per launch
     f_pad = _u4_k_rows(lins[3])  # w2 may be with_k_pad-ded
     ok = fused_layer_supported(cfg, gs, batch, f_pad=f_pad)
     if FORCE_LAYER_KERNEL is not None:
@@ -400,6 +409,7 @@ def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
             layers["w2"].zeros,
             layers["attn_norm"], layers["ffn_norm"],
             k, v, ks, vs, cfg, gs, interpret=interp,
+            signed=_s4_serving(layers["wqkv"]),
         )
         x = out[:, None].astype(x.dtype)
         x = L.rms_norm(x, params["norm"], cfg.rms_eps)
@@ -476,6 +486,7 @@ def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
                 _u4_serving(w2), w2.scales, w2.zeros,
                 layers["ffn_norm"], li, w13.groupsize, cfg.rms_eps,
                 interpret=jax.default_backend() != "tpu",
+                signed=_s4_serving(w13),
             )[:, None].astype(x.dtype)
         else:
             x = x + L._ffn_block(
@@ -543,19 +554,23 @@ def decode_step_scanned(params_stacked, tokens, cache, cfg):
 
 def prepare_params_host(params, drop_fold=True):
     """HOST-side (outside jit) serving preparation: convert every packed
-    QuantLinear to the u8 ROW-PAIR layout (QuantLinear.with_u4_rows).
-    One-time repack at model load; after it the decode jits need no
-    in-jit weight conversion at all — the u8 arrays are true loop
-    invariants of the token scan and the kernels bitcast tiles to u4 in
-    register for free. (The previous in-jit with_u4/with_u4_pairs views
-    were re-materialised + re-copied by XLA INSIDE the token while-loop:
-    ~58 ms/tok at 7B vs the megakernel's 6 ms — trace 2026-08-17.)
-    Works on stacked (dict-of-stacked-leaves) and unstacked (list of
-    layer dicts) params."""
+    QuantLinear to the u8 ROW-PAIR layout — signed nibbles for 4-bit
+    (QuantLinear.with_s4_rows: the int4->int8 in-kernel cast is the
+    cheapest, exp13), with_u4_rows otherwise. One-time repack at model
+    load; after it the decode jits need no in-jit weight conversion at
+    all — the u8 arrays are true loop invariants of the token scan and
+    the kernels bitcast tiles to s4/u4 in register for free. (The
+    previous in-jit with_u4/with_u4_pairs views were re-materialised +
+    re-copied by XLA INSIDE the token while-loop: ~58 ms/tok at 7B vs
+    the megakernel's 6 ms — trace 2026-08-17.) Works on stacked
+    (dict-of-stacked-leaves) and unstacked (list of layer dicts)
+    params."""
     from sparsebit_tpu.llm.quant import QuantLinear
 
     def conv(lin):
         if isinstance(lin, QuantLinear):
+            if lin.bits == 4:
+                return lin.with_s4_rows(drop_fold=drop_fold)
             return lin.with_u4_rows(drop_fold=drop_fold)
         return lin
 
@@ -696,6 +711,7 @@ def decode_chunk_paged(params_stacked, tok0, pcache, temps, key, cfg,
             x.astype(jnp.float32), length, cosf, sinf, *wargs,
             layers["attn_norm"], layers["ffn_norm"],
             kp, vp, ksp, vsp, cfg, gs, interpret=interp, bt=bt,
+            signed=_s4_serving(layers["wqkv"]),
         )
         h = L.rms_norm(out[:, None].astype(x.dtype), params["norm"],
                        cfg.rms_eps)

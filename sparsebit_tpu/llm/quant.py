@@ -179,6 +179,8 @@ class QuantLinear:
             return self.packed["u4"].shape[0]
         if "u4r" in self.packed:
             return self.packed["u4r"].shape[0] * 2
+        if "s4r" in self.packed:
+            return self.packed["s4r"].shape[0] * 2
         first = next(iter(self.packed.values()))
         return first.shape[0]
 
@@ -193,9 +195,10 @@ class QuantLinear:
 
         from sparsebit_tpu.ops.packing import u4_from_pairs
 
-        if self.bits == 8 or "u4" in self.packed or "u4r" in self.packed:
-            # u4r needs no in-jit view at all: the kernels bitcast u8
-            # row-pair tiles to u4 internally for free
+        if (self.bits == 8 or "u4" in self.packed or "u4r" in self.packed
+                or "s4r" in self.packed):
+            # u4r/s4r need no in-jit view at all: the kernels bitcast u8
+            # row-pair tiles to u4/s4 internally for free
             return self
         packed = dict(self.packed)
         if "u4p" in packed:
@@ -222,7 +225,8 @@ class QuantLinear:
         codes from the pairs, so dequantize keeps working)."""
         from sparsebit_tpu.ops.packing import pack_u4_pairs, unpack_columns
 
-        if self.bits == 8 or "u4p" in self.packed or "u4" in self.packed:
+        if (self.bits == 8 or "u4p" in self.packed or "u4" in self.packed
+                or "s4r" in self.packed):
             return self
         codes = unpack_columns(self.packed, self.bits, self.n_padded)
         packed = {} if (drop_fold and self.bits == 4) else dict(self.packed)
@@ -250,6 +254,7 @@ class QuantLinear:
         if (
             self.bits == 8
             or "u4r" in self.packed
+            or "s4r" in self.packed
             or "u4" in self.packed
             or "u4p" in self.packed
         ):
@@ -257,6 +262,35 @@ class QuantLinear:
         codes = unpack_columns(self.packed, self.bits, self.n_padded)
         packed = {} if (drop_fold and self.bits == 4) else dict(self.packed)
         packed["u4r"] = pack_u4_rows(codes)
+        return QuantLinear(
+            packed, self.scales, self.zeros, self.bits, self.groupsize,
+            self.out_features, self.bias, self.impl, self.perm,
+            self.bwd_wq, self.bwd_scale,
+        )
+
+    def with_s4_rows(self, drop_fold=False):
+        """Return a copy carrying the uint8 SIGNED row-pair codes array
+        (ops/packing.pack_s4_rows): the preferred 4-bit serving layout.
+        Same free in-register bitcast as with_u4_rows, but the kernels
+        read int4 nibbles — the int4 -> int8 widening cast measured
+        ~1.4 us/call cheaper than uint4 -> int8 on the 7B wqkv tile
+        (experiments/exp13_s4dot.py). Stored codes are (code - 8); the
+        kernels compensate with (zero - 8) in the zero-point correction,
+        so scales/zeros keep the unsigned-code convention and every
+        fallback path (dequantize, deploy, export) is untouched.
+        4-bit only; host-side; layer-stacked leaves pass through."""
+        from sparsebit_tpu.ops.packing import pack_s4_rows, unpack_columns
+
+        if self.bits != 4 or "s4r" in self.packed:
+            return self
+        codes = unpack_columns(self.packed, self.bits, self.n_padded)
+        # supersedes the unsigned serving containers; keep the canonical
+        # fold unless drop_fold (s4r alone can reconstruct codes)
+        packed = {} if drop_fold else {
+            k: v for k, v in self.packed.items()
+            if k not in ("u4r", "u4p", "u4")
+        }
+        packed["s4r"] = pack_s4_rows(codes)
         return QuantLinear(
             packed, self.scales, self.zeros, self.bits, self.groupsize,
             self.out_features, self.bias, self.impl, self.perm,
@@ -316,7 +350,11 @@ class QuantLinear:
         scales = jnp.pad(self.scales, ((0, gpad), (0, 0)),
                          constant_values=1.0)
         zeros = jnp.pad(self.zeros, ((0, gpad), (0, 0)))
-        if "u4r" in self.packed and self.bits == 4:
+        if "s4r" in self.packed and self.bits == 4:
+            from sparsebit_tpu.ops.packing import pack_s4_rows
+
+            packed = {"s4r": pack_s4_rows(codes)}
+        elif "u4r" in self.packed and self.bits == 4:
             packed = {"u4r": pack_u4_rows(codes)}
         elif "u4p" in self.packed and self.bits == 4:
             packed = {"u4p": pack_u4_pairs(codes)}

@@ -72,13 +72,14 @@ class DecodeEngine:
         from sparsebit_tpu.llm.llama import quantize_llama_params
         from sparsebit_tpu.llm.quant import QuantLinear
 
-        # host-side serving layout: nibble-pair codes make the in-jit u4
-        # conversion (prepare_params_for_decode) a free bitcast instead of
-        # a whole-model shift/mask unpack on every decode dispatch
+        # host-side serving layout: row-pair codes (signed nibbles for
+        # 4-bit — cheapest in-kernel cast, exp13) make the kernel-side
+        # unpack a free bitcast and keep weights loop invariants
         self.params = quantize_llama_params(
             params,
             lambda path, lin: (
-                lin.with_u4_rows() if isinstance(lin, QuantLinear) else lin
+                (lin.with_s4_rows() if lin.bits == 4 else lin.with_u4_rows())
+                if isinstance(lin, QuantLinear) else lin
             ),
             skip=(),
         )

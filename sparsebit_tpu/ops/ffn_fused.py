@@ -47,7 +47,7 @@ def _ffn_kernel(li_ref, x_ref, xres_ref, nw_ref,
                 o_ref, xq_ref, xs_ref, h1_ref, a8_ref, as_ref,
                 acc13_ref, acc2_ref, *,
                 gs, dim, F, KB1, NT1, GB1, G81, KB2, NT2, GB2, G82, k1_t,
-                n1_t, k2_t, eps):
+                n1_t, k2_t, eps, signed=False):
     s = pl.program_id(0)
     T13 = n1_t * k1_t
 
@@ -83,7 +83,7 @@ def _ffn_kernel(li_ref, x_ref, xres_ref, nw_ref,
 
         off = pl.multiple_of(k1 * KB1, KB1)
         xb = xq_ref[:, pl.ds(off, KB1)]  # (B, KB1) int8
-        codes = _u4_tile(w13_ref[0]).astype(jnp.int8)  # (KB1, NT1)
+        codes = _u4_tile(w13_ref[0], signed).astype(jnp.int8)  # (KB1, NT1)
         acc = None
         for g in range(GB1):
             xg = xb[:, g * gs: (g + 1) * gs]
@@ -95,6 +95,8 @@ def _ffn_kernel(li_ref, x_ref, xres_ref, nw_ref,
             xsum = jnp.sum(xg.astype(jnp.int32), axis=1,
                            keepdims=True).astype(jnp.float32)
             sg, zg = _sz_rows(s13_ref, z13_ref, k1, g, GB1, G81, lead=(0,))
+            if signed:
+                zg = zg - 8.0  # s4r nibbles store code-8
             contrib = (dot_g - xsum * zg) * sg
             acc = contrib if acc is None else acc + contrib
         acc13_ref[...] += acc
@@ -126,7 +128,7 @@ def _ffn_kernel(li_ref, x_ref, xres_ref, nw_ref,
 
         off = pl.multiple_of(k2 * KB2, KB2)
         ab = a8_ref[:, pl.ds(off, KB2)]  # (B, KB2) int8
-        codes = _u4_tile(w2_ref[0]).astype(jnp.int8)  # (KB2, NT2)
+        codes = _u4_tile(w2_ref[0], signed).astype(jnp.int8)  # (KB2, NT2)
         acc = None
         for g in range(GB2):
             xg = ab[:, g * gs: (g + 1) * gs]
@@ -138,6 +140,8 @@ def _ffn_kernel(li_ref, x_ref, xres_ref, nw_ref,
             xsum = jnp.sum(xg.astype(jnp.int32), axis=1,
                            keepdims=True).astype(jnp.float32)
             sg, zg = _sz_rows(s2_ref, z2_ref, k2, g, GB2, G82, lead=(0,))
+            if signed:
+                zg = zg - 8.0  # s4r nibbles store code-8
             contrib = (dot_g - xsum * zg) * sg
             acc = contrib if acc is None else acc + contrib
         acc2_ref[...] += acc
@@ -167,7 +171,7 @@ def ffn_block_supported(dim, F, gs, B=1):
 
 
 def ffn_block_fused(x, w13_u4, s13, z13, w2_u4, s2, z2, norm_w, li,
-                    gs, eps, interpret=False):
+                    gs, eps, interpret=False, signed=False):
     """x (B, dim) f32/bf16 -> (B, dim) f32 = x + FFN(rms_norm(x)).
 
     w13_u4 (L, dim, 2F) uint4 or (L, dim//2, 2F) uint8 row-pairs
@@ -267,7 +271,7 @@ def ffn_block_fused(x, w13_u4, s13, z13, w2_u4, s2, z2, norm_w, li,
         functools.partial(
             _ffn_kernel, gs=gs, dim=dim, F=F, KB1=KB1, NT1=NT1, GB1=GB1,
             G81=G81, KB2=KB2, NT2=NT2, GB2=GB2, G82=G82, k1_t=k1_t,
-            n1_t=n1_t, k2_t=k2_t, eps=eps,
+            n1_t=n1_t, k2_t=k2_t, eps=eps, signed=signed,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B_pad, dim), jnp.float32),

@@ -94,9 +94,10 @@ def _quant_rows(x, eps=1e-8):
     return q, scale
 
 
-def _mm_step(xq_ref, w_ref, s_ref, z_ref, acc_ref, k, col_off, *, gs, GB, G8):
+def _mm_step(xq_ref, w_ref, s_ref, z_ref, acc_ref, k, col_off, *, gs, GB, G8,
+             signed=False):
     """One W4A8 k-step: int8 dot + group-factored epilogue into acc."""
-    codes = _u4_tile(w_ref[0]).astype(jnp.int8)  # (KB, NT)
+    codes = _u4_tile(w_ref[0], signed).astype(jnp.int8)  # (KB, NT)
     KB = codes.shape[-2]
     xb = xq_ref[:, pl.ds(col_off, KB)]  # (B, KB) int8
     acc = None
@@ -110,6 +111,8 @@ def _mm_step(xq_ref, w_ref, s_ref, z_ref, acc_ref, k, col_off, *, gs, GB, G8):
         xsum = jnp.sum(xg.astype(jnp.int32), axis=1,
                        keepdims=True).astype(jnp.float32)
         sg, zg = _sz_rows(s_ref, z_ref, k, g, GB, G8, lead=(0,))
+        if signed:
+            zg = zg - 8.0  # s4r nibbles store code-8
         contrib = (dot_g - xsum * zg) * sg
         acc = contrib if acc is None else acc + contrib
     acc_ref[...] += acc
@@ -128,6 +131,7 @@ def _layer_kernel(
     *, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False, paged=False, sc=128,
+    signed=False,
 ):
     # grid is (n_grid_layers, T): the leading dimension walks whole decoder
     # layers with the activation carried in VMEM scratch (xcur) — one
@@ -174,7 +178,8 @@ def _layer_kernel(
         KB = _kb_of(wq_ref)
         GB = KB // gs
         _mm_step(xq8, wq_ref, sq_ref, zq_ref, accq, k,
-                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G81)
+                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G81,
+                 signed=signed)
 
         @pl.when(k == k1_t - 1)
         def _():
@@ -387,7 +392,8 @@ def _layer_kernel(
         KB = _kb_of(wo_ref)
         GB = KB // gs
         _mm_step(a8, wo_ref, so_ref, zo_ref, acco, k,
-                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G83)
+                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G83,
+                 signed=signed)
 
         @pl.when(k == T3 - 1)
         def _():
@@ -413,7 +419,8 @@ def _layer_kernel(
         KB = _kb_of(w13_ref)
         GB = KB // gs
         _mm_step(xq8, w13_ref, s13_ref, z13_ref, acc13, k,
-                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G84)
+                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G84,
+                 signed=signed)
 
         @pl.when(k == k4_t - 1)
         def _():
@@ -449,7 +456,8 @@ def _layer_kernel(
         KB = _kb_of(w2_ref)
         GB = KB // gs
         _mm_step(g8buf, w2_ref, s2_ref, z2_ref, acc2, k,
-                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G85)
+                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G85,
+                 signed=signed)
 
         @pl.when(k == k5_t - 1)
         def _():
@@ -507,24 +515,25 @@ def fused_decoder_layer(x, pos, cos, sin, li,
                         wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
                         attn_norm, ffn_norm, k, v, ks, vs,
                         cfg, gs, interpret=False, debug_out=None,
-                        _n_phases=5):
+                        _n_phases=5, signed=False):
     """x (B, dim) f32 -> (out (B, dim) f32, k, v, ks, vs updated in place).
 
     pos (B,) int32 cache row == attended length; cos/sin (B, D) full-width
     rotate-half rope terms for this position; weight/scale stacks as in
-    ffn_fused; caches as in decode_attention_update (ks/vs lane-padded)."""
+    ffn_fused; caches as in decode_attention_update (ks/vs lane-padded).
+    signed=True reads pack_s4_rows containers (nibbles store code-8)."""
     return _fused_call(
         x, pos, cos, sin, li, wq, sq, zq, wo, so, zo, w13, s13, z13,
         w2, s2, z2, attn_norm, ffn_norm, k, v, ks, vs, cfg, gs,
         interpret=interpret, debug_out=debug_out, _n_phases=_n_phases,
-        n_grid_layers=1,
+        n_grid_layers=1, signed=signed,
     )
 
 
 def fused_decoder_layers(x, pos, cos, sin,
                          wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
                          attn_norm, ffn_norm, k, v, ks, vs,
-                         cfg, gs, interpret=False, bt=None):
+                         cfg, gs, interpret=False, bt=None, signed=False):
     """The WHOLE backbone in one launch: grid (n_layers, T) walks every
     decoder layer's five phases with the activation row carried in VMEM
     scratch between layers. vs. one launch per layer this saves the
@@ -544,7 +553,7 @@ def fused_decoder_layers(x, pos, cos, sin,
         x, pos, cos, sin, jnp.int32(0), wq, sq, zq, wo, so, zo,
         w13, s13, z13, w2, s2, z2, attn_norm, ffn_norm, k, v, ks, vs,
         cfg, gs, interpret=interpret, debug_out=None, _n_phases=5,
-        n_grid_layers=k.shape[0], bt=bt,
+        n_grid_layers=k.shape[0], bt=bt, signed=signed,
     )
 
 
@@ -552,7 +561,7 @@ def _fused_call(x, pos, cos, sin, li,
                 wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
                 attn_norm, ffn_norm, k, v, ks, vs,
                 cfg, gs, interpret=False, debug_out=None,
-                _n_phases=5, n_grid_layers=1, bt=None):
+                _n_phases=5, n_grid_layers=1, bt=None, signed=False):
     B, dim = x.shape
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     F = cfg.ffn_dim
@@ -763,7 +772,7 @@ def _fused_call(x, pos, cos, sin, li,
             k4_t=k4_t, n4_t=n4_t, G84=G84, k5_t=k5_t, G85=G85,
             debug_out=debug_out,
             prefetch_slabs=(B == 1 and _n_phases >= 2),
-            paged=paged, sc=SC,
+            paged=paged, sc=SC, signed=signed,
         ),
         grid_spec=grid_spec,
         out_shape=[

@@ -93,6 +93,28 @@ def unpack_u4_rows(u8r):
     return jnp.stack([lo, hi], axis=-2).reshape(lead + (K2 * 2, N))
 
 
+def pack_s4_rows(codes):
+    """codes (..., K, N) in [0, 16) -> (..., K//2, N) uint8 row pairs of
+    SIGNED-SHIFTED nibbles: each stored nibble is (code - 8) as a 4-bit
+    two's-complement value. Since (c - 8) & 0xF == c ^ 8 for 4-bit c,
+    this is pack_u4_rows with the top nibble bit flipped.
+
+    Why: inside a kernel, ``pltpu.bitcast(u8_tile, int4)`` yields int4
+    codes whose widening cast to int8 measured ~1.4 us/call cheaper than
+    the uint4 path on the 7B wqkv tile (experiments/exp13_s4dot.py —
+    direct s4 MXU operands do not lower on this toolchain, so the cast
+    stays but gets cheaper). The kernel epilogue compensates the shift by
+    using (zero - 8) in the zero-point correction; the stored
+    ``QuantLinear.zeros`` keep the unsigned-code convention, so every
+    fallback/dequant path is unchanged."""
+    return pack_u4_rows(codes) ^ 0x88
+
+
+def unpack_s4_rows(u8r):
+    """Inverse of pack_s4_rows -> (..., K, N) uint8 UNSIGNED codes."""
+    return unpack_u4_rows(u8r ^ 0x88)
+
+
 def pallas_n_pad(N, bits):
     """Columns of padding needed so the packed width is a 128-lane multiple
     (the Pallas kernels' tiling requirement). 3-bit needs N % 1024 == 0
@@ -169,6 +191,9 @@ def unpack_columns(packed, bits, N):
     if bits == 4 and "u4r" in packed and "w" not in packed:
         # row-pair serving layout as the sole container (pack_u4_rows)
         return unpack_u4_rows(packed["u4r"])
+    if bits == 4 and "s4r" in packed and "w" not in packed:
+        # signed row-pair serving layout as the sole container
+        return unpack_s4_rows(packed["s4r"])
     if bits in (4, 2):
         p = 8 // bits
         w = packed["w"]

@@ -404,19 +404,22 @@ def _sz_rows(s_ref, z_ref, k, g, GB, G8, lead=()):
     return sg, zg
 
 
-def _u4_tile(wb):
-    """Weight tile -> (KB, NT) u4 codes. uint8 tiles are ROW-PAIR packed
-    (ops/packing.pack_u4_rows, KB/2 sublanes): pltpu.bitcast doubles the
-    sublane dim interleaved low-nibble-first — a free register
-    reinterpret, zero VPU unpack ops. uint4 tiles pass through (legacy
-    in-jit with_u4 layout)."""
+def _u4_tile(wb, signed=False):
+    """Weight tile -> (KB, NT) 4-bit codes. uint8 tiles are ROW-PAIR packed
+    (ops/packing.pack_u4_rows / pack_s4_rows, KB/2 sublanes): pltpu.bitcast
+    doubles the sublane dim interleaved low-nibble-first — a free register
+    reinterpret, zero VPU unpack ops. ``signed`` selects the int4 view for
+    s4r containers (nibbles store code-8; the int4 -> int8 widening cast
+    is ~1.4 us/call cheaper than uint4 -> int8 on 7B tiles, exp13); the
+    caller's epilogue must then use (zero - 8). uint4 tiles pass through
+    (legacy in-jit with_u4 layout)."""
     if wb.dtype == jnp.uint8:
-        return pltpu.bitcast(wb, jnp.uint4)
+        return pltpu.bitcast(wb, jnp.int4 if signed else jnp.uint4)
     return wb
 
 
 def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk,
-                   g8):
+                   g8, signed=False):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -424,7 +427,7 @@ def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     xb = x_ref[...]  # (B, K_BLK) int8
-    codes = _u4_tile(w_ref[...]).astype(jnp.int8)  # u4 -> s8, no shift/mask
+    codes = _u4_tile(w_ref[...], signed).astype(jnp.int8)  # no shift/mask
     acc = None
     for g in range(g_blk):
         xg = xb[:, g * gs : (g + 1) * gs]
@@ -438,6 +441,8 @@ def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk,
             jnp.float32
         )
         sg, zg = _sz_rows(s_ref, z_ref, k, g, g_blk, g8)
+        if signed:
+            zg = zg - 8.0  # s4r nibbles store code-8
         contrib = (dot_g - xsum * zg) * sg
         acc = contrib if acc is None else acc + contrib
     acc_ref[...] += acc
@@ -511,7 +516,8 @@ def _supports_pallas_u4(K, N, gs, B=1):
 
 
 def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
-                            k_blk=None, nt=None, vmem_limit=None):
+                            k_blk=None, nt=None, vmem_limit=None,
+                            signed=False):
     """x8 (B, K) int8; w4 (K, N) uint4 OR (K//2, N) uint8 row-pairs
     (pack_u4_rows — the serving layout; the kernel bitcasts tiles back to
     u4 for free); scales/zeros (G, N) f32. Returns UNSCALED f32 (B, N)
@@ -542,7 +548,8 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
     z2d = zeros.astype(jnp.float32)
     grid = (N // NT, K // K_BLK)
     out = pl.pallas_call(
-        functools.partial(_qmm_u4_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8),
+        functools.partial(_qmm_u4_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8,
+                          signed=signed),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B_pad, K_BLK), lambda i, k: (0, k), memory_space=pltpu.VMEM),
@@ -584,7 +591,7 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
 
 
 def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
-                           acc_ref, *, gs, g_blk, g8):
+                           acc_ref, *, gs, g_blk, g8, signed=False):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -592,7 +599,7 @@ def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     xb = x_ref[...]  # (B, K_BLK) int8
-    codes = _u4_tile(w_ref[0]).astype(jnp.int8)  # (K_BLK, NT): u4 -> s8
+    codes = _u4_tile(w_ref[0], signed).astype(jnp.int8)  # (K_BLK, NT)
     acc = None
     for g in range(g_blk):
         xg = xb[:, g * gs : (g + 1) * gs]
@@ -606,6 +613,8 @@ def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
             jnp.float32
         )
         sg, zg = _sz_rows(s_ref, z_ref, k, g, g_blk, g8, lead=(0,))
+        if signed:
+            zg = zg - 8.0  # s4r nibbles store code-8
         contrib = (dot_g - xsum * zg) * sg
         acc = contrib if acc is None else acc + contrib
     acc_ref[...] += acc
@@ -613,10 +622,11 @@ def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
 
 
 def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
-                                    interpret=False):
+                                    interpret=False, signed=False):
     """x8 (B, K) int8; w4s (L, K, N) uint4 or (L, K//2, N) uint8
-    row-pairs (pack_u4_rows); s4/z4 (L, G, N) f32; li scalar int32 layer
-    index. Returns UNSCALED f32 (B, N)."""
+    row-pairs (pack_u4_rows / pack_s4_rows with signed=True); s4/z4
+    (L, G, N) f32; li scalar int32 layer index. Returns UNSCALED f32
+    (B, N)."""
     B, K = x8.shape
     rowpair = w4s.dtype == jnp.uint8
     Lk = w4s.shape[0]
@@ -650,7 +660,8 @@ def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
     )
     out = pl.pallas_call(
         functools.partial(
-            _qmm_u4_stacked_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8
+            _qmm_u4_stacked_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8,
+            signed=signed,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
@@ -677,14 +688,16 @@ def quant_matmul_a8_stacked(x, packed, scales, zeros, li, bits, groupsize, N,
     Lk = scales.shape[0]
     G = scales.shape[1]
     use_pallas = (
-        ("u4r" in packed or "u4" in packed)
+        ("s4r" in packed or "u4r" in packed or "u4" in packed)
         and _supports_pallas_u4(K, N, groupsize, xq.shape[0])
         and (interpret or jax.default_backend() == "tpu")
     )
     if use_pallas:
+        w_arr = packed.get("s4r", packed.get("u4r", packed.get("u4")))
         out = _quant_matmul_pallas_u4_stacked(
-            xq, packed.get("u4r", packed.get("u4")), scales, zeros,
+            xq, w_arr, scales, zeros,
             li, groupsize, N, interpret=interpret,
+            signed="s4r" in packed,
         )
     else:
         packed_l = {k2: v2[li] for k2, v2 in packed.items() if k2 != "u4"}
@@ -819,15 +832,15 @@ def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
         packed = dict(packed)
         packed["u4"] = u4_from_pairs(packed["u4p"])
     if (
-        ("u4r" in packed or "u4" in packed)
+        ("s4r" in packed or "u4r" in packed or "u4" in packed)
         and _supports_pallas_u4(K, N, groupsize, xq.shape[0])
         and jax.default_backend() == "tpu"
     ):
-        # prefer the u8 row-pair container (with_u4_rows): it needs no
-        # top-level conversion at all (kernel-side free bitcast)
+        # prefer the u8 row-pair containers (with_s4_rows/with_u4_rows):
+        # they need no top-level conversion at all (kernel-side bitcast)
         out = _quant_matmul_pallas_u4(
-            xq, packed.get("u4r", packed.get("u4")), scales, zeros,
-            groupsize, N
+            xq, packed.get("s4r", packed.get("u4r", packed.get("u4"))),
+            scales, zeros, groupsize, N, signed="s4r" in packed,
         )
     elif (
         (bits == 3 or "w" in packed)

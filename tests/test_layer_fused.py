@@ -104,14 +104,16 @@ def test_scanned_decode_with_layer_kernel_matches_unrolled():
         Dmod.FORCE_LAYER_KERNEL = old
 
 
-@pytest.mark.parametrize("layout", ["u4", "u4r"])
+@pytest.mark.parametrize("layout", ["u4", "u4r", "s4r"])
 def test_fused_decoder_layers_matches_sequential(layout):
     """Whole-backbone launch (grid (L, T), activation carried in VMEM
     scratch) == one fused_decoder_layer launch per layer. B=2 exercises
     the batch-pad-row masking of the carried activation. layout=u4r runs
-    the u8 row-pair serving weights (kernel-side bitcast unpack)."""
+    the u8 row-pair serving weights (kernel-side bitcast unpack); s4r the
+    signed row-pairs (int4 bitcast + zero-8 epilogue)."""
     from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
-    from sparsebit_tpu.ops.packing import pack_u4_rows, unpack_columns
+    from sparsebit_tpu.ops.packing import (
+        pack_s4_rows, pack_u4_rows, unpack_columns)
 
     cfg = _mk_cfg()
     gs = 64
@@ -122,6 +124,8 @@ def test_fused_decoder_layers_matches_sequential(layout):
     names = ("wqkv", "wo", "w13", "w2")
 
     def _warr(lin):
+        if layout == "s4r":
+            return pack_s4_rows(unpack_columns(lin.packed, 4, lin.n_padded))
         if layout == "u4r":
             return pack_u4_rows(unpack_columns(lin.packed, 4, lin.n_padded))
         return codes_to_u4(lin.packed, 4, lin.out_features)
@@ -150,20 +154,22 @@ def test_fused_decoder_layers_matches_sequential(layout):
             u4s["w13"], scs["w13"], zrs["w13"],
             u4s["w2"], scs["w2"], zrs["w2"], ans, fns)
 
+    sgn = layout == "s4r"
+
     @jax.jit
     def seq():
         st = (x, k8, v8, kssc, vssc)
         for li in range(Lx):
             st = fused_decoder_layer(
                 st[0], pos, cosf, sinf, jnp.int32(li), *args,
-                *st[1:], cfg, gs, interpret=True)
+                *st[1:], cfg, gs, interpret=True, signed=sgn)
         return st
 
     @jax.jit
     def multi():
         return fused_decoder_layers(
             x, pos, cosf, sinf, *args, k8, v8, kssc, vssc, cfg, gs,
-            interpret=True)
+            interpret=True, signed=sgn)
 
     o1, o2 = seq(), multi()
     for a, b in zip(o1, o2):

@@ -559,3 +559,94 @@ def test_call_stacked_matches_unstacked():
         np.testing.assert_allclose(
             np.asarray(out_p), np.asarray(ref), rtol=1e-4, atol=1e-4
         )
+
+
+def test_pack_s4_rows_roundtrip():
+    from sparsebit_tpu.ops.packing import (
+        pack_s4_rows, pack_u4_rows, unpack_s4_rows)
+
+    codes = jax.random.randint(jax.random.PRNGKey(61), (3, 8, 256), 0, 16,
+                               jnp.int32).astype(jnp.uint8)
+    s8r = pack_s4_rows(codes)
+    assert s8r.shape == (3, 4, 256) and s8r.dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        np.asarray(unpack_s4_rows(s8r)), np.asarray(codes)
+    )
+    # bit identity: (c - 8) & 0xF == c ^ 8 on both nibbles
+    np.testing.assert_array_equal(
+        np.asarray(s8r), np.asarray(pack_u4_rows(codes) ^ 0x88)
+    )
+
+
+def test_s4r_kernel_interpret_parity():
+    """Signed row-pair weights through the u4 kernel (signed=True: int4
+    bitcast + (zero - 8) epilogue) == the unsigned path EXACTLY (same
+    codes, integer dots, identical f32 epilogue order)."""
+    from sparsebit_tpu.ops.packing import pack_s4_rows, pack_u4_rows
+    from sparsebit_tpu.ops.quant_matmul import _quant_matmul_pallas_u4
+
+    K, N, gs, B = 256, 384, 128, 2
+    G = K // gs
+    kc, ks, kz, kx = jax.random.split(jax.random.PRNGKey(62), 4)
+    codes = jax.random.randint(kc, (K, N), 0, 16, jnp.int32)
+    scales = jax.random.uniform(ks, (G, N), jnp.float32, 0.001, 0.01)
+    zeros = jax.random.randint(kz, (G, N), 0, 16, jnp.int32).astype(
+        jnp.float32)
+    x8 = jax.random.randint(kx, (B, K), -127, 127, jnp.int32).astype(jnp.int8)
+    out_u = _quant_matmul_pallas_u4(
+        x8, pack_u4_rows(codes), scales, zeros, gs, N, interpret=True
+    )
+    out_s = _quant_matmul_pallas_u4(
+        x8, pack_s4_rows(codes), scales, zeros, gs, N, interpret=True,
+        signed=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
+
+
+def test_with_s4_rows_quantlinear_parity():
+    """with_s4_rows(drop_fold=True): forward (dense-fallback through the
+    s4r unpack), dequantize, and with_k_pad keep exact parity; zeros stay
+    in the unsigned-code convention."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    K, N = 256, 384
+    w = jax.random.normal(jax.random.PRNGKey(63), (K, N), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(64), (2, K), jnp.float32)
+    ql = QuantLinear.from_dense(w, bits=4, groupsize=128, impl="a8")
+    qls = ql.with_s4_rows(drop_fold=True)
+    assert set(qls.packed) == {"s4r"}
+    assert qls.in_features == K
+    np.testing.assert_allclose(np.asarray(qls(x)), np.asarray(ql(x)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(qls.dequantize()),
+                                  np.asarray(ql.dequantize()))
+    qlsp = qls.with_k_pad(256)
+    assert "s4r" in qlsp.packed and qlsp.packed["s4r"].shape[0] == 128
+    np.testing.assert_allclose(np.asarray(qlsp(x)), np.asarray(ql(x)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_s4r_stacked_kernel_interpret():
+    """Stacked scalar-prefetch kernel with signed containers == unsigned."""
+    from sparsebit_tpu.ops.packing import pack_s4_rows, pack_u4_rows
+    from sparsebit_tpu.ops.quant_matmul import (
+        _quant_matmul_pallas_u4_stacked)
+
+    Lx, K, N, gs, B = 2, 256, 384, 128, 2
+    G = K // gs
+    kc, ks, kz, kx = jax.random.split(jax.random.PRNGKey(65), 4)
+    codes = jax.random.randint(kc, (Lx, K, N), 0, 16, jnp.int32)
+    scales = jax.random.uniform(ks, (Lx, G, N), jnp.float32, 0.001, 0.01)
+    zeros = jax.random.randint(kz, (Lx, G, N), 0, 16, jnp.int32).astype(
+        jnp.float32)
+    x8 = jax.random.randint(kx, (B, K), -127, 127, jnp.int32).astype(jnp.int8)
+    for li in (0, 1):
+        out_u = _quant_matmul_pallas_u4_stacked(
+            x8, pack_u4_rows(codes), scales, zeros, jnp.int32(li), gs, N,
+            interpret=True,
+        )
+        out_s = _quant_matmul_pallas_u4_stacked(
+            x8, pack_s4_rows(codes), scales, zeros, jnp.int32(li), gs, N,
+            interpret=True, signed=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
