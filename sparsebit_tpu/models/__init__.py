@@ -27,6 +27,7 @@ from sparsebit_tpu.models import (  # noqa: E402,F401
     bert,
     gpt2,
     yolo,
+    bevdet,
 )
 from sparsebit_tpu.models.resnet import (  # noqa: E402,F401
     resnet18,
