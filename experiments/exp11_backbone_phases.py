@@ -55,7 +55,7 @@ def run(n_phases):
             out, k8, v8, ks, vs = _fused_call(
                 x, pos, cosf, sinf, jnp.int32(0), *wargs,
                 k8, v8, ks, vs, cfg, gsz, _n_phases=n_phases,
-                n_grid_layers=Lx,
+                n_grid_layers=Lx, signed=True,  # bench emits s4r now
             )
             return (out, k8, v8, ks, vs), None
         carry, _ = jax.lax.scan(tok, (x, k8, v8, ks, vs), None, length=ITERS)

@@ -55,9 +55,15 @@ from sparsebit_tpu.ops.quant_matmul import (
 # row-pair tiles cost half the bytes of the standalone kernels' assumption,
 # so it affords double the tile cells and 2x K rows: fewer, bigger k-steps
 # (the per-step un-hidden epilogue/cast was ~1.3 us on 7B wqkv tiles;
-# measured +1.7 tok/s end-to-end)
-_FUSED_TILE_BUDGET = 13_200_000
-_FUSED_K_CAP = 2048
+# measured +1.7 tok/s end-to-end). Going bigger LOSES: whole-K 4096-row
+# tiles (25.3M cells, 11 steps/layer vs 26) measured -2% end-to-end —
+# past ~13M cells the huge double-buffered windows crowd VMEM and the
+# per-phase pipeline has too few steps to hide the first-tile fill.
+# The env knobs exist for hardware sweeps (experiments/), not production.
+import os as _os
+
+_FUSED_TILE_BUDGET = int(_os.environ.get("SBT_FUSED_BUDGET", 13_200_000))
+_FUSED_K_CAP = int(_os.environ.get("SBT_FUSED_KCAP", 2048))
 
 
 def _fused_tiles(K, N, gs):
