@@ -71,8 +71,11 @@ def build_quantized_llama(cfg, bits=4, groupsize=128, impl="a8", fused=True):
         k1, k2 = jax.random.split(key)
         codes = jax.random.randint(k1, (K, N), 0, 2**bits, jnp.int32)
         G = K // groupsize
-        scales = jax.random.uniform(k2, (G, N), jnp.float32, 0.001, 0.01)
-        zeros = jnp.full((G, N), float(2 ** (bits - 1)), jnp.float32)
+        # bf16 qparams: the serving layout (prepare_params_host) — halves
+        # the scale/zero stream, 12.5% of the 4-bit weight bytes
+        scales = jax.random.uniform(
+            k2, (G, N), jnp.float32, 0.001, 0.01).astype(jnp.bfloat16)
+        zeros = jnp.full((G, N), float(2 ** (bits - 1)), jnp.bfloat16)
         if bits == 4:
             # signed row-pair serving layout: the kernels bitcast u8 tiles
             # to int4 in register for free (cheapest widening cast, exp13)

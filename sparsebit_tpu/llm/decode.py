@@ -552,7 +552,7 @@ def decode_step_scanned(params_stacked, tokens, cache, cfg):
     return logits[:, 0], cache
 
 
-def prepare_params_host(params, drop_fold=True):
+def prepare_params_host(params, drop_fold=True, sz_dtype=jnp.bfloat16):
     """HOST-side (outside jit) serving preparation: convert every packed
     QuantLinear to the u8 ROW-PAIR layout — signed nibbles for 4-bit
     (QuantLinear.with_s4_rows: the int4->int8 in-kernel cast is the
@@ -570,8 +570,15 @@ def prepare_params_host(params, drop_fold=True):
     def conv(lin):
         if isinstance(lin, QuantLinear):
             if lin.bits == 4:
-                return lin.with_s4_rows(drop_fold=drop_fold)
-            return lin.with_u4_rows(drop_fold=drop_fold)
+                lin = lin.with_s4_rows(drop_fold=drop_fold)
+            else:
+                lin = lin.with_u4_rows(drop_fold=drop_fold)
+            if sz_dtype is not None:
+                # bf16 qparams: halves the scale/zero stream (12.5% of the
+                # 4-bit weight bytes); exact kernel/oracle consistency is
+                # kept because every path upcasts the STORED values to f32
+                # (QuantLinear.with_sz_dtype)
+                lin = lin.with_sz_dtype(sz_dtype)
         return lin
 
     out = dict(params)

@@ -74,11 +74,13 @@ class DecodeEngine:
 
         # host-side serving layout: row-pair codes (signed nibbles for
         # 4-bit — cheapest in-kernel cast, exp13) make the kernel-side
-        # unpack a free bitcast and keep weights loop invariants
+        # unpack a free bitcast and keep weights loop invariants; bf16
+        # qparams halve the scale/zero stream (QuantLinear.with_sz_dtype)
         self.params = quantize_llama_params(
             params,
             lambda path, lin: (
-                (lin.with_s4_rows() if lin.bits == 4 else lin.with_u4_rows())
+                (lin.with_s4_rows() if lin.bits == 4
+                 else lin.with_u4_rows()).with_sz_dtype()
                 if isinstance(lin, QuantLinear) else lin
             ),
             skip=(),

@@ -189,7 +189,8 @@ def ffn_block_fused(x, w13_u4, s13, z13, w2_u4, s2, z2, norm_w, li,
     KB2, NT2 = _pick_tiles_u4(F, dim, gs, False)
     GB1, GB2 = KB1 // gs, KB2 // gs
     G1, G2 = dim // gs, F // gs
-    G81, G82 = _sz_layout(G1, GB1), _sz_layout(G2, GB2)
+    G81 = _sz_layout(G1, GB1, s13.dtype)
+    G82 = _sz_layout(G2, GB2, s2.dtype)
     k1_t, n1_t = dim // KB1, N1 // NT1
     k2_t = F // KB2
     assert NT2 == dim, "w2 tiles must span the full output row"

@@ -573,6 +573,10 @@ def _fused_call(x, pos, cos, sin, li,
     F = cfg.ffn_dim
     rowpair = wq.dtype == jnp.uint8  # pack_u4_rows serving layout
     assert all((w.dtype == jnp.uint8) == rowpair for w in (wo, w13, w2))
+    # each phase's scale/zero pair shares one BlockSpec window size, which
+    # is picked from the SCALE dtype — the pair must match
+    assert all(s.dtype == z.dtype for s, z in
+               ((sq, zq), (so, zo), (s13, z13), (s2, z2)))
     kdiv = 2 if rowpair else 1
     Fp = w2.shape[-2] * kdiv  # >= F when W2 is with_k_pad-ded
     Nq = (Hq + 2 * Hkv) * D
@@ -606,10 +610,10 @@ def _fused_call(x, pos, cos, sin, li,
     k3_t = HD // KB3
     k4_t, n4_t = dim // KB4, (2 * F) // NT4
     k5_t = Fp // KB5
-    G81 = _sz_layout(dim // gs, KB1 // gs)
-    G83 = _sz_layout(HD // gs, KB3 // gs)
-    G84 = _sz_layout(dim // gs, KB4 // gs)
-    G85 = _sz_layout(Fp // gs, KB5 // gs)
+    G81 = _sz_layout(dim // gs, KB1 // gs, sq.dtype)
+    G83 = _sz_layout(HD // gs, KB3 // gs, so.dtype)
+    G84 = _sz_layout(dim // gs, KB4 // gs, s13.dtype)
+    G85 = _sz_layout(Fp // gs, KB5 // gs, s2.dtype)
     T1, T2, T3 = n1_t * k1_t, B * n_groups, k3_t
     T4, T5 = n4_t * k4_t, k5_t
     T = T1 + T2 + T3 + T4 + T5

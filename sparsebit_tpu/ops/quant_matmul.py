@@ -44,8 +44,10 @@ def dequant_weights(packed, scales, zeros, bits, N, gs):
     codes = unpack_columns(packed, bits, N).astype(jnp.float32)
     K = codes.shape[0]
     gs_eff = gs if gs > 0 else K
-    s = _expand_qparams(scales, K, gs_eff)
-    z = _expand_qparams(zeros, K, gs_eff)
+    # qparams may be stored bf16 (serving layout); dequant math is f32 so
+    # this path stays the exact oracle of the kernels' f32 epilogue
+    s = _expand_qparams(scales.astype(jnp.float32), K, gs_eff)
+    z = _expand_qparams(zeros.astype(jnp.float32), K, gs_eff)
     return (codes - z) * s
 
 
@@ -377,16 +379,29 @@ def codes_to_u4(packed, bits, N):
 # the in-window offset is grid-dependent.
 
 
-def _sz_layout(G, GB):
-    """(G8, rows_per_window) for the scale/zero BlockSpec."""
-    if GB % 8 == 0:
+def _sz_layout(G, GB, dtype=jnp.float32):
+    """Window sublane count G8 for the scale/zero BlockSpec.
+
+    The window must be a multiple of the dtype's native sublane tile
+    (8 rows for 4-byte, 16 for 2-byte — bf16 serving qparams halve the
+    scale-stream bytes) OR span the full G (a full-dim block is always
+    default-tiled), AND be a multiple of GB so one k-step's rows never
+    straddle two windows (_sz_rows' in-window offset assumes GB | G8)."""
+    q = 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    if GB % q == 0:
         return GB
-    return min(8, G)
+    import math as _math
+
+    w = GB * (q // _math.gcd(GB, q))  # lcm(GB, q)
+    return w if w <= G else G
 
 
 def _sz_rows(s_ref, z_ref, k, g, GB, G8, lead=()):
-    """Extract the (1, NT) scale/zero rows for group ``g`` of k-step ``k``
-    from a (G8, NT) block (possibly behind leading unit axes ``lead``).
+    """Extract the (1, NT) f32 scale/zero rows for group ``g`` of k-step
+    ``k`` from a (G8, NT) block (possibly behind leading unit axes
+    ``lead``). Blocks may be stored bf16 (serving layout — halves the
+    qparam stream); rows are upcast to f32 AFTER selection so the epilogue
+    math stays f32 and only (1, NT) is cast per group.
 
     Selection is masked-where + sublane reduce, NOT a one-hot dot: when G
     is not a multiple of the window the last window's tail rows are
@@ -395,13 +410,14 @@ def _sz_rows(s_ref, z_ref, k, g, GB, G8, lead=()):
     values into the result."""
     s_blk = s_ref[lead] if lead else s_ref[...]
     z_blk = z_ref[lead] if lead else z_ref[...]
-    if GB % 8 == 0:
-        return s_blk[g, :][None, :], z_blk[g, :][None, :]
+    if G8 == GB:  # block holds exactly this k-step's rows; g is static
+        return (s_blk[g, :][None, :].astype(jnp.float32),
+                z_blk[g, :][None, :].astype(jnp.float32))
     off = (k * GB) % G8 + g  # traced; masking avoids dynamic sublanes
     sel = jax.lax.broadcasted_iota(jnp.int32, s_blk.shape, 0) == off
-    sg = jnp.sum(jnp.where(sel, s_blk, 0.0), axis=0, keepdims=True)
-    zg = jnp.sum(jnp.where(sel, z_blk, 0.0), axis=0, keepdims=True)
-    return sg, zg
+    sg = jnp.sum(jnp.where(sel, s_blk, 0), axis=0, keepdims=True)
+    zg = jnp.sum(jnp.where(sel, z_blk, 0), axis=0, keepdims=True)
+    return sg.astype(jnp.float32), zg.astype(jnp.float32)
 
 
 def _u4_tile(wb, signed=False):
@@ -537,15 +553,19 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
         G_BLK, gs_kernel = 1, K_BLK
     else:
         G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
-    G8 = _sz_layout(G, G_BLK)
-    s_index = lambda i, k: ((k * G_BLK) // G8, i)
 
     B_pad = max(8, ((B + 7) // 8) * 8)
     if B_pad != B:
         x8 = jnp.pad(x8, ((0, B_pad - B), (0, 0)))
 
-    s2d = scales.astype(jnp.float32)
-    z2d = zeros.astype(jnp.float32)
+    # f32 and bf16 qparams stream natively (bf16 = half the scale bytes;
+    # _sz_rows upcasts selected rows in-kernel); anything else is cast once
+    if scales.dtype in (jnp.float32, jnp.bfloat16):
+        s2d, z2d = scales, zeros.astype(scales.dtype)
+    else:
+        s2d, z2d = scales.astype(jnp.float32), zeros.astype(jnp.float32)
+    G8 = _sz_layout(G, G_BLK, s2d.dtype)
+    s_index = lambda i, k: ((k * G_BLK) // G8, i)
     grid = (N // NT, K // K_BLK)
     out = pl.pallas_call(
         functools.partial(_qmm_u4_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8,
@@ -638,7 +658,7 @@ def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
         G_BLK, gs_kernel = 1, K_BLK
     else:
         G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
-    G8 = _sz_layout(G, G_BLK)
+    G8 = _sz_layout(G, G_BLK, s4.dtype)
     s_index = lambda i, k, li_ref: (li_ref[0], (k * G_BLK) // G8, i)
 
     B_pad = max(8, ((B + 7) // 8) * 8)

@@ -104,13 +104,15 @@ def test_scanned_decode_with_layer_kernel_matches_unrolled():
         Dmod.FORCE_LAYER_KERNEL = old
 
 
-@pytest.mark.parametrize("layout", ["u4", "u4r", "s4r"])
+@pytest.mark.parametrize("layout", ["u4", "u4r", "s4r", "s4r-bf16"])
 def test_fused_decoder_layers_matches_sequential(layout):
     """Whole-backbone launch (grid (L, T), activation carried in VMEM
     scratch) == one fused_decoder_layer launch per layer. B=2 exercises
     the batch-pad-row masking of the carried activation. layout=u4r runs
     the u8 row-pair serving weights (kernel-side bitcast unpack); s4r the
-    signed row-pairs (int4 bitcast + zero-8 epilogue)."""
+    signed row-pairs (int4 bitcast + zero-8 epilogue); s4r-bf16 streams
+    bf16 scales/zeros (the full serving layout — 16-sublane qparam
+    windows, in-kernel f32 upcast)."""
     from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
     from sparsebit_tpu.ops.packing import (
         pack_s4_rows, pack_u4_rows, unpack_columns)
@@ -124,15 +126,18 @@ def test_fused_decoder_layers_matches_sequential(layout):
     names = ("wqkv", "wo", "w13", "w2")
 
     def _warr(lin):
-        if layout == "s4r":
+        if layout.startswith("s4r"):
             return pack_s4_rows(unpack_columns(lin.packed, 4, lin.n_padded))
         if layout == "u4r":
             return pack_u4_rows(unpack_columns(lin.packed, 4, lin.n_padded))
         return codes_to_u4(lin.packed, 4, lin.out_features)
 
+    szdt = jnp.bfloat16 if layout.endswith("bf16") else jnp.float32
     u4s = {n: jnp.stack([_warr(b[0][n]) for b in built]) for n in names}
-    scs = {n: jnp.stack([b[0][n].scales for b in built]) for n in names}
-    zrs = {n: jnp.stack([b[0][n].zeros for b in built]) for n in names}
+    scs = {n: jnp.stack([b[0][n].scales.astype(szdt) for b in built])
+           for n in names}
+    zrs = {n: jnp.stack([b[0][n].zeros.astype(szdt) for b in built])
+           for n in names}
     ans = jnp.stack([b[1] for b in built])
     fns = jnp.stack([b[2] for b in built])
     Hp = 128
@@ -154,7 +159,7 @@ def test_fused_decoder_layers_matches_sequential(layout):
             u4s["w13"], scs["w13"], zrs["w13"],
             u4s["w2"], scs["w2"], zrs["w2"], ans, fns)
 
-    sgn = layout == "s4r"
+    sgn = layout.startswith("s4r")
 
     @jax.jit
     def seq():
@@ -178,8 +183,11 @@ def test_fused_decoder_layers_matches_sequential(layout):
             rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("B,k_pad", [(1, None), (2, None), (1, 256)])
-def test_fused_decoder_layer_matches_oracle(B, k_pad):
+@pytest.mark.parametrize(
+    "B,k_pad,sz_bf16",
+    [(1, None, False), (2, None, False), (1, 256, False), (1, None, True)],
+)
+def test_fused_decoder_layer_matches_oracle(B, k_pad, sz_bf16):
     cfg = _mk_cfg()
     gs = 64
     assert fused_layer_supported(cfg, gs, B)
@@ -187,6 +195,11 @@ def test_fused_decoder_layer_matches_oracle(B, k_pad):
     S = 64
     key = jax.random.PRNGKey(0)
     q, an, fn = _build(cfg, gs, key)
+    if sz_bf16:
+        # the serving qparam layout: bf16 scales/zeros feed BOTH the
+        # oracle (dequant upcasts to f32) and the kernel (in-kernel
+        # upcast) — the two must stay exactly consistent
+        q = {k2: v2.with_sz_dtype() for k2, v2 in q.items()}
     kx, kk, kv, kp = jax.random.split(jax.random.PRNGKey(1), 4)
     x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
     kcache = jax.random.normal(kk, (B, S, Hkv, D), jnp.float32)
