@@ -102,8 +102,12 @@ def _quant_rows(x, eps=1e-8):
 
 def _mm_step(xq_ref, w_ref, s_ref, z_ref, acc_ref, k, col_off, *, gs, GB, G8,
              signed=False):
-    """One W4A8 k-step: int8 dot + group-factored epilogue into acc."""
-    codes = _u4_tile(w_ref[0], signed).astype(jnp.int8)  # (KB, NT)
+    """One W4A8 k-step: int8 dot + group-factored epilogue into acc.
+
+    ``w_ref`` is either a (1, KB', NT) BlockSpec window or a (KB', NT)
+    VMEM ring buffer (manual weight streaming)."""
+    wt = w_ref[0] if len(w_ref.shape) == 3 else w_ref[...]
+    codes = _u4_tile(wt, signed).astype(jnp.int8)  # (KB, NT)
     KB = codes.shape[-2]
     xb = xq_ref[:, pl.ds(col_off, KB)]  # (B, KB) int8
     acc = None
@@ -134,10 +138,10 @@ def _layer_kernel(
     xcur, xq8, xs, qkv, aout, a8, as_, xmid, h1, g8buf, gs8,
     accq, acco, acc13, acc2,
     kslab, vslab, ks_slab, vs_slab, krow, vrow, ksrow, vsrow, sems,
-    *, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
+    *stream_scr, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False, paged=False, sc=128,
-    signed=False,
+    signed=False, stream=False, stream_ns=(2, 2, 2, 2),
 ):
     # grid is (n_grid_layers, T): the leading dimension walks whole decoder
     # layers with the activation carried in VMEM scratch (xcur) — one
@@ -163,6 +167,79 @@ def _layer_kernel(
     T5 = k5_t
     hg = Hkv // n_groups
 
+    # ---- manual weight streaming (serving row-pair layout) ------------------
+    # Pallas' automatic BlockSpec pipelining issues a window's fetch gated
+    # on the ONE preceding grid step, so every multi-MB first tile at a
+    # phase/layer boundary only gets ~one step of overlap — measured ~20
+    # us/layer of boundary stalls at 7B. Here the weights stay whole in
+    # HBM and each matmul operand owns TWO VMEM tile buffers driven by a
+    # global tile counter g = l * TX + t: consuming tile g immediately
+    # issues the copy for tile g+2 into the buffer just freed. Within a
+    # phase that is a 2-step lead; when g+2 wraps to the next layer the
+    # copy is issued a WHOLE LAYER early (the ring is idle outside its
+    # phase), so layer-boundary fills ride under other phases' compute.
+    # The DMA engine completes copies out of order; each buffer's
+    # semaphore serialises exactly its own slot.
+    if stream:
+        ns_wq, ns_wo, ns_w13, ns_w2 = stream_ns
+        bufs_all = stream_scr[:-1]
+        wsem = stream_scr[-1]
+        o0, o1, o2 = ns_wq, ns_wq + ns_wo, ns_wq + ns_wo + ns_w13
+        Lg = pl.num_programs(0)
+        _W_OPS = {
+            "wq": (wq_ref, bufs_all[:o0], 0, k1_t, T1),
+            "wo": (wo_ref, bufs_all[o0:o1], 1, k3_t, T3),
+            "w13": (w13_ref, bufs_all[o1:o2], 2, k4_t, T4),
+            "w2": (w2_ref, bufs_all[o2:], 3, k5_t, T5),
+        }
+
+        def _w_copy(op, slot_c, lidx, t):
+            hbm, bufs, oi, kt, TX = _W_OPS[op]
+            KBh, NT = bufs[0].shape
+            kk = t % kt
+            nn = t // kt
+            return pltpu.make_async_copy(
+                hbm.at[lidx, pl.ds(kk * KBh, KBh), pl.ds(nn * NT, NT)],
+                bufs[slot_c], wsem.at[oi, slot_c])
+
+        def _w_issue_next(op, slot_c, t):
+            # start the copy for global tile g+NS (same slot, just freed)
+            # — possibly one or more layers ahead; skip past the last
+            # grid layer
+            bufs, TX = _W_OPS[op][1], _W_OPS[op][4]
+            g2 = l * TX + t + len(bufs)
+            l_t = g2 // TX
+            t_t = g2 % TX
+
+            @pl.when(l_t < Lg)
+            def _():
+                _w_copy(op, slot_c, li_ref[0] + l_t, t_t).start()
+
+        def _stream_mm(op, t, xq, s_ref, z_ref, acc, k, col_off, GB, G8):
+            bufs, TX = _W_OPS[op][1], _W_OPS[op][4]
+            NS = len(bufs)
+            g = l * TX + t
+            for c_ in range(NS):
+                @pl.when(g % NS == c_)
+                def _(c_=c_):
+                    _w_copy(op, c_, li0, t).wait()
+                    _mm_step(xq, bufs[c_], s_ref, z_ref, acc, k, col_off,
+                             gs=gs, GB=GB, G8=G8, signed=signed)
+                    _w_issue_next(op, c_, t)
+
+        # once-per-launch prime: global tiles 0..NS-1 of every operand
+        @pl.when((l == 0) & (s == 0))
+        def _():
+            for op in ("wq", "wo", "w13", "w2"):
+                TX = _W_OPS[op][4]
+                NS = len(_W_OPS[op][1])
+                for g0 in range(NS):
+                    l_t, t_t = divmod(g0, TX)  # l_t > 0 only when TX < NS
+
+                    @pl.when(l_t < Lg)
+                    def _(op=op, g0=g0, l_t=l_t, t_t=t_t, NS=NS):
+                        _w_copy(op, g0 % NS, li_ref[0] + l_t, t_t).start()
+
     # ---- phase 0: attn norm + int8 quant of x -------------------------------
     @pl.when(s == 0)
     def _():
@@ -181,11 +258,15 @@ def _layer_kernel(
         def _():
             accq[...] = jnp.zeros_like(accq)
 
-        KB = _kb_of(wq_ref)
-        GB = KB // gs
-        _mm_step(xq8, wq_ref, sq_ref, zq_ref, accq, k,
-                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G81,
-                 signed=signed)
+        if stream:
+            KB = _kb_of(_W_OPS["wq"][1][0])
+            _stream_mm("wq", s, xq8, sq_ref, zq_ref, accq, k,
+                       pl.multiple_of(k * KB, KB), KB // gs, G81)
+        else:
+            KB = _kb_of(wq_ref)
+            _mm_step(xq8, wq_ref, sq_ref, zq_ref, accq, k,
+                     pl.multiple_of(k * KB, KB), gs=gs, GB=KB // gs, G8=G81,
+                     signed=signed)
 
         @pl.when(k == k1_t - 1)
         def _():
@@ -395,11 +476,15 @@ def _layer_kernel(
             a8[...] = q
             as_[...] = sc
 
-        KB = _kb_of(wo_ref)
-        GB = KB // gs
-        _mm_step(a8, wo_ref, so_ref, zo_ref, acco, k,
-                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G83,
-                 signed=signed)
+        if stream:
+            KB = _kb_of(_W_OPS["wo"][1][0])
+            _stream_mm("wo", k, a8, so_ref, zo_ref, acco, k,
+                       pl.multiple_of(k * KB, KB), KB // gs, G83)
+        else:
+            KB = _kb_of(wo_ref)
+            _mm_step(a8, wo_ref, so_ref, zo_ref, acco, k,
+                     pl.multiple_of(k * KB, KB), gs=gs, GB=KB // gs, G8=G83,
+                     signed=signed)
 
         @pl.when(k == T3 - 1)
         def _():
@@ -422,11 +507,15 @@ def _layer_kernel(
         def _():
             acc13[...] = jnp.zeros_like(acc13)
 
-        KB = _kb_of(w13_ref)
-        GB = KB // gs
-        _mm_step(xq8, w13_ref, s13_ref, z13_ref, acc13, k,
-                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G84,
-                 signed=signed)
+        if stream:
+            KB = _kb_of(_W_OPS["w13"][1][0])
+            _stream_mm("w13", t, xq8, s13_ref, z13_ref, acc13, k,
+                       pl.multiple_of(k * KB, KB), KB // gs, G84)
+        else:
+            KB = _kb_of(w13_ref)
+            _mm_step(xq8, w13_ref, s13_ref, z13_ref, acc13, k,
+                     pl.multiple_of(k * KB, KB), gs=gs, GB=KB // gs, G8=G84,
+                     signed=signed)
 
         @pl.when(k == k4_t - 1)
         def _():
@@ -459,11 +548,15 @@ def _layer_kernel(
         def _():
             acc2[...] = jnp.zeros_like(acc2)
 
-        KB = _kb_of(w2_ref)
-        GB = KB // gs
-        _mm_step(g8buf, w2_ref, s2_ref, z2_ref, acc2, k,
-                 pl.multiple_of(k * KB, KB), gs=gs, GB=GB, G8=G85,
-                 signed=signed)
+        if stream:
+            KB = _kb_of(_W_OPS["w2"][1][0])
+            _stream_mm("w2", k, g8buf, s2_ref, z2_ref, acc2, k,
+                       pl.multiple_of(k * KB, KB), KB // gs, G85)
+        else:
+            KB = _kb_of(w2_ref)
+            _mm_step(g8buf, w2_ref, s2_ref, z2_ref, acc2, k,
+                     pl.multiple_of(k * KB, KB), gs=gs, GB=KB // gs, G8=G85,
+                     signed=signed)
 
         @pl.when(k == k5_t - 1)
         def _():
@@ -622,6 +715,15 @@ def _fused_call(x, pos, cos, sin, li,
     T_grid = [T1, T1 + T2, T1 + T2 + T3, T1 + T2 + T3 + T4, T][_n_phases - 1]
     Wn = 8 if Lx >= 8 else Lx
 
+    # manual weight streaming (ring buffers + explicit DMA — see the
+    # kernel comment) only covers the u8 row-pair serving layout; the grid
+    # truncation knob would leave un-waited copies at kernel end
+    stream = (
+        rowpair
+        and _n_phases == 5
+        and _os.environ.get("SBT_FUSED_STREAM", "1") == "1"
+    )
+
     B_pad = max(8, ((B + 7) // 8) * 8)
     if B_pad != B:
         x = jnp.pad(x, ((0, B_pad - B), (0, 0)))
@@ -710,6 +812,35 @@ def _fused_call(x, pos, cos, sin, li,
                                n_of=n4_of, last_n=n4_t - 1)
     w2_w, w2_sz = _prev_maps(S3, p5, k5_t, GB5, G85)
 
+    if stream:
+        # weights stay whole in HBM; the kernel DMAs tiles into its own
+        # ring buffers (manual streaming — see the kernel comment)
+        wq_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        wo_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        w13_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        w2_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    else:
+        wq_spec = pl.BlockSpec((1, KB1 // kdiv, NT1), wq_w)
+        wo_spec = pl.BlockSpec((1, KB3 // kdiv, NT3), wo_w)
+        w13_spec = pl.BlockSpec((1, KB4 // kdiv, NT4), w13_w)
+        w2_spec = pl.BlockSpec((1, KB5 // kdiv, NT5), w2_w)
+
+    stream_scratch = []
+    stream_ns = (2, 2, 2, 2)
+    if stream:
+        # ring depth per operand (wq, wo, w13, w2): deeper rings hold a
+        # larger standing DMA backlog, bridging the compute-only
+        # attention/wo window — sweep knob SBT_FUSED_NS="2,2,3,3"
+        ns_env = _os.environ.get("SBT_FUSED_NS")
+        if ns_env:
+            stream_ns = tuple(int(v) for v in ns_env.split(","))
+        for ns, (KBx, NTx) in zip(
+                stream_ns, ((KB1, NT1), (KB3, NT3), (KB4, NT4), (KB5, NT5))):
+            buf = pltpu.VMEM((KBx // kdiv, NTx), jnp.uint8)
+            stream_scratch += [buf] * ns
+        stream_scratch.append(
+            pltpu.SemaphoreType.DMA((4, max(stream_ns))))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_grid_layers, T_grid),
@@ -723,16 +854,16 @@ def _fused_call(x, pos, cos, sin, li,
             ),
             pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r, bt_r: (0, 0)),  # cos
             pl.BlockSpec((B_pad, D), lambda l, s, li_r, len_r, bt_r: (0, 0)),  # sin
-            pl.BlockSpec((1, KB1 // kdiv, NT1), wq_w),
+            wq_spec,
             pl.BlockSpec((1, G81, NT1), wq_sz),
             pl.BlockSpec((1, G81, NT1), wq_sz),
-            pl.BlockSpec((1, KB3 // kdiv, NT3), wo_w),
+            wo_spec,
             pl.BlockSpec((1, G83, NT3), wo_sz),
             pl.BlockSpec((1, G83, NT3), wo_sz),
-            pl.BlockSpec((1, KB4 // kdiv, NT4), w13_w),
+            w13_spec,
             pl.BlockSpec((1, G84, NT4), w13_sz),
             pl.BlockSpec((1, G84, NT4), w13_sz),
-            pl.BlockSpec((1, KB5 // kdiv, NT5), w2_w),
+            w2_spec,
             pl.BlockSpec((1, G85, NT5), w2_sz),
             pl.BlockSpec((1, G85, NT5), w2_sz),
             pl.BlockSpec(memory_space=pltpu.HBM),  # k
@@ -772,7 +903,7 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((1, Hp), jnp.float32),      # k scale row
             pltpu.VMEM((1, Hp), jnp.float32),      # v scale row
             pltpu.SemaphoreType.DMA((8,)),
-        ],
+        ] + stream_scratch,
     )
     out, k2, v2, ks2, vs2 = pl.pallas_call(
         functools.partial(
@@ -782,7 +913,8 @@ def _fused_call(x, pos, cos, sin, li,
             k4_t=k4_t, n4_t=n4_t, G84=G84, k5_t=k5_t, G85=G85,
             debug_out=debug_out,
             prefetch_slabs=(B == 1 and _n_phases >= 2),
-            paged=paged, sc=SC, signed=signed,
+            paged=paged, sc=SC, signed=signed, stream=stream,
+            stream_ns=stream_ns,
         ),
         grid_spec=grid_spec,
         out_shape=[
