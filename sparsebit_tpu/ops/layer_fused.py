@@ -932,7 +932,8 @@ def _fused_call(x, pos, cos, sin, li,
             # five phases' tiles + KV slabs + activation scratch exceed the
             # 16 MB default scoped-VMEM budget; v5e has far more physical
             # VMEM — raise the cap rather than shrink tiles
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=int(_os.environ.get(
+                "SBT_FUSED_VMEM", 100 * 1024 * 1024)),
         ),
         interpret=interpret,
     )(jnp.reshape(li, (1,)).astype(jnp.int32), pos.astype(jnp.int32),
