@@ -62,6 +62,8 @@ def build_quantized_llama(cfg, bits=4, groupsize=128, impl="a8", fused=True):
     """Random packed weights directly (no dense init: 7B f32 would not fit
     alongside; codes are uniform random — bandwidth identical). Serving
     configuration: fused wqkv/w13 (fewer kernel launches) + W4A8 kernel."""
+    import os
+
     from sparsebit_tpu.llm.quant import QuantLinear
     from sparsebit_tpu.ops.packing import pack_columns, pack_s4_rows
 
@@ -119,11 +121,20 @@ def build_quantized_llama(cfg, bits=4, groupsize=128, impl="a8", fused=True):
 
     emb = (jax.random.normal(keys[-2], (cfg.vocab_size, cfg.dim), jnp.float32)
            * 0.02).astype(dt)
+    head = DenseLinear(emb.T)  # tied head (fp16-equiv, like reference)
+    hb = os.environ.get("SBT_BENCH_HEAD_BITS")
+    if hb:
+        # opt-in W8A8 per-channel head (decode.prepare_params_host
+        # head_bits): halves the 262 MB/token head stream; NOT the
+        # headline config (the reference keeps the head fp16)
+        head = QuantLinear.from_dense(
+            emb.T.astype(jnp.float32), bits=int(hb), groupsize=-1, sym=True
+        ).with_sz_dtype()
     return {
         "tok_embed": emb,
         "layers": layers,
         "norm": jnp.ones((cfg.dim,), dt),
-        "lm_head": DenseLinear(emb.T),  # tied head (fp16-equiv, like reference)
+        "lm_head": head,
     }
 
 

@@ -552,7 +552,8 @@ def decode_step_scanned(params_stacked, tokens, cache, cfg):
     return logits[:, 0], cache
 
 
-def prepare_params_host(params, drop_fold=True, sz_dtype=jnp.bfloat16):
+def prepare_params_host(params, drop_fold=True, sz_dtype=jnp.bfloat16,
+                        head_bits=None):
     """HOST-side (outside jit) serving preparation: convert every packed
     QuantLinear to the u8 ROW-PAIR layout — signed nibbles for 4-bit
     (QuantLinear.with_s4_rows: the int4->int8 in-kernel cast is the
@@ -564,8 +565,16 @@ def prepare_params_host(params, drop_fold=True, sz_dtype=jnp.bfloat16):
     re-copied by XLA INSIDE the token while-loop: ~58 ms/tok at 7B vs
     the megakernel's 6 ms — trace 2026-08-17.) Works on stacked
     (dict-of-stacked-leaves) and unstacked (list of layer dicts)
-    params."""
-    from sparsebit_tpu.llm.quant import QuantLinear
+    params.
+
+    head_bits=8 additionally RTN-quantizes a dense lm_head to W8A8
+    per-channel symmetric (QuantLinear.from_dense, int8 MXU path): at 7B
+    the bf16 head is 262 MB/token of decode traffic — 6.5% of token
+    time — and int8 halves it. Per-channel symmetric int8 on the logits
+    layer is accuracy-benign (the argmax/topk ordering is what matters);
+    the reference keeps the head fp16, so the default stays None for
+    parity and the bench headline."""
+    from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
 
     def conv(lin):
         if isinstance(lin, QuantLinear):
@@ -589,7 +598,13 @@ def prepare_params_host(params, drop_fold=True, sz_dtype=jnp.bfloat16):
         out["layers"] = [
             {k2: conv(v2) for k2, v2 in lyr.items()} for lyr in layers
         ]
-    out["lm_head"] = conv(out["lm_head"])
+    head = out["lm_head"]
+    if head_bits is not None and isinstance(head, DenseLinear):
+        head = QuantLinear.from_dense(
+            head.w.astype(jnp.float32), bits=head_bits, groupsize=-1,
+            sym=True, bias=head.bias,
+        )
+    out["lm_head"] = conv(head)
     return out
 
 

@@ -68,9 +68,10 @@ class DecodeEngine:
         seed=0,
         chunk=8,
         prefix_cache_size=8,
+        head_bits=None,
     ):
         from sparsebit_tpu.llm.llama import quantize_llama_params
-        from sparsebit_tpu.llm.quant import QuantLinear
+        from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
 
         # host-side serving layout: row-pair codes (signed nibbles for
         # 4-bit — cheapest in-kernel cast, exp13) make the kernel-side
@@ -85,6 +86,15 @@ class DecodeEngine:
             ),
             skip=(),
         )
+        if head_bits is not None and isinstance(
+                self.params.get("lm_head"), DenseLinear):
+            # optional W8A8 per-channel head: halves the 262 MB/token
+            # bf16 logits-layer stream at 7B (decode.prepare_params_host)
+            self.params["lm_head"] = QuantLinear.from_dense(
+                self.params["lm_head"].w.astype(jnp.float32),
+                bits=head_bits, groupsize=-1, sym=True,
+                bias=self.params["lm_head"].bias,
+            ).with_sz_dtype()
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len or cfg.max_seq_len
@@ -348,7 +358,7 @@ class PagedDecodeEngine(DecodeEngine):
 
     def __init__(self, params, cfg, max_batch=8, n_blocks=None, block=128,
                  eos_id=None, seed=0, chunk=8, prefix_cache_size=8,
-                 max_len=None):
+                 max_len=None, head_bits=None):
         from sparsebit_tpu.llm.decode import stack_layers
         from sparsebit_tpu.llm.kv_cache import init_paged_kv_cache
 
@@ -359,7 +369,7 @@ class PagedDecodeEngine(DecodeEngine):
         super().__init__(
             params, cfg, max_batch=max_batch, max_len=max_len,
             kv_quantized=True, eos_id=eos_id, seed=seed, chunk=chunk,
-            prefix_cache_size=prefix_cache_size,
+            prefix_cache_size=prefix_cache_size, head_bits=head_bits,
         )
         assert "wqkv" in self.params["layers"][0], (
             "PagedDecodeEngine needs the fused-wqkv/w13 packed model "

@@ -369,3 +369,37 @@ def test_gptq_fused_layers_roundtrip(tmp_path, params):
     assert "wqkv" in qp2["layers"][0] and "w13" in qp2["layers"][0]
     out = generate(qp2, jnp.ones((1, 4), jnp.int32), cfg2, max_new_tokens=3)
     assert out.shape == (1, 3)
+
+
+def test_int8_head_serving_option(params):
+    """prepare_params_host(head_bits=8): W8A8 per-channel lm_head halves
+    the decode head stream; logits must stay close and greedy decode
+    must still run end-to-end (decode.prepare_params_host head_bits)."""
+    from sparsebit_tpu.llm.decode import generate, prepare_params_host
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    fused = L.fuse_llama_params(params)
+    qparams = L.quantize_llama_params(
+        fused,
+        lambda p, lin: QuantLinear.from_dense(
+            lin.w.astype(jnp.float32), bits=4, groupsize=64
+        ),
+    )
+    ref = prepare_params_host(qparams)
+    q8 = prepare_params_host(qparams, head_bits=8)
+    assert isinstance(q8["lm_head"], QuantLinear)
+    assert q8["lm_head"].bits == 8
+    assert q8["lm_head"].scales.dtype == jnp.bfloat16
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, CFG.dim), jnp.float32)
+    lo_ref = ref["lm_head"](x)
+    lo_q8 = q8["lm_head"](x).astype(jnp.float32)
+    rel = float(
+        jnp.linalg.norm(lo_q8 - lo_ref) / jnp.linalg.norm(lo_ref)
+    )
+    assert rel < 0.02, rel
+
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (1, 6), 0,
+                                CFG.vocab_size)
+    toks = generate(q8, prompt, CFG, max_new_tokens=4, temperature=0.0)
+    assert toks.shape == (1, 4)

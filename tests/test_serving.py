@@ -191,3 +191,22 @@ def test_paged_engine_prefix_block_sharing():
     # slots freed -> only prefix-cache refs keep blocks out of the pool
     held = sum(1 for r in eng._ref if r > 0)
     assert held == sum(len(e["blocks"]) for e in eng._prefix.values())
+
+
+def test_engine_int8_head():
+    """head_bits=8 engine: W8A8 per-channel lm_head (halves the decode
+    head stream at 7B) still produces a full, plausible generation."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    params = L.init_llama_params(CFG, jax.random.PRNGKey(0))
+    engine = DecodeEngine(params, CFG, max_batch=2, max_len=32, head_bits=8)
+    assert isinstance(engine.params["lm_head"], QuantLinear)
+    assert engine.params["lm_head"].bits == 8
+    prompts = [np.array([3, 17, 91, 30], np.int32),
+               np.array([5, 9], np.int32)]
+    rids = [engine.add_request(p, max_new_tokens=5) for p in prompts]
+    results = engine.run()
+    for rid in rids:
+        got = np.asarray(results[rid])
+        assert got.shape == (5,)
+        assert ((0 <= got) & (got < CFG.vocab_size)).all()
