@@ -137,12 +137,17 @@ def _layer_kernel(
     o_ref, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
     xcur, xq8, xs, qkv, aout, a8, as_, xmid, h1, g8buf, gs8,
     accq, acco, acc13, acc2,
-    kslab, vslab, ks_slab, vs_slab, krow, vrow, ksrow, vsrow, sems,
-    *stream_scr, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
+    kslab, vslab, ks_slab, vs_slab, krow, vrow, ksrow, vsrow,
+    *tail, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False, paged=False, sc=128,
-    signed=False, stream=False, stream_ns=(2, 2, 2, 2),
+    signed=False, stream=False, stream_ns=(2, 2, 2, 2), batched=False,
 ):
+    # trailing scratch: [qrope (batched only)], sems, [stream ring bufs +
+    # wsem (stream only)]
+    if batched:
+        qrope, tail = tail[0], tail[1:]
+    sems, stream_scr = tail[0], tail[1:]
     # grid is (n_grid_layers, T): the leading dimension walks whole decoder
     # layers with the activation carried in VMEM scratch (xcur) — one
     # launch covers the whole backbone, so the per-launch pipeline fill
@@ -156,12 +161,12 @@ def _layer_kernel(
     @pl.when((l == 0) & (s == 0))
     def _():
         xcur[...] = x_ref[...].astype(jnp.float32)
-    S = kslab.shape[0]
+    S = kslab.shape[-3]
     Hp = ks_slab.shape[-1]
     HD = Hq * D
     KVD = Hkv * D
     T1 = n1_t * k1_t
-    T2 = B * n_groups
+    T2 = 1 if batched else B * n_groups
     T3 = k3_t
     T4 = n4_t * k4_t
     T5 = k5_t
@@ -287,7 +292,10 @@ def _layer_kernel(
     # value mix).
     n_sc = S // sc
 
-    def _slab_copies(b):
+    def _slab_copies(b, bslab=None):
+        """Chunked loads of row ``b``'s cache into the slab scratch; when
+        the slabs carry a batch dim (batched attention), ``bslab`` picks
+        the destination row."""
         length = len_ref[b]
         out = []
         for c in range(n_sc):
@@ -304,9 +312,13 @@ def _layer_kernel(
             else:
                 srcs = (k_hbm.at[li0, b, sl], v_hbm.at[li0, b, sl],
                         ks_hbm.at[li0, b, sl], vs_hbm.at[li0, b, sl])
-            for i, (src, dst) in enumerate(zip(
-                    srcs, (kslab.at[sl], vslab.at[sl],
-                           ks_slab.at[sl], vs_slab.at[sl]))):
+            if bslab is None:
+                dsts = (kslab.at[sl], vslab.at[sl],
+                        ks_slab.at[sl], vs_slab.at[sl])
+            else:
+                dsts = (kslab.at[bslab, sl], vslab.at[bslab, sl],
+                        ks_slab.at[bslab, sl], vs_slab.at[bslab, sl])
+            for i, (src, dst) in enumerate(zip(srcs, dsts)):
                 out.append((cond, pltpu.make_async_copy(
                     src, dst, sems.at[4 + i])))
         return out
@@ -335,10 +347,131 @@ def _layer_kernel(
         def _():
             _start_copies(_slab_copies(0))
 
-    in_p2 = (s >= T1) & (s < T1 + T2)
+    # ---- batched attention (B > 1): ONE grid step for the whole phase ------
+    # The per-row formulation paid ~13 us/layer/row at 7B: per-row rope /
+    # quant relayouts, one-hot row gathers, and 4 row-write DMA round
+    # trips serialized per grid step. Here the rope + INT8 row quant run
+    # ONCE as (B*H, D) vector ops, the slabs carry a batch dim (loads
+    # prefetched at s == 0), every per-row index is a STATIC Python loop
+    # (b is unrolled, so slab slices and aout stores need no one-hot
+    # dots), and the 4B cache-row writes are started together and waited
+    # once at the end of the step, after the attention dots covered them.
+    if batched:
+        @pl.when(s == 0)
+        def _():
+            for b in range(B):
+                _start_copies(_slab_copies(b, bslab=b))
+
+        @pl.when(s == T1)
+        def _():
+            qkvA = qkv[...]  # (B_pad, Nq) f32
+            Bp = qkvA.shape[0]
+
+            def expand_rows(mat, H):
+                # (B_pad, D) -> (B_pad*H, D): output row r = mat row
+                # r // H (one-hot MXU dot; sublane gathers can't be
+                # expressed as a dynamic index)
+                selr = (
+                    jax.lax.broadcasted_iota(jnp.int32, (Bp * H, Bp), 1)
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (Bp * H, Bp), 0) // H
+                ).astype(jnp.float32)
+                return jnp.dot(selr, mat,
+                               preferred_element_type=jnp.float32)
+
+            def rope_rows(rows, cosb, sinb):
+                h1_, h2_ = rows[:, : D // 2], rows[:, D // 2:]
+                rot = jnp.concatenate([-h2_, h1_], axis=1)
+                return rows * cosb + rot * sinb
+
+            cosA = cosf_ref[...]
+            sinA = sinf_ref[...]
+            qrope[...] = rope_rows(
+                qkvA[:, :HD].reshape(Bp * Hq, D),
+                expand_rows(cosA, Hq), expand_rows(sinA, Hq),
+            ).reshape(Bp, Hq, D)
+            kr = rope_rows(
+                qkvA[:, HD:HD + KVD].reshape(Bp * Hkv, D),
+                expand_rows(cosA, Hkv), expand_rows(sinA, Hkv))
+            vr = qkvA[:, HD + KVD:].reshape(Bp * Hkv, D)
+            ksc = jnp.maximum(
+                jnp.max(jnp.abs(kr), axis=1, keepdims=True), 1e-8) / 127.0
+            vsc = jnp.maximum(
+                jnp.max(jnp.abs(vr), axis=1, keepdims=True), 1e-8) / 127.0
+            # rows live 3-D (B_pad, H, D): per-row DMA srcs slice the
+            # UNTILED leading dim (sublane slices must be 8-aligned)
+            krow[...] = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(
+                jnp.int8).reshape(Bp, Hkv, D)
+            vrow[...] = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(
+                jnp.int8).reshape(Bp, Hkv, D)
+            ks2 = ksc.reshape(Bp, Hkv)  # (B_pad, Hkv) scale rows
+            vs2 = vsc.reshape(Bp, Hkv)
+            if Hp != Hkv:
+                zpad = jnp.zeros((Bp, Hp - Hkv), jnp.float32)
+                ks2 = jnp.concatenate([ks2, zpad], axis=1)
+                vs2 = jnp.concatenate([vs2, zpad], axis=1)
+            ksrow[...] = ks2.reshape(Bp, 1, Hp)
+            vsrow[...] = vs2.reshape(Bp, 1, Hp)
+
+            writes = []
+            for b in range(B):
+                length = len_ref[b]
+                if paged:
+                    blk_w = bt_ref[b, length // sc]
+                    row_w = length % sc
+                writes += [
+                    pltpu.make_async_copy(
+                        krow.at[b],
+                        (ko_hbm.at[li0, blk_w, row_w] if paged
+                         else ko_hbm.at[li0, b, length]), sems.at[0]),
+                    pltpu.make_async_copy(
+                        vrow.at[b],
+                        (vo_hbm.at[li0, blk_w, row_w] if paged
+                         else vo_hbm.at[li0, b, length]), sems.at[1]),
+                    pltpu.make_async_copy(
+                        ksrow.at[b],
+                        (kso_hbm.at[li0, blk_w, pl.ds(row_w, 1)] if paged
+                         else kso_hbm.at[li0, b, pl.ds(length, 1)]),
+                        sems.at[2]),
+                    pltpu.make_async_copy(
+                        vsrow.at[b],
+                        (vso_hbm.at[li0, blk_w, pl.ds(row_w, 1)] if paged
+                         else vso_hbm.at[li0, b, pl.ds(length, 1)]),
+                        sems.at[3]),
+                ]
+            for cp in writes:
+                cp.start()
+            # prefetched slab loads must land before patch + attention
+            for b in range(B):
+                _wait_copies(_slab_copies(b, bslab=b))
+            # patch slabs (incl. scale rows — no stale-row masking needed)
+            for b in range(B):
+                length = len_ref[b]
+                kslab[b, length] = krow[b]
+                vslab[b, length] = vrow[b]
+                ks_slab[b, pl.ds(length, 1)] = ksrow[b]
+                vs_slab[b, pl.ds(length, 1)] = vsrow[b]
+            sel = _head_sel(Hp, Hq, 0, n_rep)
+            for b in range(B):
+                length = len_ref[b]
+                s_rows = jax.lax.broadcasted_iota(jnp.int32, (S, Hq), 0)
+                ks_cols = jnp.where(s_rows <= length,
+                                    jnp.dot(ks_slab[b], sel), 0.0)
+                vs_cols = jnp.where(s_rows <= length,
+                                    jnp.dot(vs_slab[b], sel), 0.0)
+                out_g = _group_attention(
+                    kslab[b], vslab[b], qrope[b],
+                    ks_cols, vs_cols, length, n_rep)
+                aout[pl.ds(b, 1), :] = out_g.reshape(1, HD)
+            for cp in writes:
+                cp.wait()
+
+    in_p2 = (s >= T1) & (s < T1 + T2) & jnp.bool_(not batched)
 
     @pl.when(in_p2)
-    def _():
+    def _per_row_phase2():
+        if batched:
+            return  # batched block above owns phase 2 (and slab shapes)
         t = s - T1
         b = t // n_groups
         g = t % n_groups
@@ -695,6 +828,18 @@ def _fused_call(x, pos, cos, sin, li,
     # still correct) for VMEM-constrained future shapes.
     n_groups = 1
 
+    # batched attention: collapse the B per-row grid steps into ONE step
+    # of (B*H, D)-vectorized rope/quant + static-b attention loops (see
+    # the kernel comment). Slabs gain a batch dim; gate on VMEM.
+    slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
+    batched = (
+        B > 1
+        and n_groups == 1
+        and _n_phases >= 2
+        and B * slab_bytes <= 40 * 1024 * 1024
+    )
+    slab_lead = (B,) if batched else ()
+
     KB1, NT1 = _fused_tiles(dim, Nq, gs)
     KB3, NT3 = _fused_tiles(HD, dim, gs)
     KB4, NT4 = _fused_tiles(dim, 2 * F, gs)
@@ -707,7 +852,7 @@ def _fused_call(x, pos, cos, sin, li,
     G83 = _sz_layout(HD // gs, KB3 // gs, so.dtype)
     G84 = _sz_layout(dim // gs, KB4 // gs, s13.dtype)
     G85 = _sz_layout(Fp // gs, KB5 // gs, s2.dtype)
-    T1, T2, T3 = n1_t * k1_t, B * n_groups, k3_t
+    T1, T2, T3 = n1_t * k1_t, (1 if batched else B * n_groups), k3_t
     T4, T5 = n4_t * k4_t, k5_t
     T = T1 + T2 + T3 + T4 + T5
     # _n_phases < 5 truncates the grid after that phase — timing-only knob
@@ -894,16 +1039,22 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad, NT3), jnp.float32),  # acco
             pltpu.VMEM((B_pad, NT4), jnp.float32),  # acc13
             pltpu.VMEM((B_pad, NT5), jnp.float32),  # acc2
-            pltpu.VMEM((S, Hkv, D), jnp.int8),     # k slab
-            pltpu.VMEM((S, Hkv, D), jnp.int8),     # v slab
-            pltpu.VMEM((S, Hp), jnp.float32),      # ks slab
-            pltpu.VMEM((S, Hp), jnp.float32),      # vs slab
-            pltpu.VMEM((Hkv, D), jnp.int8),        # k row
-            pltpu.VMEM((Hkv, D), jnp.int8),        # v row
-            pltpu.VMEM((1, Hp), jnp.float32),      # k scale row
-            pltpu.VMEM((1, Hp), jnp.float32),      # v scale row
-            pltpu.SemaphoreType.DMA((8,)),
-        ] + stream_scratch,
+            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # k slab
+            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # v slab
+            pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # ks slab
+            pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # vs slab
+            # batched: ALL rows' kv rows / scale rows, 3-D so per-row DMA
+            # srcs slice the UNTILED leading dim
+            pltpu.VMEM((B_pad, Hkv, D) if batched else (Hkv, D),
+                       jnp.int8),                  # k row(s)
+            pltpu.VMEM((B_pad, Hkv, D) if batched else (Hkv, D),
+                       jnp.int8),                  # v row(s)
+            pltpu.VMEM((B_pad, 1, Hp) if batched else (1, Hp),
+                       jnp.float32),               # k scale row(s)
+            pltpu.VMEM((B_pad, 1, Hp) if batched else (1, Hp),
+                       jnp.float32),               # v scale row(s)
+        ] + ([pltpu.VMEM((B_pad, Hq, D), jnp.float32)] if batched else [])
+        + [pltpu.SemaphoreType.DMA((8,))] + stream_scratch,
     )
     out, k2, v2, ks2, vs2 = pl.pallas_call(
         functools.partial(
@@ -912,9 +1063,9 @@ def _fused_call(x, pos, cos, sin, li,
             k1_t=k1_t, n1_t=n1_t, G81=G81, k3_t=k3_t, G83=G83,
             k4_t=k4_t, n4_t=n4_t, G84=G84, k5_t=k5_t, G85=G85,
             debug_out=debug_out,
-            prefetch_slabs=(B == 1 and _n_phases >= 2),
+            prefetch_slabs=(B == 1 and _n_phases >= 2 and not batched),
             paged=paged, sc=SC, signed=signed, stream=stream,
-            stream_ns=stream_ns,
+            stream_ns=stream_ns, batched=batched,
         ),
         grid_spec=grid_spec,
         out_shape=[
