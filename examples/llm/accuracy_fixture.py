@@ -44,8 +44,15 @@ def main():
     )
     out = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    existing = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = json.load(f)
+    if "llm_gptq" not in existing and "ppl_float" in existing:
+        existing = {}  # flat round-1 layout is superseded by this write
+    existing["llm_gptq"] = results
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(existing, f, indent=2)
     print("wrote", out)
 
 
