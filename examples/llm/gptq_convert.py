@@ -8,6 +8,11 @@ calib tokens: .npy int32 of shape (n_samples, seqlen) (the reference uses
 128 x 2048 wikitext2 samples, convert.py:37).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import argparse
 
 import jax

@@ -3,6 +3,11 @@
     python gptq_inference.py --ckpt gptq_ckpt --tokens 128
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import argparse
 import time
 

@@ -7,6 +7,11 @@ Backbone: a GPTQ checkpoint (frozen, packed); adapters: fp32 LoRA on
 q/v projections. DP over the mesh comes free from jit + batch sharding.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import argparse
 
 import jax

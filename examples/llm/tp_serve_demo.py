@@ -7,6 +7,11 @@ runs decode steps under shard_map (the BASELINE.json serving layout).
     JAX_PLATFORMS=cpu python tp_serve_demo.py --tp 2
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import argparse
 import os
 

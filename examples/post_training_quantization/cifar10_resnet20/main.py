@@ -9,6 +9,11 @@ y (N int); without it, random data demonstrates the flow (this
 environment has no dataset downloads).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..", "..")))
+
 import argparse
 
 import jax
@@ -41,7 +46,7 @@ def accuracy(model_fn, x, y, batch=128):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--qconfig", default="qconfig.yaml")
+    ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig.yaml"))
     ap.add_argument("--data", default=None)
     ap.add_argument("--ckpt", default=None, help="npz full_state_dict of the float model")
     ap.add_argument("--calib-batches", type=int, default=16)

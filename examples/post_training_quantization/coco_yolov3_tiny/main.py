@@ -5,6 +5,11 @@ downstream of the quantized network.
     python main.py [--data coco_imgs.npz] [--ckpt yolo.npz]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..", "..")))
+
 import argparse
 
 import jax.numpy as jnp
@@ -16,7 +21,7 @@ from sparsebit_tpu.models import create_model
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--qconfig", default="qconfig.yaml")
+    ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig.yaml"))
     ap.add_argument("--data", default=None, help="npz x (N,H,W,3) float")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--imgsize", type=int, default=416)

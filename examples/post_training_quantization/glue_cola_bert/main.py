@@ -5,6 +5,11 @@ postquant modes; here postquant, finetuning is any standard loop).
     python main.py --data cola_tokens.npz [--ckpt bert.npz]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..", "..")))
+
 import argparse
 
 import jax.numpy as jnp
@@ -17,7 +22,7 @@ from sparsebit_tpu.models import create_model
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="bert_base", choices=["bert_base", "bert_tiny"])
-    ap.add_argument("--qconfig", default="qconfig.yaml")
+    ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig.yaml"))
     ap.add_argument("--data", default=None, help="npz: input_ids (N,S) int, label (N)")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--batch", type=int, default=32)

@@ -3,6 +3,11 @@
     python main.py --model deit_tiny --qconfig qconfig.yaml [--data imagenet.npz]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..", "..")))
+
 import argparse
 
 import jax
@@ -17,7 +22,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="deit_tiny",
                     choices=["deit_tiny", "deit_small", "deit_base"])
-    ap.add_argument("--qconfig", default="qconfig.yaml")
+    ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig.yaml"))
     ap.add_argument("--data", default=None, help="npz x (N,224,224,3), y (N)")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--batch", type=int, default=32)

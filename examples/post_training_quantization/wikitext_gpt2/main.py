@@ -4,6 +4,11 @@ examples/post_training_quantization/wikitext/main.py).
     python main.py --tokens wikitext_tokens.npy [--ckpt gpt2.npz]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..", "..")))
+
 import argparse
 
 import jax
@@ -31,7 +36,7 @@ def ppl(model_fn, toks, seqlen, batch=1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gpt2_small")
-    ap.add_argument("--qconfig", default="qconfig.yaml")
+    ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig.yaml"))
     ap.add_argument("--tokens", default=None, help=".npy int32 token stream")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--seqlen", type=int, default=512)

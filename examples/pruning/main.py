@@ -3,6 +3,11 @@
     python main.py --sconfig sconfig.yaml
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+
 import argparse
 
 import jax.numpy as jnp

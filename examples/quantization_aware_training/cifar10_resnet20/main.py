@@ -5,6 +5,11 @@ Flow: QuantModel -> calibrate -> init_QAT (LSQ scales become learnable)
 -> 8-bit head/tail override -> jitted functional training loop.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..", "..")))
+
 import argparse
 
 import jax
@@ -24,7 +29,7 @@ from sparsebit_tpu.quantization.tools import (
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--qconfig", default="qconfig.yaml")
+    ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig.yaml"))
     ap.add_argument("--data", default=None, help="npz with x (N,32,32,3), y (N)")
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch", type=int, default=128)

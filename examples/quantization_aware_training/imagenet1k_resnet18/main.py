@@ -15,6 +15,11 @@ Run on a pod slice as-is; to demo locally:
   python main.py --qconfig qconfig_lsq.yaml
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..", "..")))
+
 import argparse
 
 import jax
@@ -35,7 +40,7 @@ from sparsebit_tpu.quantization.tools import (
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--qconfig", default="qconfig_lsq.yaml")
+    ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig_lsq.yaml"))
     ap.add_argument("--data", default=None, help="npz with x (N,H,W,3), y (N)")
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch", type=int, default=256, help="global batch")

@@ -11,6 +11,11 @@ boxes (N, Hb, Wb, 8) to train on real targets; without it the flow runs
 on random tensors (demo of the pipeline, like the other examples here).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..", "..")))
+
 import argparse
 
 import jax
@@ -50,7 +55,7 @@ def centerpoint_loss(outputs, targets):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--qconfig", default="qconfig_lsq_4w4f.yaml")
+    ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig_lsq_4w4f.yaml"))
     ap.add_argument("--data", default=None)
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--batch", type=int, default=2)
