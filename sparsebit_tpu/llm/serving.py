@@ -170,32 +170,8 @@ class DecodeEngine:
         prefix_cache_size=8,
         head_bits=None,
     ):
-        from sparsebit_tpu.llm.llama import quantize_llama_params
-        from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
-
-        # host-side serving layout: row-pair codes (signed nibbles for
-        # 4-bit — cheapest in-kernel cast, exp13) make the kernel-side
-        # unpack a free bitcast and keep weights loop invariants; bf16
-        # qparams halve the scale/zero stream (QuantLinear.with_sz_dtype)
-        self.params = quantize_llama_params(
-            params,
-            lambda path, lin: (
-                (lin.with_s4_rows() if lin.bits == 4
-                 else lin.with_u4_rows()).with_sz_dtype()
-                if isinstance(lin, QuantLinear) else lin
-            ),
-            skip=(),
-        )
-        if head_bits is not None and isinstance(
-                self.params.get("lm_head"), DenseLinear):
-            # optional W8A8 per-channel head: halves the 262 MB/token
-            # bf16 logits-layer stream at 7B (decode.prepare_params_host)
-            self.params["lm_head"] = QuantLinear.from_dense(
-                self.params["lm_head"].w.astype(jnp.float32),
-                bits=head_bits, groupsize=-1, sym=True,
-                bias=self.params["lm_head"].bias,
-            ).with_sz_dtype()
         self.cfg = cfg
+        self.params = self._prepare_params(params, head_bits)
         self.max_batch = max_batch
         if max_batch > 64:
             # the packed Pallas decode kernels gate on B <= 64
@@ -218,7 +194,7 @@ class DecodeEngine:
         self.chunk = chunk
         self.cache = (
             None if getattr(self, "_skip_slot_cache", False)
-            else init_kv_cache(cfg, max_batch, self.max_len, kv_quantized)
+            else self._init_cache(max_batch, self.max_len)
         )
         self.slots = [None] * max_batch  # _Request or None
         self.queue = []
@@ -231,6 +207,47 @@ class DecodeEngine:
         self._prefix_cache_size = prefix_cache_size
         self._prefix = {}
         self.prefix_hits = 0  # observability: admissions served from cache
+
+    # ---- backend hooks (overridden by TPDecodeEngine) -----------------------
+    def _prepare_params(self, params, head_bits):
+        """Host-side serving layout: row-pair codes (signed nibbles for
+        4-bit — cheapest in-kernel cast, exp13) make the kernel-side
+        unpack a free bitcast and keep weights loop invariants; bf16
+        qparams halve the scale/zero stream (QuantLinear.with_sz_dtype)."""
+        from sparsebit_tpu.llm.llama import quantize_llama_params
+        from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
+
+        out = quantize_llama_params(
+            params,
+            lambda path, lin: (
+                (lin.with_s4_rows() if lin.bits == 4
+                 else lin.with_u4_rows()).with_sz_dtype()
+                if isinstance(lin, QuantLinear) else lin
+            ),
+            skip=(),
+        )
+        if head_bits is not None and isinstance(
+                out.get("lm_head"), DenseLinear):
+            # optional W8A8 per-channel head: halves the 262 MB/token
+            # bf16 logits-layer stream at 7B (decode.prepare_params_host)
+            out["lm_head"] = QuantLinear.from_dense(
+                out["lm_head"].w.astype(jnp.float32),
+                bits=head_bits, groupsize=-1, sym=True,
+                bias=out["lm_head"].bias,
+            ).with_sz_dtype()
+        return out
+
+    def _init_cache(self, n_rows, n_cols):
+        return init_kv_cache(self.cfg, n_rows, n_cols, self.kv_quantized)
+
+    def _prefill_call(self, tokens, scratch, lasts, offsets):
+        return prefill_at(self.params, tokens, scratch, self.cfg, lasts,
+                          offsets)
+
+    def _decode_chunk_call(self, temps, key, n):
+        return decode_chunk(
+            self.params, self.next_tok, self.cache, temps, key, self.cfg, n
+        )
 
     # ---- client API --------------------------------------------------------
     def add_request(self, prompt_ids, max_new_tokens=64, temperature=0.0):
@@ -261,9 +278,7 @@ class DecodeEngine:
         """Reused scratch cache (stale contents are masked by length)."""
         key = (n_rows, n_cols)
         if key not in self._scratch:
-            self._scratch[key] = init_kv_cache(
-                self.cfg, n_rows, n_cols, self.kv_quantized
-            )
+            self._scratch[key] = self._init_cache(n_rows, n_cols)
         return self._scratch[key]
 
     def _prefix_hit(self, prompt):
@@ -341,8 +356,8 @@ class DecodeEngine:
         padded = np.zeros((n, Sb), np.int32)
         for row, t in enumerate(tails):
             padded[row, : len(t)] = t
-        logits, scratch = prefill_at(
-            self.params, jnp.asarray(padded), scratch, self.cfg,
+        logits, scratch = self._prefill_call(
+            jnp.asarray(padded), scratch,
             jnp.asarray(lasts, jnp.int32), jnp.asarray(offsets, jnp.int32),
         )
         self._scratch[(n, S_scratch)] = scratch  # keep warm for reuse
@@ -411,9 +426,7 @@ class DecodeEngine:
             jnp.float32,
         )
         self._key, sub = jax.random.split(self._key)
-        toks, self.cache = decode_chunk(
-            self.params, self.next_tok, self.cache, temps, sub, self.cfg, n
-        )
+        toks, self.cache = self._decode_chunk_call(temps, sub, n)
         toks_np = np.asarray(toks)
         self.next_tok = toks[:, -1]
         for slot, req in enumerate(self.slots):
@@ -442,6 +455,100 @@ class DecodeEngine:
         if hit_eos or hit_len or full:
             req.done = True
             self.slots[slot] = None
+
+
+class TPDecodeEngine(DecodeEngine):
+    """Tensor-sharded continuous batching (BASELINE.json configs[4]:
+    "LLaMA-13B INT4-g128 + INT8 KV-cache, tensor-sharded continuous
+    batching"): the SAME admission/scheduling host logic as DecodeEngine,
+    with every device-side program run under a tp mesh —
+
+    - weights: Megatron column/row shards of the PACKED QuantLinears,
+      split exactly (parallel/tp.shard_quantlinear — GPTQ codes are
+      sliced, never requantized), each shard in the row-pair serving
+      layout so the per-matmul Pallas kernels run unchanged per device;
+    - KV cache (+ admission scratches): heads sharded over tp
+      (parallel/tp.shard_kv_cache_tp), INT8 rows + f32 scales;
+    - admission: tp_prefill_at (bucketed batched prefill, per-device
+      heads, vocab-sharded lm_head all_gathered only at the B last
+      tokens);
+    - decode: tp_decode_chunk — one shard_map per chunk, lax.scan over
+      steps, two row-parallel psums per layer as the only collectives.
+
+    The splice / prefix-cache / paged logic is untouched: the jitted
+    helpers consume sharded pytrees and XLA keeps the head shardings.
+    Requires n_heads % tp == 0, n_kv_heads % tp == 0, vocab % tp == 0.
+    """
+
+    def __init__(self, params, cfg, mesh, **kw):
+        self.mesh = mesh
+        self.T = mesh.shape["tp"]
+        super().__init__(params, cfg, **kw)
+
+    def _prepare_params(self, params, head_bits):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
+        from sparsebit_tpu.parallel.tp import (
+            TPLinear,
+            shard_llama_params_tp_packed,
+        )
+
+        def serving(lin):
+            return (lin.with_s4_rows() if lin.bits == 4
+                    else lin.with_u4_rows()).with_sz_dtype()
+
+        if head_bits is not None and isinstance(
+                params.get("lm_head"), DenseLinear):
+            params = dict(params)
+            params["lm_head"] = QuantLinear.from_dense(
+                params["lm_head"].w.astype(jnp.float32),
+                bits=head_bits, groupsize=-1, sym=True,
+                bias=params["lm_head"].bias,
+            )
+        out = shard_llama_params_tp_packed(
+            params, self.cfg, self.T,
+            conv=lambda lin: serving(lin),
+        )
+        # place shards: TPLinear stacked leaves over tp, rest replicated
+        return jax.tree.map(
+            lambda x: (
+                TPLinear(
+                    jax.tree.map(
+                        lambda a: jax.device_put(
+                            a, NamedSharding(self.mesh, P("tp"))),
+                        x.stacked,
+                    ),
+                    x.kind,
+                )
+                if isinstance(x, TPLinear)
+                else jax.device_put(x, NamedSharding(self.mesh, P()))
+            ),
+            out,
+            is_leaf=lambda x: isinstance(x, TPLinear),
+        )
+
+    def _init_cache(self, n_rows, n_cols):
+        from sparsebit_tpu.parallel.tp import shard_kv_cache_tp
+
+        return shard_kv_cache_tp(
+            init_kv_cache(self.cfg, n_rows, n_cols, self.kv_quantized),
+            self.mesh,
+        )
+
+    def _prefill_call(self, tokens, scratch, lasts, offsets):
+        from sparsebit_tpu.parallel.tp import tp_prefill_at
+
+        return tp_prefill_at(self.params, tokens, scratch, self.cfg,
+                             lasts, offsets, self.mesh)
+
+    def _decode_chunk_call(self, temps, key, n):
+        from sparsebit_tpu.parallel.tp import tp_decode_chunk
+
+        return tp_decode_chunk(
+            self.params, self.next_tok, self.cache, temps, key, self.cfg,
+            self.mesh, n,
+        )
 
 
 class PagedDecodeEngine(DecodeEngine):

@@ -128,6 +128,64 @@ def shard_linear(lin, T, kind, bits=None, groupsize=-1):
     return TPLinear(_stack_linears(shards), kind)
 
 
+def shard_quantlinear(lin, T, kind, conv=None):
+    """EXACT packed split of a QuantLinear — codes/scales/zeros are sliced,
+    never requantized, so a TP-sharded GPTQ checkpoint dequantizes to
+    bit-identical values per shard (shard_linear's dequantize->from_dense
+    round-trip would re-round). ``conv`` optionally maps each shard (e.g.
+    the serving layout). Column split slices output columns (groups are
+    along K -> untouched); row split slices whole groups (requires
+    (K/T) % groupsize == 0; per-channel qparams are shared across row
+    shards — dequant is elementwise, so a row subset with the full-K
+    scale/zero is exact)."""
+    from sparsebit_tpu.ops.packing import unpack_columns
+
+    codes = unpack_columns(lin.packed, lin.bits, lin.n_padded)
+    codes = codes[:, : lin.out_features]
+    scales = lin.scales[:, : lin.out_features].astype(jnp.float32)
+    zeros = lin.zeros[:, : lin.out_features].astype(jnp.float32)
+    K, N = codes.shape
+    shards = []
+    if kind == "col":
+        assert N % T == 0, (N, T)
+        Nl = N // T
+        for t in range(T):
+            sl = slice(t * Nl, (t + 1) * Nl)
+            b = lin.bias[sl] if lin.bias is not None else None
+            shards.append(QuantLinear.from_codes(
+                codes[:, sl], scales[:, sl], zeros[:, sl], lin.bits,
+                lin.groupsize, bias=b, impl=lin.impl, perm=lin.perm,
+            ))
+    else:
+        assert lin.perm is None, (
+            "row-sharding an act-order (perm) QuantLinear would permute "
+            "input channels across shards"
+        )
+        assert K % T == 0, (K, T)
+        Kl = K // T
+        if lin.groupsize > 0:
+            assert Kl % lin.groupsize == 0, (
+                "row shard {} not aligned to groupsize {}".format(
+                    Kl, lin.groupsize)
+            )
+            Gl = Kl // lin.groupsize
+        for t in range(T):
+            c = codes[t * Kl: (t + 1) * Kl]
+            if lin.groupsize > 0:
+                s = scales[t * Gl: (t + 1) * Gl]
+                z = zeros[t * Gl: (t + 1) * Gl]
+            else:
+                s, z = scales, zeros
+            # bias added once after the psum: fold 1/T into each shard
+            b = lin.bias / T if lin.bias is not None else None
+            shards.append(QuantLinear.from_codes(
+                c, s, z, lin.bits, lin.groupsize, bias=b, impl=lin.impl,
+            ))
+    if conv is not None:
+        shards = [conv(sh) for sh in shards]
+    return TPLinear(_stack_linears(shards), kind)
+
+
 _COL = ("wq", "wk", "wv", "w1", "w3")
 _ROW = ("wo", "w2")
 
@@ -332,6 +390,151 @@ def shard_kv_cache_tp(cache, mesh):
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), cache, cspec
     )
+
+
+def shard_llama_params_tp_packed(params, cfg, T, conv=None):
+    """TP-shard an already-QUANTIZED LLaMA params pytree exactly
+    (shard_quantlinear; DenseLinear leaves fall back to plain splits).
+    The serving-engine entry: GPTQ codes survive sharding bit-identically.
+    ``conv`` maps each QuantLinear shard (serving layout)."""
+    assert cfg.n_heads % T == 0 and cfg.n_kv_heads % T == 0, (
+        "n_heads {} / n_kv_heads {} must divide tp={}".format(
+            cfg.n_heads, cfg.n_kv_heads, T)
+    )
+
+    def shard_any(lin, kind):
+        if isinstance(lin, QuantLinear):
+            return shard_quantlinear(lin, T, kind, conv=conv)
+        return shard_linear(lin, T, kind)
+
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        assert "wq" in layer, (
+            "TP sharding needs UNFUSED layers (wq/wk/wv, w1/w3); got "
+            "fused keys {}".format(sorted(layer)))
+        new_layer = dict(layer)
+        for name in _COL:
+            new_layer[name] = shard_any(layer[name], "col")
+        for name in _ROW:
+            new_layer[name] = shard_any(layer[name], "row")
+        out["layers"].append(new_layer)
+    out["lm_head"] = shard_any(params["lm_head"], "col")
+    return out
+
+
+def _tp_prefill_local(params, tokens, cache, last_idx, offset, cfg, T):
+    """Bucketed-admission prefill per device (decode.prefill_at semantics):
+    heads and KV cache locally sharded, row-parallel psums; returns FULL
+    logits at each row's last real token (vocab all_gathered — admission
+    batches are small, the (B, V) gather is noise next to the forward)."""
+    from sparsebit_tpu.llm.kv_cache import KVCache, cache_read, cache_update
+
+    B, S = tokens.shape
+    S_max = cache.k[0].shape[1]
+    positions = offset[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    col = jnp.arange(S_max, dtype=jnp.int32)
+    visible = col[None, None, :] <= positions[:, :, None]  # (B, S, S_max)
+    mask = jnp.where(visible, 0.0, -1e9)[:, None]  # (B, 1, S, S_max)
+    x = params["tok_embed"][tokens]
+    inv_freq = L.rope_frequencies(cfg)
+    hd = cfg.head_dim
+    h_loc = cfg.n_heads // T
+    kv_loc = cfg.n_kv_heads // T
+    n_rep = h_loc // kv_loc
+
+    new_k, new_v = list(cache.k), list(cache.v)
+    new_ks, new_vs = list(cache.k_scale), list(cache.v_scale)
+    for li, layer in enumerate(params["layers"]):
+        h = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q = layer["wq"].local()(h).reshape(B, S, h_loc, hd)
+        k = layer["wk"].local()(h).reshape(B, S, kv_loc, hd)
+        v = layer["wv"].local()(h).reshape(B, S, kv_loc, hd)
+        q = L.apply_rope(q, positions, inv_freq)
+        k = L.apply_rope(k, positions, inv_freq)
+        tmp = KVCache(new_k, new_v, new_ks, new_vs, cache.length,
+                      cache.quantized)
+        upd = cache_update(tmp, li, k, v, positions[:, 0])
+        new_k[li], new_v[li] = upd[0], upd[1]
+        if cache.quantized:
+            new_ks[li], new_vs[li] = upd[2], upd[3]
+        tmp = KVCache(new_k, new_v, new_ks, new_vs, cache.length,
+                      cache.quantized)
+        k_all, v_all = cache_read(tmp, li, x.dtype)
+        out = L.attention_scores(
+            q, L.repeat_kv(k_all, n_rep), L.repeat_kv(v_all, n_rep), mask
+        ).reshape(B, S, h_loc * hd)
+        x = x + jax.lax.psum(layer["wo"].local()(out), "tp")
+        h2 = L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+        x = x + jax.lax.psum(
+            layer["w2"].local()(
+                jax.nn.silu(layer["w1"].local()(h2)) * layer["w3"].local()(h2)
+            ),
+            "tp",
+        )
+    x = L.rms_norm(x, params["norm"], cfg.rms_eps)
+    x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
+    logits_loc = params["lm_head"].local()(x_last).astype(jnp.float32)
+    logits = jax.lax.all_gather(logits_loc, "tp", axis=1, tiled=True)
+    new_cache = KVCache(
+        new_k, new_v, new_ks, new_vs, offset + last_idx + 1, cache.quantized
+    )
+    return logits, new_cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def tp_prefill_at(params_tp, tokens, cache, cfg, last_idx, offset, mesh):
+    """Tensor-parallel decode.prefill_at: the serving engine's admission
+    forward over a tp mesh (BASELINE.json configs[4] — tensor-sharded
+    continuous batching). Returns (full logits (B, V), head-sharded
+    cache)."""
+    T = mesh.shape["tp"]
+    cspec = _cache_specs(cache)
+    fn = shard_map(
+        partial(_tp_prefill_local, cfg=cfg, T=T),
+        mesh=mesh,
+        in_specs=(_spec_tree(params_tp, P("tp"), P()), P(None), cspec,
+                  P(None), P(None)),
+        out_specs=(P(None), cspec),
+        check_vma=False,
+    )
+    return fn(params_tp, tokens, cache, last_idx, offset)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "n_tokens"))
+def tp_decode_chunk(params_tp, tok0, cache, temps, key, cfg, mesh, n_tokens):
+    """Tensor-parallel serving inner loop: n_tokens decode steps fully on
+    device under ONE shard_map — packed weight shards + head-sharded INT8
+    KV cache, per-step logits all_gathered for on-device per-slot
+    temperature sampling (decode.decode_chunk semantics). The row-parallel
+    psums are the only per-layer collectives; XLA's latency-hiding
+    scheduler overlaps them with the next matmul's dequant work."""
+    from sparsebit_tpu.llm.decode import sample_logits_vec
+
+    T = mesh.shape["tp"]
+    cspec = _cache_specs(cache)
+
+    def local(params, tok0, cache, temps, key):
+        def body(carry, k_):
+            tok, cache = carry
+            logits_loc, cache = _tp_decode_local(params, tok, cache, cfg, T)
+            logits = jax.lax.all_gather(logits_loc, "tp", axis=1, tiled=True)
+            tok = sample_logits_vec(logits, k_, temps)
+            return (tok, cache), tok
+
+        keys = jax.random.split(key, n_tokens)
+        (tok, cache), toks = jax.lax.scan(body, (tok0, cache), keys)
+        return jnp.swapaxes(toks, 0, 1), cache
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(_spec_tree(params_tp, P("tp"), P()), P(None), cspec,
+                  P(None), P(None)),
+        out_specs=(P(None), cspec),
+        check_vma=False,
+    )
+    return fn(params_tp, tok0, cache, temps, key)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))

@@ -303,3 +303,53 @@ def test_admission_dispatch_count_independent_of_depth():
         c4 = run_counted(4, mp)
     assert c2 == c4, (c2, c4)
     assert c2["seed"] == 1
+
+
+def test_tp_engine_matches_single_device_engine():
+    """BASELINE configs[4] (tensor-sharded continuous batching): the
+    TPDecodeEngine at tp=2 over exactly-split packed shards + head-sharded
+    INT8 KV produces the same greedy tokens as the single-device engine on
+    the same quantized model — including a prefix-hit admission."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.llm.serving import TPDecodeEngine
+    from sparsebit_tpu.parallel.mesh import make_mesh
+
+    cfg = L.llama_tiny(dim=128, ffn_dim=256, n_layers=2, n_heads=4,
+                       n_kv_heads=2, vocab_size=128, max_seq_len=64,
+                       dtype="float32")
+    params = L.init_llama_params(cfg, jax.random.PRNGKey(0))
+    qparams = L.quantize_llama_params(
+        params,
+        lambda p, lin: QuantLinear.from_dense(
+            lin.w.astype(jnp.float32), bits=4, groupsize=32
+        ),
+    )
+    prompts = [
+        np.array([3, 17, 91, 30, 7], np.int32),
+        np.array([5, 9], np.int32),
+        np.array([8, 1, 2, 3, 4, 5], np.int32),
+    ]
+    n_new = 5
+
+    ref_eng = DecodeEngine(qparams, cfg, max_batch=2, max_len=48)
+    rids = [ref_eng.add_request(p, max_new_tokens=n_new) for p in prompts]
+    ref = ref_eng.run()
+
+    mesh = make_mesh(dp=4, tp=2)
+    eng = TPDecodeEngine(qparams, cfg, mesh, max_batch=2, max_len=48)
+    rids_tp = [eng.add_request(p, max_new_tokens=n_new) for p in prompts]
+    got = eng.run()
+    for r_ref, r_tp in zip(rids, rids_tp):
+        np.testing.assert_array_equal(
+            np.asarray(got[r_tp]), np.asarray(ref[r_ref]),
+            err_msg=str(r_ref))
+
+    # prefix-hit admission through the TP seed/splice path
+    ext = np.concatenate([prompts[0], [17, 4]]).astype(np.int32)
+    r_ref2 = ref_eng.add_request(ext, max_new_tokens=4)
+    r_tp2 = eng.add_request(ext, max_new_tokens=4)
+    out_ref = ref_eng.run()
+    out_tp = eng.run()
+    assert eng.prefix_hits == 1
+    np.testing.assert_array_equal(
+        np.asarray(out_tp[r_tp2]), np.asarray(out_ref[r_ref2]))
