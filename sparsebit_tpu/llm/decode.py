@@ -580,6 +580,12 @@ def prepare_params_host(params, drop_fold=True, sz_dtype=jnp.bfloat16,
         if isinstance(lin, QuantLinear):
             if lin.bits == 4:
                 lin = lin.with_s4_rows(drop_fold=drop_fold)
+            elif lin.bits in (2, 3):
+                # mixed/sub-4-bit checkpoints ride the SIGNED nibble
+                # container re-tagged bits=4 (QuantLinear.
+                # with_nibble_serving) so int4/3/2 stacks serve through
+                # the megakernel as one homogeneous backbone
+                lin = lin.with_nibble_serving()
             else:
                 lin = lin.with_u4_rows(drop_fold=drop_fold)
             if sz_dtype is not None:

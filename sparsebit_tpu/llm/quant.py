@@ -303,6 +303,44 @@ class QuantLinear:
             self.bwd_wq, self.bwd_scale,
         )
 
+    def with_nibble_serving(self):
+        """Repack a 2/3-bit linear into the 4-bit SIGNED row-pair serving
+        container (mixed-precision megakernel serving, VERDICT r2 #2):
+        sub-4-bit codes are < 16, so they ride s4 nibbles unchanged —
+        dequantization is bit-free ((code - zero) * scale), and the
+        returned copy is re-TAGGED bits=4 so layer stacking
+        (decode.stack_layers) and the megakernel gate treat an int4/3/2
+        GPTQ checkpoint as one homogeneous stack. Column padding is
+        rebuilt to the 4-bit kernel multiple (the 3-bit two-plane layout
+        pads to 1024 lanes, 4-bit to 256 — shapes must match across a
+        mixed stack). The container streams at 4 bits/weight; the
+        two-plane 3-bit kernel path (quant_matmul) remains for true
+        3-bit-stream per-matmul decode. No-op semantics: dequantize()
+        returns bit-identical values. The canonical fold container is
+        dropped at every bit (a mixed stack must be container-homogeneous
+        to layer-stack; s4r alone reconstructs codes)."""
+        from sparsebit_tpu.ops.packing import (
+            pack_s4_rows, pallas_n_pad, unpack_columns)
+
+        if self.bits == 4:
+            return self.with_s4_rows(drop_fold=True)
+        assert self.bits in (2, 3), "nibble serving covers bits <= 4"
+        codes = unpack_columns(self.packed, self.bits, self.n_padded)
+        codes = codes[:, : self.out_features]
+        scales = self.scales[:, : self.out_features]
+        zeros = self.zeros[:, : self.out_features]
+        pad = pallas_n_pad(self.out_features, 4)
+        if pad:
+            codes = jnp.pad(codes, ((0, 0), (0, pad)))
+            scales = jnp.pad(scales, ((0, 0), (0, pad)),
+                             constant_values=1.0)
+            zeros = jnp.pad(zeros, ((0, 0), (0, pad)))
+        return QuantLinear(
+            {"s4r": pack_s4_rows(codes)}, scales, zeros, 4, self.groupsize,
+            self.out_features, self.bias, self.impl, self.perm,
+            self.bwd_wq, self.bwd_scale,
+        )
+
     def with_sz_dtype(self, dtype=jnp.bfloat16):
         """Return a copy whose scales/zeros are stored in ``dtype``
         (serving layout: bf16 halves the qparam stream — at 7B INT4-g128

@@ -156,6 +156,19 @@ def _bucket(n, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048)):
     return buckets[-1]
 
 
+def _serving_layout(lin):
+    """Host-side serving container for one QuantLinear: signed row-pairs
+    for bits <= 4 (2/3-bit codes ride s4 nibbles via with_nibble_serving,
+    re-tagged bits=4 — mixed int4/3/2 GPTQ checkpoints stack into ONE
+    homogeneous megakernel backbone), unsigned row-pairs otherwise, and
+    bf16 qparams throughout."""
+    if lin.bits in (2, 3, 4):
+        lin = lin.with_nibble_serving()
+    else:
+        lin = lin.with_u4_rows()
+    return lin.with_sz_dtype()
+
+
 class DecodeEngine:
     def __init__(
         self,
@@ -220,8 +233,7 @@ class DecodeEngine:
         out = quantize_llama_params(
             params,
             lambda path, lin: (
-                (lin.with_s4_rows() if lin.bits == 4
-                 else lin.with_u4_rows()).with_sz_dtype()
+                _serving_layout(lin)
                 if isinstance(lin, QuantLinear) else lin
             ),
             skip=(),
@@ -494,10 +506,6 @@ class TPDecodeEngine(DecodeEngine):
             shard_llama_params_tp_packed,
         )
 
-        def serving(lin):
-            return (lin.with_s4_rows() if lin.bits == 4
-                    else lin.with_u4_rows()).with_sz_dtype()
-
         if head_bits is not None and isinstance(
                 params.get("lm_head"), DenseLinear):
             params = dict(params)
@@ -507,8 +515,7 @@ class TPDecodeEngine(DecodeEngine):
                 bias=params["lm_head"].bias,
             )
         out = shard_llama_params_tp_packed(
-            params, self.cfg, self.T,
-            conv=lambda lin: serving(lin),
+            params, self.cfg, self.T, conv=_serving_layout,
         )
         # place shards: TPLinear stacked leaves over tp, rest replicated
         return jax.tree.map(

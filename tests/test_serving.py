@@ -353,3 +353,41 @@ def test_tp_engine_matches_single_device_engine():
     assert eng.prefix_hits == 1
     np.testing.assert_array_equal(
         np.asarray(out_tp[r_tp2]), np.asarray(out_ref[r_ref2]))
+
+
+def test_paged_engine_serves_mixed_precision_checkpoint():
+    """int4/3/2 mixed checkpoints serve through BOTH engines (the paged
+    one decodes via the megakernel + block tables) with identical greedy
+    tokens — round-2's 'mixed models can't use the megakernel' gap."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+    from sparsebit_tpu.llm.serving import PagedDecodeEngine
+
+    cfg = L.llama_tiny(dim=256, n_heads=2, n_kv_heads=2, ffn_dim=384,
+                       vocab_size=128, max_seq_len=48, dtype="float32",
+                       n_layers=3)
+    params = L.init_llama_params(cfg, jax.random.PRNGKey(1))
+    params = L.fuse_llama_params(params)
+    layer_bits = {0: 4, 1: 3, 2: 2}
+    qparams = L.quantize_llama_params(
+        params,
+        lambda p, lin: QuantLinear.from_dense(
+            lin.w.astype(jnp.float32),
+            bits=layer_bits[int(p.split(".")[1])], groupsize=64,
+        ),
+    )
+    prompts = [np.array([3, 17, 91, 30, 7], np.int32),
+               np.array([5, 9], np.int32)]
+
+    ref_eng = DecodeEngine(qparams, cfg, max_batch=2, max_len=48)
+    assert ref_eng.params["layers"][1]["wqkv"].bits == 4  # nibble retag
+    rids = [ref_eng.add_request(p, max_new_tokens=5) for p in prompts]
+    ref = ref_eng.run()
+
+    eng = PagedDecodeEngine(qparams, cfg, max_batch=2, block=16,
+                            n_blocks=8, max_len=48)
+    rids_p = [eng.add_request(p, max_new_tokens=5) for p in prompts]
+    got = eng.run()
+    for r_ref, r_got in zip(rids, rids_p):
+        np.testing.assert_array_equal(
+            np.asarray(got[r_got]), np.asarray(ref[r_ref]),
+            err_msg=str(r_ref))
