@@ -535,6 +535,76 @@ def prefill_scanned(params_stacked, tokens, cache, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def prefill_cold_scanned(params_stacked, tokens, cache, cfg, last_idx):
+    """COLD (offset-0) bucketed prefill over stacked layers with FLASH
+    causal attention: the admission/prefill hot path. prefill_at builds a
+    (B, 1, S, S_max) mask and full (B, H, S, S_max) scores — fine for
+    short admission buckets, quadratic-HBM at 2048-token prompts. Cold
+    admissions attend only to their own causal prefix (the cache region
+    is empty), so the stock Pallas flash kernel (online-softmax tiling,
+    llama.causal_attention) computes the same thing without ever
+    materialising scores; rows are then INT8-quantized and written to
+    rows [0, S) of the cache. Semantics == prefill_at(..., offset=0):
+    logits at each row's last real token, per-row length = last_idx + 1
+    (pad rows beyond it hold garbage K/V — dead, masked by length).
+    Compile is O(1) in depth (lax.scan over layer views)."""
+    from sparsebit_tpu.llm.kv_cache import _quant_heads
+
+    B, S = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    x = params_stacked["tok_embed"][tokens]
+    inv_freq = L.rope_frequencies(cfg)
+    n_rep = cfg.n_heads // cfg.n_kv_heads
+    quant_mode = cache.quantized
+    layers = params_stacked["layers"]
+
+    def body(carry, li):
+        x, k, v, ks, vs = carry
+        layer = _stacked_layer_view(layers, li)
+        h = L.rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q, kk, vv = L.qkv_proj(layer, h, cfg)
+        q = L.apply_rope(q, positions, inv_freq)
+        kk = L.apply_rope(kk, positions, inv_freq)
+        out = L.causal_attention(
+            q, L.repeat_kv(kk, n_rep), L.repeat_kv(vv, n_rep)
+        )
+        if quant_mode:
+            k_new, ks_new = _quant_heads(kk, quant_mode)
+            v_new, vs_new = _quant_heads(vv, quant_mode)
+        else:
+            k_new, v_new = kk.astype(k.dtype), vv.astype(v.dtype)
+
+        def wr(buf, val):
+            return jax.lax.dynamic_update_slice(
+                buf, val[None].astype(buf.dtype),
+                (li,) + (0,) * val.ndim,
+            )
+
+        k, v = wr(k, k_new), wr(v, v_new)
+        if quant_mode:
+            ks, vs = wr(ks, ks_new), wr(vs, vs_new)
+        x = x + layer["wo"](out.reshape(B, S, -1))
+        x = x + L._ffn_block(
+            layer, L.rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+        )
+        return (x, k, v, ks, vs), None
+
+    k, v, ks, vs = _scan_cache(cache)
+    (x, k, v, ks, vs), _ = jax.lax.scan(
+        body, (x, k, v, ks, vs), jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    )
+    x = L.rms_norm(x, params_stacked["norm"], cfg.rms_eps)
+    x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
+    logits = params_stacked["lm_head"](x_last).astype(jnp.float32)
+    cache = _unscan_cache(cache, (k, v, ks, vs))
+    cache = KVCache(
+        cache.k, cache.v, cache.k_scale, cache.v_scale,
+        last_idx + 1, cache.quantized,
+    )
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def decode_step_scanned(params_stacked, tokens, cache, cfg):
     """decode_step over stacked layers (see stack_layers)."""
     B = tokens.shape[0]

@@ -716,8 +716,8 @@ class PagedDecodeEngine(DecodeEngine):
         padded = np.zeros((n, Sb), np.int32)
         for row, t in enumerate(tails):
             padded[row, : len(t)] = t
-        logits, scratch = prefill_at(
-            self.params, jnp.asarray(padded), scratch, self.cfg,
+        logits, scratch = self._prefill_call(
+            jnp.asarray(padded), scratch,
             jnp.asarray(lasts, jnp.int32), jnp.asarray(offsets, jnp.int32),
         )
         self._scratch[(n, S_scratch)] = scratch
@@ -753,6 +753,20 @@ class PagedDecodeEngine(DecodeEngine):
             self.slots[slot] = req
             self.next_tok = self.next_tok.at[slot].set(first_np[row])
             req.generated.append(int(first_np[row]))
+
+    def _prefill_call(self, tokens, scratch, lasts, offsets):
+        """COLD groups (no prefix reuse — the common case) take the FLASH
+        scanned prefill over the already-stacked params: no (B, S, S_max)
+        mask/score materialisation, O(1)-depth compile. Prefix-hit groups
+        must attend to seeded cache rows -> the masked prefill_at path."""
+        from sparsebit_tpu.llm.decode import prefill_cold_scanned
+
+        if not np.asarray(offsets).any():
+            return prefill_cold_scanned(
+                self.params_stacked, tokens, scratch, self.cfg, lasts
+            )
+        return prefill_at(self.params, tokens, scratch, self.cfg, lasts,
+                          offsets)
 
     # ---- decode -------------------------------------------------------------
     def step(self):

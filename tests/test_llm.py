@@ -403,3 +403,49 @@ def test_int8_head_serving_option(params):
                                 CFG.vocab_size)
     toks = generate(q8, prompt, CFG, max_new_tokens=4, temperature=0.0)
     assert toks.shape == (1, 4)
+
+
+@pytest.mark.parametrize("kv_quantized", [True, False])
+def test_prefill_cold_scanned_matches_prefill_at(params, kv_quantized):
+    """FLASH cold prefill (prefill_cold_scanned: scan-over-layers, no
+    (B, S, S_max) mask/scores) == masked prefill_at at offset=0 on
+    right-padded prompts: same last-token logits, and the caches it
+    writes continue decode identically (the admission hot path,
+    serving.PagedDecodeEngine._prefill_call)."""
+    from sparsebit_tpu.llm.decode import (
+        decode_tokens,
+        prefill_at,
+        prefill_cold_scanned,
+        stack_layers,
+    )
+
+    B, S = 3, 8
+    lens = np.array([8, 5, 2], np.int32)
+    tokens = np.array(
+        jax.random.randint(jax.random.PRNGKey(60), (B, S), 0, CFG.vocab_size)
+    )
+    for row, ln in enumerate(lens):
+        tokens[row, ln:] = 0
+    tokens = jnp.asarray(tokens)
+    last_idx = jnp.asarray(lens - 1)
+
+    cache_ref = init_kv_cache(CFG, B, 32, quantized=kv_quantized)
+    ref_logits, cache_ref = prefill_at(
+        params, tokens, cache_ref, CFG, last_idx, jnp.zeros(B, jnp.int32)
+    )
+
+    stacked = stack_layers(params)
+    cache2 = init_kv_cache(CFG, B, 32, quantized=kv_quantized)
+    logits2, cache2 = prefill_cold_scanned(stacked, tokens, cache2, CFG, last_idx)
+
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(ref_logits), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cache2.length), np.asarray(cache_ref.length)
+    )
+    tok = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+    ref_toks, _ = decode_tokens(params, tok, cache_ref, CFG, 5)
+    toks2, _ = decode_tokens(params, jnp.argmax(logits2, -1).astype(jnp.int32),
+                             cache2, CFG, 5)
+    np.testing.assert_array_equal(np.asarray(toks2), np.asarray(ref_toks))
