@@ -238,23 +238,34 @@ def decoder_layer(layer, x, cfg, inv_freq, positions, mask, kv=None):
 # ---- full forward (prefill / scoring) ---------------------------------------
 
 
-def llama_forward(params, tokens, cfg, return_kv=False):
-    """tokens (B, S) int32 -> logits (B, S, V). Causal, no cache."""
+def llama_backbone(params, tokens, cfg, return_kv=False):
+    """tokens (B, S) int32 -> final-norm hidden states (B, S, D). Causal,
+    no cache; mask=None selects the flash-attention path on TPU. Split
+    from llama_forward so evaluation can apply the lm_head in sequence
+    chunks (eval._window_nll_chunked) instead of materialising the full
+    (B, S, V) logits."""
     B, S = tokens.shape
     x = params["tok_embed"][tokens]
     inv_freq = rope_frequencies(cfg)
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     kvs = []
     for layer in params["layers"]:
-        # mask=None selects the causal flash-attention path on TPU
         x, kv = decoder_layer(layer, x, cfg, inv_freq, positions, None)
         if return_kv:
             kvs.append(kv)
     x = rms_norm(x, params["norm"], cfg.rms_eps)
-    logits = params["lm_head"](x).astype(jnp.float32)
     if return_kv:
-        return logits, kvs
-    return logits
+        return x, kvs
+    return x
+
+
+def llama_forward(params, tokens, cfg, return_kv=False):
+    """tokens (B, S) int32 -> logits (B, S, V). Causal, no cache."""
+    if return_kv:
+        x, kvs = llama_backbone(params, tokens, cfg, return_kv=True)
+        return params["lm_head"](x).astype(jnp.float32), kvs
+    x = llama_backbone(params, tokens, cfg)
+    return params["lm_head"](x).astype(jnp.float32)
 
 
 def llama_loss(params, tokens, cfg):

@@ -449,3 +449,49 @@ def test_prefill_cold_scanned_matches_prefill_at(params, kv_quantized):
     toks2, _ = decode_tokens(params, jnp.argmax(logits2, -1).astype(jnp.int32),
                              cache2, CFG, 5)
     np.testing.assert_array_equal(np.asarray(toks2), np.asarray(ref_toks))
+
+
+def test_chunked_eval_matches_plain(params):
+    """_window_nll_chunked (flash backbone + sequence-chunked lm_head,
+    the 7B-on-one-chip eval forward) == _window_nll on the same windows,
+    including a seqlen that does not divide the chunk."""
+    from sparsebit_tpu.llm.eval import _window_nll, _window_nll_chunked
+
+    toks = jax.random.randint(jax.random.PRNGKey(70), (2, 23), 0,
+                              CFG.vocab_size)
+    s_ref, c_ref = _window_nll(params, toks, CFG)
+    s_chk, c_chk = _window_nll_chunked(params, toks, CFG, chunk=8)
+    assert int(c_chk) == int(c_ref)
+    np.testing.assert_allclose(float(s_chk), float(s_ref), rtol=1e-5)
+
+
+def test_eval_checkpoint_cli_demo(tmp_path):
+    """examples/llm/eval_checkpoint.py --demo: the one-command HF->GPTQ->
+    perplexity pipeline (reference convert.py:176-259) runs end-to-end on
+    the synthetic fixture and emits the README-table JSON."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples/llm")
+    try:
+        import eval_checkpoint
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "results.json")
+    ckpt = str(tmp_path / "ckpt")
+    res = eval_checkpoint.main(
+        ["--demo", "--out", out, "--save", ckpt, "--bits", "4", "--seqlen",
+         "32"]
+    )
+    assert "fp_ppl" in res and "quant_ppl" in res and "ppl_delta" in res
+    assert res["mean_bits"] == 4.0
+    with open(out) as f:
+        assert json.load(f)["quant_ppl"] == res["quant_ppl"]
+    # the saved checkpoint re-evaluates to the identical ppl
+    res2 = eval_checkpoint.main(
+        ["--demo", "--ckpt", ckpt, "--skip-fp", "--seqlen", "32"]
+    )
+    # checkpoint roundtrip repacks (bf16 qparam serving layout) — equal to
+    # float tolerance, not bit-identical
+    np.testing.assert_allclose(res2["quant_ppl"], res["quant_ppl"], rtol=1e-4)
