@@ -217,7 +217,103 @@ def main():
                 kind = k
     bw = HBM_BW.get(kind, 819.0)
     sol = bw * 1e9 / bytes_per_tok
-    print(json.dumps({
+
+    # ---- batched decode headlines (VERDICT r2 #3) ---------------------------
+    # The engine's reason to exist is batch: one weight stream amortized
+    # over B slots. B=8 is the megakernel's max batch (fused backbone, one
+    # launch/token); B=32 exercises the per-matmul Pallas path the paged
+    # engine would fall to above 8 slots. Roofline per STEP: weights+head
+    # once + per-row INT8 KV read at the measured mean length — B tokens
+    # out, so SoL(B) = bw / step_bytes * B.
+    def _free(*trees):
+        # the decode jits do NOT donate their cache argument (callers keep
+        # using it), so in+out cache live simultaneously — at B=32/7B that
+        # is 2 x 4.3 GB. Drop earlier phases' buffers before the next one.
+        for t in trees:
+            for leaf in jax.tree.leaves(t):
+                if hasattr(leaf, "delete"):
+                    try:
+                        leaf.delete()
+                    except Exception:
+                        pass
+
+    def bench_decode_batch(b, n_iters):
+        # donate the cache: the library jit keeps it (callers reuse caches),
+        # but at B=32/7B in+out caches are 2 x 4.3 GB — donation halves the
+        # batched phases' peak so B32 fits after the earlier phases
+        from sparsebit_tpu.llm import decode as D
+
+        decode_fn = jax.jit(
+            D.decode_tokens_scanned.__wrapped__,
+            static_argnames=("cfg", "n_tokens"), donate_argnums=(2,),
+        )
+        c = init_kv_cache(cfg, b, max_len=cfg.max_seq_len, quantized=True)
+        lg, c = prefill_scanned(params, jnp.zeros((b, 16), jnp.int32), c, cfg)
+        t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        tk, c = decode_fn(params, t, c, cfg, n_iters)  # warm
+        jax.block_until_ready(tk)
+        t0 = time.perf_counter()
+        tk, c = decode_fn(params, tk[:, -1], c, cfg, n_iters)
+        jax.block_until_ready(tk)
+        wall = n_iters * b / (time.perf_counter() - t0)
+        dev_rate = wall
+        try:
+            tdir = "/tmp/bench_trace_b%d" % b
+            with jax.profiler.trace(tdir):
+                tk, c = decode_fn(params, tk[:, -1], c, cfg, n_iters)
+                jax.block_until_ready(tk)
+            ds = _device_seconds(tdir, "jit_decode_tokens_scanned")
+            if ds:
+                dev_rate = n_iters * b / ds
+        except Exception:
+            pass
+        # KV read bytes/step: 2 (K+V) x layers x mean-length x kv_width,
+        # int8 rows (+f32 scale per row, ~1/64 of that — folded in)
+        mean_len = 16 + 2 * n_iters + n_iters // 2
+        kv_row = cfg.n_kv_heads * cfg.head_dim * 1.03
+        step_bytes = bytes_per_tok + 2 * cfg.n_layers * mean_len * kv_row * b
+        _free(c, tk)
+        return dev_rate, wall, bw * 1e9 / step_bytes * b
+
+    # ---- prefill headline ---------------------------------------------------
+    # 2048-token cold prompt through the FLASH scanned prefill (the
+    # engine's admission path): MXU-bound, no (S, S_max) score tensors.
+    from sparsebit_tpu.llm.decode import prefill_cold_scanned
+
+    S_pre = 2048 if on_tpu else 64
+    pre_cache = init_kv_cache(cfg, 1, max_len=max(S_pre, 64), quantized=True)
+    pre_toks = jnp.zeros((1, S_pre), jnp.int32)
+    last = jnp.asarray([S_pre - 1], jnp.int32)
+    lg, _ = prefill_cold_scanned(params, pre_toks, pre_cache, cfg, last)
+    jax.block_until_ready(lg)  # warm/compile
+    t0 = time.perf_counter()
+    lg, _ = prefill_cold_scanned(params, pre_toks, pre_cache, cfg, last)
+    jax.block_until_ready(lg)
+    pre_wall = S_pre / (time.perf_counter() - t0)
+    pre_rate = pre_wall
+    try:
+        with jax.profiler.trace("/tmp/bench_trace_pre"):
+            lg, _ = prefill_cold_scanned(params, pre_toks, pre_cache, cfg,
+                                         last)
+            jax.block_until_ready(lg)
+        ds = _device_seconds("/tmp/bench_trace_pre",
+                             "jit_prefill_cold_scanned")
+        if ds:
+            pre_rate = S_pre / ds
+    except Exception:
+        pass
+
+    _free(cache, toks, pre_cache, lg)
+    b8, b8_wall, b8_sol = bench_decode_batch(8, iters)
+    b32 = b32_wall = b32_sol = None
+    if on_tpu:
+        try:
+            b32, b32_wall, b32_sol = bench_decode_batch(32, iters)
+        except Exception as e:  # RESOURCE_EXHAUSTED on smaller-HBM chips
+            b32_skip = type(e).__name__
+
+
+    out = {
         "metric": "llama{}_int4g128_decode_tokens_per_s_chip".format(
             "7b" if on_tpu else "_tiny"
         ),
@@ -226,7 +322,17 @@ def main():
         "vs_baseline": round(toks_per_s / sol, 4),
         "wall_tokens_per_s": round(wall_toks_per_s, 3),
         "speed_of_light_tokens_per_s": round(sol, 1),
-    }))
+        "decode_b8_tokens_per_s_chip": round(b8, 3),
+        "decode_b8_vs_sol": round(b8 / b8_sol, 4),
+        "prefill2048_tokens_per_s_chip": round(pre_rate, 1),
+        "prefill_wall_tokens_per_s": round(pre_wall, 1),
+    }
+    if b32 is not None:
+        out["decode_b32_tokens_per_s_chip"] = round(b32, 3)
+        out["decode_b32_vs_sol"] = round(b32 / b32_sol, 4)
+    elif on_tpu:
+        out["decode_b32"] = "skipped: " + b32_skip
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,9 +1,11 @@
-"""Record the CNN PTQ accuracy fixture's absolute numbers into
-accuracy/ACCURACY.json (under the "cnn_ptq" key, merging with the LLM
-fixture's "llm_gptq" numbers written by examples/llm/accuracy_fixture.py).
+"""Record the PTQ accuracy fixtures' absolute numbers into
+accuracy/ACCURACY.json ("cnn_ptq" / "vit_ptq" / "bert_ptq" keys, merging
+with the LLM fixture's "llm_gptq" numbers written by
+examples/llm/accuracy_fixture.py).
 
 Usage:
-    python examples/post_training_quantization/record_fixture.py [--steps 300]
+    python examples/post_training_quantization/record_fixture.py \
+        [--steps 300] [--which cnn vit bert]
 """
 
 import argparse
@@ -19,6 +21,8 @@ sys.path.insert(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--which", nargs="+", default=["cnn", "vit", "bert"],
+                    choices=["cnn", "vit", "bert"])
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -27,9 +31,13 @@ def main():
     )
     args = ap.parse_args()
 
-    from sparsebit_tpu.quantization.tools.fixture import run_cnn_fixture
+    from sparsebit_tpu.quantization.tools import fixture
 
-    results = run_cnn_fixture(steps=args.steps, verbose=True)
+    runners = {"cnn": fixture.run_cnn_fixture,
+               "vit": fixture.run_vit_fixture,
+               "bert": fixture.run_bert_fixture}
+    results = {k: runners[k](steps=args.steps, verbose=True)
+               for k in args.which}
     out = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     existing = {}
@@ -38,7 +46,8 @@ def main():
             existing = json.load(f)
     if "llm_gptq" not in existing and "ppl_float" in existing:
         existing = {"llm_gptq": existing}  # migrate flat round-1 layout
-    existing["cnn_ptq"] = results
+    for k, v in results.items():
+        existing[k + "_ptq"] = v
     with open(out, "w") as f:
         json.dump(existing, f, indent=2)
     print("wrote", out)

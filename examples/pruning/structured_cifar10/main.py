@@ -6,7 +6,7 @@
 import os as _os
 import sys as _sys
 
-_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..")))
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "..", "..")))
 
 import argparse
 
@@ -19,7 +19,8 @@ from sparsebit_tpu.models import create_model
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sconfig", default="sconfig.yaml")
+    ap.add_argument("--sconfig", default=_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "sconfig.yaml"))
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--export", default=None)
     args = ap.parse_args()

@@ -47,7 +47,7 @@ class FixtureCNN(nn.Module):
 
 
 def make_shifted_template_data(n, n_classes=10, size=16, noise=0.6, seed=0,
-                               template_seed=1234):
+                               template_seed=1234, shift_multiple=1):
     """Class k = fixed random template, circularly shifted by a random
     offset per sample, plus Gaussian noise. The random shift makes the task
     translation-invariant (a plain linear readout on raw pixels fails;
@@ -59,8 +59,9 @@ def make_shifted_template_data(n, n_classes=10, size=16, noise=0.6, seed=0,
     rng = np.random.default_rng(seed)
     y = rng.integers(0, n_classes, size=n)
     x = templates[y].copy()
+    n_shift = size // shift_multiple
     for i in range(n):
-        dy, dx = rng.integers(0, size, size=2)
+        dy, dx = rng.integers(0, n_shift, size=2) * shift_multiple
         x[i] = np.roll(x[i], (int(dy), int(dx)), axis=(0, 1))
     x += rng.normal(scale=noise, size=x.shape).astype(np.float32)
     return x, y.astype(np.int64)
@@ -159,3 +160,177 @@ def run_cnn_fixture(steps=300, n_train=4096, n_eval=2048, batch=128, lr=3e-3,
             print("w{}a{} acc: {}".format(w_bit, a_bit, acc))
         qmodel.set_quant(w_quant=False, a_quant=False)
     return results
+
+
+# ---------------------------------------------------------------------------
+# Transformer-regime fixtures (reference accuracy tables: DeiT
+# imagenet1k/deit/README.md:37-40, BERT GLUE/CoLA/README.md:24-27). Same
+# recorded-artifact pattern as the CNN fixture, but on the NLC path:
+# LayerNorm / softmax / F.matmul QModules, per-tensor activations with the
+# reference's norm/softmax quantizer-disable overrides.
+# ---------------------------------------------------------------------------
+
+
+def _transformer_cfg(w_bit=8, a_bit=8, a_observer="MSE"):
+    """Mirrors examples/post_training_quantization/imagenet1k_deit/
+    qconfig.yaml: MSE observers, NLC layout, LN/softmax left in float."""
+    return parse_qconfig({
+        "BACKEND": "virtual",
+        "W": {"QSCHEME": "per-channel-symmetric",
+              "QUANTIZER": {"TYPE": "uniform", "BIT": w_bit},
+              "OBSERVER": {"TYPE": a_observer}},
+        "A": {"QSCHEME": "per-tensor-affine",
+              "QUANTIZER": {"TYPE": "uniform", "BIT": a_bit},
+              "OBSERVER": {"TYPE": a_observer, "LAYOUT": "NLC"},
+              "SPECIFIC": [{
+                  "*norm*": ["QUANTIZER.DISABLE", "True"],
+                  "*softmax*": ["QUANTIZER.DISABLE", "True"],
+              }]},
+    })
+
+
+def _train_and_sweep(qmodel, x_tr, y_tr, x_ev, y_ev, steps, batch, lr, seed,
+                     bit_configs, config_name, verbose, calib_n=512,
+                     a_observer="MSE"):
+    """Shared train-float -> calibrate -> PTQ-sweep harness (the CNN
+    fixture's loop, factored for the transformer fixtures)."""
+    import optax
+
+    params = qmodel.params()
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        def loss_of(p):
+            logits = qmodel.apply(p, xb)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=-1))
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(seed + 2)
+    n_train = len(x_tr)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        idx = np.asarray(jax.random.randint(sub, (batch,), 0, n_train))
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(x_tr[idx]), jnp.asarray(y_tr[idx])
+        )
+        if verbose and (i + 1) % 100 == 0:
+            print("train step {}: loss {:.4f}".format(i + 1, float(loss)))
+    qmodel.load_params(params)
+
+    # transformer graphs bake B into F.reshape target shapes at trace
+    # time — evaluate at the traced batch (n_eval must be a multiple)
+    assert len(x_ev) % batch == 0, (len(x_ev), batch)
+    eval_fn = jax.jit(lambda p, xb: qmodel.apply(p, xb))
+    results = {
+        "config": config_name,
+        "train_steps": steps,
+        "n_train": n_train,
+        "n_eval": len(x_ev),
+        "acc_float": _accuracy(eval_fn, params, x_ev, y_ev, batch=batch),
+    }
+    if verbose:
+        print("float acc:", results["acc_float"])
+
+    for w_bit, a_bit in bit_configs:
+        for _, op in qmodel.qmodules():
+            if op.weight_quantizer is not None:
+                op.weight_quantizer.set_bit(w_bit)
+            if op.input_quantizer is not None:
+                op.input_quantizer.set_bit(a_bit)
+        qmodel.prepare_calibration()
+        for i in range(0, calib_n, batch):
+            qmodel(jnp.asarray(x_tr[i : i + batch]))
+        qmodel.calc_qparams()
+        qmodel.set_quant(w_quant=True, a_quant=True)
+        q_eval = jax.jit(lambda p, xb: qmodel.apply(p, xb))
+        acc = _accuracy(q_eval, qmodel.params(), x_ev, y_ev, batch=batch)
+        results["acc_w{}a{}".format(w_bit, a_bit)] = acc
+        if verbose:
+            print("w{}a{} acc: {}".format(w_bit, a_bit, acc))
+        qmodel.set_quant(w_quant=False, a_quant=False)
+    return results
+
+
+def run_vit_fixture(steps=300, n_train=4096, n_eval=1024, batch=128, lr=1e-3,
+                    bit_configs=((8, 8), (4, 8)), seed=0, verbose=False):
+    """DeiT-regime gate: a tiny VisionTransformer (patch conv -> 2 MHSA
+    blocks with F.matmul/softmax/LayerNorm on the NLC path -> cls head)
+    trained on the shifted-template task with PATCH-ALIGNED shifts (the
+    patch set is permuted, content preserved — attention can pool it;
+    sub-patch shifts would shred patch contents for a 2-block ViT)."""
+    from sparsebit_tpu.models.vit import VisionTransformer
+
+    size, patch = 16, 4
+    # noise 2.2 (vs the CNN fixture's 0.6): patch-aligned shifts make the
+    # task much easier for attention, and a saturated gate (1.0 top-1 at
+    # every bit width) cannot detect quantization damage — push float
+    # top-1 off the ceiling so the w8a8/w4a8 deltas are measurable.
+    x_tr, y_tr = make_shifted_template_data(
+        n_train, size=size, seed=seed, shift_multiple=patch, noise=2.2)
+    x_ev, y_ev = make_shifted_template_data(
+        n_eval, size=size, seed=seed + 1, shift_multiple=patch, noise=2.2)
+
+    model = VisionTransformer(
+        img_size=size, patch_size=patch, dim=48, depth=2, num_heads=2,
+        num_classes=10, key=jax.random.PRNGKey(seed),
+    ).eval()
+    qmodel = QuantModel(
+        model, _transformer_cfg(), (jnp.asarray(x_tr[:batch]),))
+    qmodel.set_quant(w_quant=False, a_quant=False)
+    return _train_and_sweep(
+        qmodel, x_tr, y_tr, x_ev, y_ev, steps, batch, lr, seed, bit_configs,
+        "fixture-vit 16x16x3/p4 d48 L2, 10-class patch-shifted templates",
+        verbose,
+    )
+
+
+def make_markov_lm_data(n, seqlen=16, vocab=64, n_classes=2, seed=0,
+                        chain_seed=1234, sharpness=8.0):
+    """CoLA-regime synthetic 'grammaticality': class k = a fixed random
+    Markov chain over the vocab (Dirichlet rows, peaked), sample = a
+    seqlen walk from it. Telling chains apart needs BIGRAM evidence —
+    token-order statistics attention must aggregate (unigram marginals of
+    the chains are near-identical stationary distributions)."""
+    rng_c = np.random.default_rng(chain_seed)
+    chains = rng_c.dirichlet(
+        np.full(vocab, 1.0 / sharpness), size=(n_classes, vocab))
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, n_classes, size=n)
+    x = np.zeros((n, seqlen), np.int32)
+    for i in range(n):
+        t = chains[y[i]]
+        tok = rng.integers(0, vocab)
+        for j in range(seqlen):
+            x[i, j] = tok
+            tok = rng.choice(vocab, p=t[tok])
+    return x, y.astype(np.int64)
+
+
+def run_bert_fixture(steps=400, n_train=4096, n_eval=1024, batch=128, lr=1e-3,
+                     bit_configs=((8, 8), (4, 8)), seed=0, verbose=False):
+    """CoLA-regime gate: the zoo's BertModel (embeddings + 2 encoder
+    layers + pooled cls head) on synthetic Markov-chain classification,
+    PERCENTILE activation observers like the reference's CoLA qconfig."""
+    from sparsebit_tpu.models.bert import BertModel
+
+    x_tr, y_tr = make_markov_lm_data(n_train, seed=seed)
+    x_ev, y_ev = make_markov_lm_data(n_eval, seed=seed + 1)
+
+    model = BertModel(
+        vocab_size=64, dim=48, depth=2, num_heads=2, ffn_dim=96,
+        num_classes=2, key=jax.random.PRNGKey(seed),
+    ).eval()
+    qmodel = QuantModel(
+        model, _transformer_cfg(), (jnp.asarray(x_tr[:batch]),))
+    qmodel.set_quant(w_quant=False, a_quant=False)
+    return _train_and_sweep(
+        qmodel, x_tr, y_tr, x_ev, y_ev, steps, batch, lr, seed, bit_configs,
+        "fixture-bert vocab64 d48 L2, 2-chain Markov grammaticality",
+        verbose,
+    )

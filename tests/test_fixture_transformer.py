@@ -1,0 +1,65 @@
+"""Recorded-accuracy fixture gates for the transformer PTQ regimes.
+
+Counterparts of tests/test_fixture_cnn.py for the two reference accuracy
+tables that had no gate (round-2 VERDICT #5):
+
+- DeiT regime (imagenet1k/deit/README.md:37-40): a tiny ViT — patch conv,
+  MHSA with F.matmul/softmax, LayerNorm, GELU on the NLC path — trained
+  on patch-shifted templates; the reference's deit_tiny row loses 0.25
+  top-1 points at w8a8 (MSE observers, LN/softmax in float).
+- BERT/CoLA regime (GLUE/CoLA/README.md:24-27): the zoo BertModel on a
+  synthetic Markov-chain 'grammaticality' task (bigram evidence — the
+  attention path is load-bearing, unigram stats don't separate classes).
+
+Absolute numbers for the committed artifact are recorded by
+examples/post_training_quantization/record_fixture.py ->
+accuracy/ACCURACY.json (vit_ptq / bert_ptq keys).
+"""
+
+import pytest
+
+from sparsebit_tpu.quantization.tools.fixture import (
+    run_bert_fixture,
+    run_vit_fixture,
+)
+
+
+@pytest.fixture(scope="module")
+def vit_results():
+    # smaller than the artifact config to keep CI time down; the relative
+    # gates hold from ~150 steps on
+    return run_vit_fixture(steps=150, n_train=2048, n_eval=512)
+
+
+@pytest.fixture(scope="module")
+def bert_results():
+    return run_bert_fixture(steps=200, n_train=2048, n_eval=512)
+
+
+def test_vit_learned(vit_results):
+    assert vit_results["acc_float"] > 0.6  # chance = 0.1
+
+
+def test_vit_int8_ptq_cost_small(vit_results):
+    f, q = vit_results["acc_float"], vit_results["acc_w8a8"]
+    assert q > f - 0.03, "int8 top-1 {} vs float {}".format(q, f)
+
+
+def test_vit_w4_degrades_gracefully(vit_results):
+    f, q4 = vit_results["acc_float"], vit_results["acc_w4a8"]
+    assert q4 > f - 0.15, "w4a8 top-1 {} vs float {}".format(q4, f)
+    assert q4 <= vit_results["acc_w8a8"] + 0.02
+
+
+def test_bert_learned(bert_results):
+    assert bert_results["acc_float"] > 0.7  # chance = 0.5
+
+
+def test_bert_int8_ptq_cost_small(bert_results):
+    f, q = bert_results["acc_float"], bert_results["acc_w8a8"]
+    assert q > f - 0.03, "int8 acc {} vs float {}".format(q, f)
+
+
+def test_bert_w4_degrades_gracefully(bert_results):
+    f, q4 = bert_results["acc_float"], bert_results["acc_w4a8"]
+    assert q4 > f - 0.15, "w4a8 acc {} vs float {}".format(q4, f)

@@ -126,3 +126,51 @@ def test_ratio_zero_is_identity(tmp_path, data):
     smodel = SparseModel(model, cfg, (data,))
     smodel.calc_params()
     assert jnp.allclose(smodel(data), float_out, atol=1e-5)
+
+
+def test_unstructured_bert_with_specific_overrides(tmp_path):
+    """Unstructured prune of a transformer encoder (reference:
+    examples/unstructured_prune/{GLUE/bert,SQuAD}): encoder Linears hit
+    the requested elementwise sparsity, embeddings/classifier kept dense
+    via SPECIFIC RATIO overrides, and the masked model still evals."""
+    from sparsebit_tpu.models.bert import BertModel
+
+    model = BertModel(
+        vocab_size=64, dim=32, depth=2, num_heads=2, ffn_dim=64,
+        num_classes=2, key=jax.random.PRNGKey(0),
+    ).eval()
+    p = tmp_path / "sconfig.yaml"
+    p.write_text(
+        "SPARSER:\n"
+        "  TYPE: l1norm\n"
+        "  STRATEGY: unstructure\n"
+        "  RATIO: 0.7\n"
+        "  SPECIFIC:\n"
+        "    - \"*embed*\": [\"RATIO\", \"0.0\"]\n"
+        "      \"*classifier*\": [\"RATIO\", \"0.0\"]\n"
+    )
+    cfg = parse_sconfig(str(p))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 64)
+    smodel = SparseModel(model, cfg, (ids,))
+    smodel.calc_params()
+    out = smodel(ids)
+    assert out.shape == (2, 2)
+    assert jnp.all(jnp.isfinite(out))
+
+    # per-module: encoder linears at ~0.7, overridden modules fully dense
+    from sparsebit_tpu.sparse.modules.base import SparseOpr
+
+    seen_encoder = seen_dense = 0
+    for node in smodel.graph.op_nodes:
+        op = node.op
+        if not (isinstance(op, SparseOpr) and op.HAS_WEIGHT):
+            continue
+        density = float(jnp.mean(op._buffers["w_mask"]))
+        if "classifier" in node.name or "embed" in node.name:
+            assert density == 1.0, (node.name, density)
+            seen_dense += 1
+        else:
+            assert 0.25 < density < 0.35, (node.name, density)
+            seen_encoder += 1
+    assert seen_encoder >= 8  # 2 layers x (q,k,v,out,ffn-in,ffn-out)
+    assert seen_dense >= 1
