@@ -162,10 +162,14 @@ def causal_attention(q, k, v):
             flash_attention,
         )
 
+        # bf16 models keep bf16 flash OPERANDS (the kernel's softmax/accum
+        # math is f32 regardless): halves the QK^T/AV MXU passes — ~2x the
+        # attention phase of the 2048-token prefill. f32 models stay f32.
+        dt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
         out = flash_attention(
-            jnp.swapaxes(q, 1, 2).astype(jnp.float32),
-            jnp.swapaxes(k, 1, 2).astype(jnp.float32),
-            jnp.swapaxes(v, 1, 2).astype(jnp.float32),
+            jnp.swapaxes(q, 1, 2).astype(dt),
+            jnp.swapaxes(k, 1, 2).astype(dt),
+            jnp.swapaxes(v, 1, 2).astype(dt),
             causal=True,
             sm_scale=float(hd) ** -0.5,
         )

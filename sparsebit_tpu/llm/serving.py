@@ -187,18 +187,18 @@ class DecodeEngine:
         self.params = self._prepare_params(params, head_bits)
         self.max_batch = max_batch
         if max_batch > 64:
-            # the packed Pallas decode kernels gate on B <= 64
-            # (ops/quant_matmul._supports_pallas*): their output block is
-            # VMEM-resident per batch row. Past that the chunked decode
-            # silently densifies — XLA materialises the full f32 weight
-            # per step — which is the right schedule for MXU-bound
-            # prefill but a large regression for decode.
+            # past 64 rows the packed matmuls switch from the whole-batch-
+            # VMEM-resident decode kernels to the B-tiled (prefill-regime)
+            # kernel grid (ops/quant_matmul._pick_b_blk): still fused
+            # dequant on the int8 MXU, but the weight stream is no longer
+            # single-pass-per-step-amortised the same way — decode
+            # latency/slot degrades past this point.
             warnings.warn(
-                "DecodeEngine(max_batch={}) exceeds the Pallas decode-"
-                "kernel batch limit (64): decode chunks will fall back to "
-                "the XLA dense path (full f32 weight materialised per "
-                "step). Shard the batch across engines or a tp mesh "
-                "instead.".format(max_batch),
+                "DecodeEngine(max_batch={}) exceeds the decode kernels' "
+                "64-row whole-batch regime: chunks run the B-tiled "
+                "prefill-grid kernel (fused dequant, MXU-bound). Fine for "
+                "throughput, worse tail latency — consider sharding the "
+                "batch across engines or a tp mesh.".format(max_batch),
                 stacklevel=2,
             )
         self.max_len = max_len or cfg.max_seq_len

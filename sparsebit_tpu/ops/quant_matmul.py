@@ -435,8 +435,8 @@ def _u4_tile(wb, signed=False):
 
 
 def _qmm_u4_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, gs, g_blk,
-                   g8, signed=False):
-    k = pl.program_id(1)
+                   g8, signed=False, k_axis=1):
+    k = pl.program_id(k_axis)
 
     @pl.when(k == 0)
     def _():
@@ -523,10 +523,50 @@ def _pick_tiles_u4(K, N, gs_eff, per_channel, cell_budget=None, k_cap=1024):
     return gs_eff, NT
 
 
+def _pick_b_blk(B):
+    """Batch tile for the large-B (prefill) grid: 256 rows covers the MXU
+    and keeps out+acc VMEM modest; smaller B gets one b-step (padded to
+    sublane granularity)."""
+    if B >= 256:
+        return 256, -(-B // 256) * 256
+    B_pad = max(8, ((B + 7) // 8) * 8)
+    return B_pad, B_pad
+
+
+def _pick_tiles_u4_bigb(K, N, gs_eff, b_blk):
+    """Prefill-regime tiles: same K preference as decode (8 groups/step),
+    NT chosen so x + out + acc + double-buffered w/s8 tiles fit a ~12 MB
+    VMEM budget at the given batch tile."""
+    kcands = [
+        m for m in range(gs_eff, min(K, 1024) + 1, gs_eff) if K % m == 0
+    ]
+    static8 = [m for m in kcands if (m // gs_eff) % 8 == 0]
+    K_BLK = max(static8) if static8 else max(kcands, default=gs_eff)
+    budget = 12 * 2**20
+    ncands = sorted(
+        {d for d in range(128, N + 1, 128) if N % d == 0}, reverse=True
+    )
+    for nt in ncands:
+        vmem = b_blk * nt * 8 + 3 * K_BLK * nt + 2 * b_blk * K_BLK
+        if vmem <= budget:
+            return K_BLK, nt
+    return K_BLK, (ncands[-1] if ncands else N)
+
+
+_BIG_B_CAP = 8192  # prefill rows (B x S); past this fall back to XLA
+
+
 def _supports_pallas_u4(K, N, gs, B=1):
     gs_eff = gs if gs > 0 else K
-    if K % gs_eff != 0 or B > 64 or N % 128 != 0:
+    if K % gs_eff != 0 or N % 128 != 0:
         return False
+    if B > 64:
+        # large-B (prefill) path: grouped only, B-tiled grid
+        if gs <= 0 or B > _BIG_B_CAP:
+            return False
+        b_blk, _ = _pick_b_blk(B)
+        K_BLK, NT = _pick_tiles_u4_bigb(K, N, gs_eff, b_blk)
+        return _lane_ok(K_BLK, K) and _lane_ok(NT, N)
     K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, gs <= 0)
     return _lane_ok(K_BLK, K) and _lane_ok(NT, N)
 
@@ -544,7 +584,14 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
     G = scales.shape[0]
     per_channel = gs <= 0
     gs_eff = gs if gs > 0 else K
-    K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, per_channel)
+    big_b = B > 64
+    if big_b:
+        B_BLK, B_pad = _pick_b_blk(B)
+        K_BLK, NT = _pick_tiles_u4_bigb(K, N, gs_eff, B_BLK)
+    else:
+        K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, per_channel)
+        B_pad = max(8, ((B + 7) // 8) * 8)
+        B_BLK = B_pad
     if k_blk:
         K_BLK = k_blk
     if nt:
@@ -554,7 +601,6 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
     else:
         G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
 
-    B_pad = max(8, ((B + 7) // 8) * 8)
     if B_pad != B:
         x8 = jnp.pad(x8, ((0, B_pad - B), (0, 0)))
 
@@ -565,13 +611,29 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
     else:
         s2d, z2d = scales.astype(jnp.float32), zeros.astype(jnp.float32)
     G8 = _sz_layout(G, G_BLK, s2d.dtype)
-    s_index = lambda i, k: ((k * G_BLK) // G8, i)
-    grid = (N // NT, K // K_BLK)
-    out = pl.pallas_call(
-        functools.partial(_qmm_u4_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8,
-                          signed=signed),
-        grid=grid,
-        in_specs=[
+    if big_b:
+        # prefill regime: tile the batch in the grid too — out/acc blocks
+        # stay (B_BLK, NT) regardless of B, so 2048-row admission chunks
+        # run the same fused-dequant kernel the decode path uses
+        s_index = lambda b, i, k: ((k * G_BLK) // G8, i)
+        grid = (B_pad // B_BLK, N // NT, K // K_BLK)
+        in_specs = [
+            pl.BlockSpec((B_BLK, K_BLK), lambda b, i, k: (b, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_BLK // 2 if rowpair else K_BLK, NT),
+                         lambda b, i, k: (k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G8, NT), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G8, NT), s_index, memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec(
+            (B_BLK, NT), lambda b, i, k: (b, i), memory_space=pltpu.VMEM
+        )
+        semantics = ("parallel", "parallel", "arbitrary")
+        k_axis = 2
+    else:
+        s_index = lambda i, k: ((k * G_BLK) // G8, i)
+        grid = (N // NT, K // K_BLK)
+        in_specs = [
             pl.BlockSpec((B_pad, K_BLK), lambda i, k: (0, k), memory_space=pltpu.VMEM),
             # row-pair u8 arrays have K//2 sublanes; the block INDEX is in
             # block units, so only the block shape halves
@@ -579,14 +641,22 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
                          lambda i, k: (k, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((G8, NT), s_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((G8, NT), s_index, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
+        ]
+        out_specs = pl.BlockSpec(
             (B_pad, NT), lambda i, k: (0, i), memory_space=pltpu.VMEM
-        ),
+        )
+        semantics = ("parallel", "arbitrary")
+        k_axis = 1
+    out = pl.pallas_call(
+        functools.partial(_qmm_u4_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8,
+                          signed=signed, k_axis=k_axis),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B_pad, NT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B_BLK, NT), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=semantics,
             vmem_limit_bytes=vmem_limit,
         ),
         cost_estimate=pl.CostEstimate(
@@ -611,8 +681,9 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
 
 
 def _qmm_u4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, z_ref, o_ref,
-                           acc_ref, *, gs, g_blk, g8, signed=False):
-    k = pl.program_id(1)
+                           acc_ref, *, gs, g_blk, g8, signed=False,
+                           k_axis=1):
+    k = pl.program_id(k_axis)
 
     @pl.when(k == 0)
     def _():
@@ -653,40 +724,68 @@ def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
     G = s4.shape[1]
     per_channel = gs <= 0
     gs_eff = gs if gs > 0 else K
-    K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, per_channel)
+    big_b = B > 64
+    if big_b:
+        B_BLK, B_pad = _pick_b_blk(B)
+        K_BLK, NT = _pick_tiles_u4_bigb(K, N, gs_eff, B_BLK)
+    else:
+        K_BLK, NT = _pick_tiles_u4(K, N, gs_eff, per_channel)
+        B_pad = max(8, ((B + 7) // 8) * 8)
+        B_BLK = B_pad
     if per_channel:
         G_BLK, gs_kernel = 1, K_BLK
     else:
         G_BLK, gs_kernel = K_BLK // gs_eff, gs_eff
     G8 = _sz_layout(G, G_BLK, s4.dtype)
-    s_index = lambda i, k, li_ref: (li_ref[0], (k * G_BLK) // G8, i)
 
-    B_pad = max(8, ((B + 7) // 8) * 8)
     if B_pad != B:
         x8 = jnp.pad(x8, ((0, B_pad - B), (0, 0)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(N // NT, K // K_BLK),
-        in_specs=[
+    if big_b:
+        # prefill regime (flash scanned prefill over stacked layers):
+        # B-tiled grid, weights still indexed in place in HBM via the
+        # prefetched layer index — no per-layer copies, fused dequant
+        s_index = lambda b, i, k, li_ref: (li_ref[0], (k * G_BLK) // G8, i)
+        grid = (B_pad // B_BLK, N // NT, K // K_BLK)
+        in_specs = [
+            pl.BlockSpec((B_BLK, K_BLK), lambda b, i, k, li_ref: (b, k)),
+            pl.BlockSpec((1, K_BLK // 2 if rowpair else K_BLK, NT),
+                         lambda b, i, k, li_ref: (li_ref[0], k, i)),
+            pl.BlockSpec((1, G8, NT), s_index),
+            pl.BlockSpec((1, G8, NT), s_index),
+        ]
+        out_specs = pl.BlockSpec((B_BLK, NT), lambda b, i, k, li_ref: (b, i))
+        semantics = ("parallel", "parallel", "arbitrary")
+        k_axis = 2
+    else:
+        s_index = lambda i, k, li_ref: (li_ref[0], (k * G_BLK) // G8, i)
+        grid = (N // NT, K // K_BLK)
+        in_specs = [
             pl.BlockSpec((B_pad, K_BLK), lambda i, k, li_ref: (0, k)),
             pl.BlockSpec((1, K_BLK // 2 if rowpair else K_BLK, NT),
                          lambda i, k, li_ref: (li_ref[0], k, i)),
             pl.BlockSpec((1, G8, NT), s_index),
             pl.BlockSpec((1, G8, NT), s_index),
-        ],
-        out_specs=pl.BlockSpec((B_pad, NT), lambda i, k, li_ref: (0, i)),
-        scratch_shapes=[pltpu.VMEM((B_pad, NT), jnp.float32)],
+        ]
+        out_specs = pl.BlockSpec((B_pad, NT), lambda i, k, li_ref: (0, i))
+        semantics = ("parallel", "arbitrary")
+        k_axis = 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((B_BLK, NT), jnp.float32)],
     )
     out = pl.pallas_call(
         functools.partial(
             _qmm_u4_stacked_kernel, gs=gs_kernel, g_blk=G_BLK, g8=G8,
-            signed=signed,
+            signed=signed, k_axis=k_axis,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         interpret=interpret,
     )(jnp.asarray([li], jnp.int32), x8, w4s, s4, z4)
@@ -832,6 +931,48 @@ def _quant_matmul_pallas_a8(x8, w, scales, zeros, bits, gs, N, k_blk=None, nt=No
     return out.reshape(B_pad, N)[:B]
 
 
+def _a8_groupdot_int8(xq, packed, scales, zeros, bits, gs, N):
+    """Large-B (prefill) fallback on the INT8 MXU: lax.scan over weight
+    groups, each step an exact s8 x s8 -> s32 dot over one (gs, N) code
+    block, with the Pallas kernels' group-factored f32 epilogue
+    out = sum_g s_g * (dot_g - z_g * rowsum_g). Equals the f32 densify
+    dot up to f32 summation order, runs at the int8 MXU rate (~8x the
+    f32 dot on v5e), and never materialises the f32 weight — this is
+    what the 2048-token flash-prefill path hits for every packed matmul
+    (B = B x S rows > the decode kernels' 64-row cap)."""
+    codes = unpack_columns(packed, bits, N)
+    K = codes.shape[0]
+    gs_eff = gs if gs > 0 else K
+    G = K // gs_eff
+    s = scales.astype(jnp.float32)
+    z = zeros.astype(jnp.float32)
+    if bits == 8:
+        # uint8 codes don't fit int8 — recenter codes AND zeros by 128
+        # ((c - 128) - (z - 128) == c - z)
+        codes = (codes.astype(jnp.int32) - 128).astype(jnp.int8)
+        z = z - 128.0
+    else:
+        codes = codes.astype(jnp.int8)
+    B = xq.shape[0]
+    codes_g = codes.reshape(G, gs_eff, N)
+    xq_g = jnp.moveaxis(xq.reshape(B, G, gs_eff), 1, 0)  # (G, B, gs)
+    rowsum = jnp.sum(xq_g.astype(jnp.int32), axis=-1)  # (G, B)
+
+    def body(acc, args):
+        c_g, x_g, rs_g, s_g, z_g = args
+        d = jax.lax.dot(x_g, c_g, preferred_element_type=jnp.int32)
+        acc = acc + s_g[None, :] * (
+            d.astype(jnp.float32)
+            - z_g[None, :] * rs_g[:, None].astype(jnp.float32)
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((B, N), jnp.float32), (codes_g, xq_g, rowsum, s, z)
+    )
+    return acc
+
+
 def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
     """W4A8 matmul: per-token dynamic int8 activations + packed sub-byte
     weights on the int8 MXU. ~accuracy of LLM.int8-style per-token quant;
@@ -875,8 +1016,12 @@ def quant_matmul_a8(x, packed, scales, zeros, bits, groupsize, N):
             out = _quant_matmul_pallas_a8(
                 xq, packed["w"], scales, zeros, bits, groupsize, N
             )
+    elif jax.default_backend() == "tpu" and K % max(groupsize, 1) == 0:
+        # past the kernels' 64-row cap (prefill): int8 MXU group dots
+        out = _a8_groupdot_int8(xq, packed, scales, zeros, bits, groupsize, N)
     else:
         # x8 @ dequant(W) == the kernel's int-dot + epilogue, exactly
+        # (CPU oracle; also irregular K/groupsize)
         W = dequant_weights(packed, scales, zeros, bits, N, groupsize)
         out = jnp.dot(
             xq.astype(jnp.float32), W, preferred_element_type=jnp.float32

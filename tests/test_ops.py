@@ -430,8 +430,10 @@ def test_u4p_only_dispatch_no_fold_container(monkeypatch):
     out = qm.quant_matmul_a8(
         x, qlp.packed, qlp.scales, qlp.zeros, 4, 128, qlp.n_padded
     )[..., : ql.out_features]
+    # the >64-row TPU branch is now the int8-MXU group dot — same A8
+    # semantics, f32 accumulation order differs from the dense oracle
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
 
 
@@ -650,3 +652,100 @@ def test_s4r_stacked_kernel_interpret():
             interpret=True, signed=True,
         )
         np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_u))
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
+def test_a8_groupdot_int8_matches_densify(bits):
+    """The large-B (prefill) int8-MXU fallback == xq @ dequant(W) exactly
+    (same group-factored epilogue the Pallas kernels compute): every
+    term is an exact s32 integer dot, only the f32 accumulation order
+    differs from the densify oracle."""
+    from sparsebit_tpu.ops.packing import pack_columns, pack_s4_rows
+    from sparsebit_tpu.ops.quant_matmul import (
+        _a8_groupdot_int8,
+        dequant_weights,
+    )
+
+    K, N, gs, B = 256, 128, 64, 80  # B > the kernels' 64-row cap
+    G = K // gs
+    kc, ks, kz, kx = jax.random.split(jax.random.PRNGKey(77), 4)
+    codes = jax.random.randint(kc, (K, N), 0, 2**bits, jnp.int32)
+    scales = jax.random.uniform(ks, (G, N), jnp.float32, 0.001, 0.01)
+    zeros = jax.random.randint(kz, (G, N), 0, 2**bits, jnp.int32).astype(
+        jnp.float32)
+    packed = {"s4r": pack_s4_rows(codes)} if bits == 4 else pack_columns(
+        codes, bits)
+    xq = jax.random.randint(kx, (B, K), -127, 128, jnp.int32).astype(jnp.int8)
+
+    got = _a8_groupdot_int8(xq, packed, scales, zeros, bits, gs, N)
+    W = dequant_weights(packed, scales, zeros, bits, N, gs)
+    ref = jnp.dot(xq.astype(jnp.float32), W,
+                  preferred_element_type=jnp.float32)
+    # only f32 accumulation order differs (group-major vs K-major);
+    # 8-bit's larger per-term magnitudes show the most rounding spread
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("B", [80, 300])
+def test_u4_kernel_big_b_interpret_parity(B):
+    """B-tiled (prefill-regime) u4 kernel grid == densify oracle: B > 64
+    engages the (b, i, k) grid (single b-step at 80, multi at 300 with
+    row padding)."""
+    from sparsebit_tpu.ops.packing import pack_s4_rows
+    from sparsebit_tpu.ops.quant_matmul import (
+        _quant_matmul_pallas_u4,
+        _supports_pallas_u4,
+        dequant_weights,
+    )
+
+    K, N, gs = 256, 256, 64
+    G = K // gs
+    kc, ks, kz, kx = jax.random.split(jax.random.PRNGKey(88), 4)
+    codes = jax.random.randint(kc, (K, N), 0, 16, jnp.int32)
+    scales = jax.random.uniform(ks, (G, N), jnp.float32, 0.001, 0.01)
+    zeros = jax.random.randint(kz, (G, N), 0, 16, jnp.int32).astype(
+        jnp.float32)
+    packed = {"s4r": pack_s4_rows(codes)}
+    xq = jax.random.randint(kx, (B, K), -127, 128, jnp.int32).astype(jnp.int8)
+
+    assert _supports_pallas_u4(K, N, gs, B)
+    got = _quant_matmul_pallas_u4(
+        xq, packed["s4r"], scales, zeros, gs, N, interpret=True, signed=True
+    )
+    W = dequant_weights(packed, scales, zeros, 4, N, gs)
+    ref = jnp.dot(xq.astype(jnp.float32), W,
+                  preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_u4_stacked_kernel_big_b_interpret_parity():
+    """B-tiled STACKED u4 kernel (the flash-prefill matmul path: layer
+    index scalar-prefetched, weights addressed in place) == per-layer
+    densify oracle."""
+    from sparsebit_tpu.ops.packing import pack_s4_rows
+    from sparsebit_tpu.ops.quant_matmul import (
+        _quant_matmul_pallas_u4_stacked,
+        dequant_weights,
+    )
+
+    Lx, K, N, gs, B = 2, 256, 256, 64, 96
+    G = K // gs
+    kc, ks, kz, kx = jax.random.split(jax.random.PRNGKey(89), 4)
+    codes = jax.random.randint(kc, (Lx, K, N), 0, 16, jnp.int32)
+    scales = jax.random.uniform(ks, (Lx, G, N), jnp.float32, 0.001, 0.01)
+    zeros = jax.random.randint(kz, (Lx, G, N), 0, 16, jnp.int32).astype(
+        jnp.float32)
+    s4r = jnp.stack([pack_s4_rows(codes[i]) for i in range(Lx)])
+    xq = jax.random.randint(kx, (B, K), -127, 128, jnp.int32).astype(jnp.int8)
+
+    for li in range(Lx):
+        got = _quant_matmul_pallas_u4_stacked(
+            xq, s4r, scales, zeros, li, gs, N, interpret=True, signed=True
+        )
+        W = dequant_weights({"s4r": s4r[li]}, scales[li], zeros[li], 4, N, gs)
+        ref = jnp.dot(xq.astype(jnp.float32), W,
+                      preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3, err_msg=str(li))
