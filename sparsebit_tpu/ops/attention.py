@@ -96,6 +96,130 @@ def _group_attention(k8g, v8g, qg, ks_cols, vs_cols, length, n_rep,
     return out / denom.reshape(-1, 1)
 
 
+def _group_attention_t(k8g, v8g, qg, ks_colsT, vs_colsT, length, n_rep):
+    """TRANSPOSED-score variant of _group_attention for the batched
+    megakernel: scores live (hgq, S) instead of (S, hgq).
+
+    Why: the (S, hg*D) x (hg*D, hgq) score dot puts hgq (32 at 7B) on the
+    MXU's 128-lane output dim — 25% lane utilisation, and with S on
+    sublanes it costs (S/8)*(K/128) passes = 2048 at 7B shapes. Computing
+    scores^T = Qbd^T (hgq, hg*D) x K2^T via a lane-lane contraction puts
+    S (512) on lanes: (hgq/8)*(S/128)*(K/128) = 512 passes — 4x fewer.
+    The softmax then reduces over LANES (cheap VPU) and the value mix is
+    the same (hgq, S) x (S, hg*D) dot as before. exp22/exp23: the per-row
+    attention loop drops ~2x at B=8. ks_colsT/vs_colsT are (hgq, S)."""
+    S, hg, D = k8g.shape
+    hgq = qg.shape[0]
+    dt = jnp.bfloat16
+    K2 = k8g.reshape(S, hg * D).astype(dt)
+    V2 = v8g.reshape(S, hg * D).astype(dt)
+    q_wide = jnp.tile(qg.astype(dt), (1, hg))  # (hgq, hg*D)
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hgq, hg * D), 1) // D
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hgq, hg * D), 0) // n_rep
+    QbdT = jnp.where(col_h == row_h, q_wide, jnp.zeros((), dt))
+    scoresT = jax.lax.dot_general(
+        QbdT, K2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (hgq, S)
+    scoresT = scoresT * ks_colsT * (1.0 / (D ** 0.5))
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (hgq, S), 1)
+    scoresT = jnp.where(s_idx <= length, scoresT, -1e30)
+    m = jnp.max(scoresT, axis=1, keepdims=True)
+    p = jnp.exp(scoresT - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)  # (hgq, 1)
+    p2 = (p * vs_colsT).astype(dt)
+    outs = jax.lax.dot_general(
+        p2, V2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (hgq, hg*D)
+    o3 = outs.reshape(hgq, hg, D)
+    own = (
+        jax.lax.broadcasted_iota(jnp.int32, (hgq, hg, 1), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (hgq, hg, 1), 0) // n_rep
+    )
+    out = jnp.sum(jnp.where(own, o3, 0.0), axis=1)  # (hgq, D)
+    return out / denom
+
+
+def _group_attention_rows(kslab, vslab, q_all, ks_slab, vs_slab, len_vec,
+                          n_rep, selT):
+    """Batched-row attention for the megakernel's batched phase: per-row
+    MXU dots (each row has its OWN K/V slab — they cannot share a dot),
+    but ALL elementwise/VPU work — Qbd^T construction, scale-column
+    gathers' masks, softmax, value-scale fold, own-head extract — runs
+    ONCE on (B*hgq, ...) shapes instead of B unrolled copies (exp22: the
+    per-row glue, not the dots, dominated the 50 us/layer phase cost).
+
+    kslab/vslab (B, S, hg, D) int8; q_all (B, hgq, D) f32; ks_slab/vs_slab
+    (B, S, Hp) f32; len_vec (B,) int32; selT (hgq, Hp) head-gather.
+    Returns (B, hgq, D) f32."""
+    B, S, hg, D = kslab.shape
+    hgq = q_all.shape[1]
+    dt = jnp.bfloat16
+    q2 = q_all.reshape(B * hgq, D).astype(dt)
+    q_wide = jnp.tile(q2, (1, hg))  # (B*hgq, hg*D)
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (B * hgq, hg * D), 1) // D
+    row_h = (
+        jax.lax.broadcasted_iota(jnp.int32, (B * hgq, hg * D), 0) % hgq
+    ) // n_rep
+    QbdT = jnp.where(col_h == row_h, q_wide, jnp.zeros((), dt))
+
+    scores_parts, ks_parts, vs_parts = [], [], []
+    for b in range(B):
+        K2 = kslab[b].reshape(S, hg * D).astype(dt)
+        scores_parts.append(jax.lax.dot_general(
+            QbdT[b * hgq:(b + 1) * hgq], K2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))  # (hgq, S)
+        ks_parts.append(jax.lax.dot_general(
+            selT, ks_slab[b], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        vs_parts.append(jax.lax.dot_general(
+            selT, vs_slab[b], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    scoresT = jnp.concatenate(scores_parts, axis=0)  # (B*hgq, S)
+    ksT = jnp.concatenate(ks_parts, axis=0)
+    vsT = jnp.concatenate(vs_parts, axis=0)
+
+    # per-row lengths via a one-hot f32 dot (jnp.repeat lowers to scatter
+    # and a (B, hgq)->(B*hgq, 1) reshape is an unsupported Mosaic shape
+    # cast — neither compiles on TC)
+    sel_b = (
+        jax.lax.broadcasted_iota(jnp.int32, (B * hgq, B), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (B * hgq, B), 0) // hgq
+    ).astype(jnp.float32)
+    len_rows = jnp.dot(sel_b, len_vec.astype(jnp.float32)[:, None],
+                       preferred_element_type=jnp.float32)  # (B*hgq, 1)
+    s_cols = jax.lax.broadcasted_iota(jnp.int32, (B * hgq, S), 1).astype(
+        jnp.float32)
+    valid = s_cols <= len_rows
+    scoresT = jnp.where(
+        valid, scoresT * ksT * (1.0 / (D ** 0.5)), -1e30)
+    m = jnp.max(scoresT, axis=1, keepdims=True)
+    p = jnp.exp(scoresT - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    p2 = (p * jnp.where(valid, vsT, 0.0)).astype(dt)
+
+    out_parts = []
+    for b in range(B):
+        V2 = vslab[b].reshape(S, hg * D).astype(dt)
+        out_parts.append(jax.lax.dot_general(
+            p2[b * hgq:(b + 1) * hgq], V2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))  # (hgq, hg*D)
+    outs = jnp.concatenate(out_parts, axis=0)  # (B*hgq, hg*D)
+    o3 = outs.reshape(B * hgq, hg, D)
+    own = (
+        jax.lax.broadcasted_iota(jnp.int32, (B * hgq, hg, 1), 1)
+        == (jax.lax.broadcasted_iota(jnp.int32, (B * hgq, hg, 1), 0) % hgq)
+        // n_rep
+    )
+    out = jnp.sum(jnp.where(own, o3, 0.0), axis=1)  # (B*hgq, D)
+    return (out / denom).reshape(B, hgq, D)
+
+
 def _decode_attn_kernel(*refs, n_rep, quantized, stacked=False):
     if stacked:
         # stacked variant: scalar-prefetched layer index selects the K/V

@@ -42,7 +42,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparsebit_tpu.ops.attention import _group_attention, _head_sel
+from sparsebit_tpu.ops.attention import (
+    _group_attention,
+    _group_attention_rows,
+    _head_sel,
+)
 from sparsebit_tpu.ops.quant_matmul import (
     _lane_ok,
     _pick_tiles_u4,
@@ -142,6 +146,7 @@ def _layer_kernel(
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False, paged=False, sc=128,
     signed=False, stream=False, stream_ns=(2, 2, 2, 2), batched=False,
+    _ablate="",
 ):
     # trailing scratch: [qrope (batched only)], sems, [stream ring bufs +
     # wsem (stream only)]
@@ -364,6 +369,8 @@ def _layer_kernel(
 
         @pl.when(s == T1)
         def _():
+            if "ropeq" in _ablate:  # timing-only ablation (exp22)
+                return
             qkvA = qkv[...]  # (B_pad, Nq) f32
             Bp = qkvA.shape[0]
 
@@ -444,25 +451,27 @@ def _layer_kernel(
             # prefetched slab loads must land before patch + attention
             for b in range(B):
                 _wait_copies(_slab_copies(b, bslab=b))
-            # patch slabs (incl. scale rows — no stale-row masking needed)
-            for b in range(B):
-                length = len_ref[b]
-                kslab[b, length] = krow[b]
-                vslab[b, length] = vrow[b]
-                ks_slab[b, pl.ds(length, 1)] = ksrow[b]
-                vs_slab[b, pl.ds(length, 1)] = vsrow[b]
-            sel = _head_sel(Hp, Hq, 0, n_rep)
-            for b in range(B):
-                length = len_ref[b]
-                s_rows = jax.lax.broadcasted_iota(jnp.int32, (S, Hq), 0)
-                ks_cols = jnp.where(s_rows <= length,
-                                    jnp.dot(ks_slab[b], sel), 0.0)
-                vs_cols = jnp.where(s_rows <= length,
-                                    jnp.dot(vs_slab[b], sel), 0.0)
-                out_g = _group_attention(
-                    kslab[b], vslab[b], qrope[b],
-                    ks_cols, vs_cols, length, n_rep)
-                aout[pl.ds(b, 1), :] = out_g.reshape(1, HD)
+            if "patch" not in _ablate:  # timing-only ablation (exp22)
+                # patch slabs (incl. scale rows — no stale-row masking
+                # needed)
+                for b in range(B):
+                    length = len_ref[b]
+                    kslab[b, length] = krow[b]
+                    vslab[b, length] = vrow[b]
+                    ks_slab[b, pl.ds(length, 1)] = ksrow[b]
+                    vs_slab[b, pl.ds(length, 1)] = vsrow[b]
+            if "attn" not in _ablate:
+                # transposed-score batched attention: scores (B*hgq, S)
+                # with S on MXU lanes, all VPU glue once across rows
+                # (_group_attention_rows; exp22/exp23)
+                selT = _head_sel(Hp, Hq, 0, n_rep).T  # (Hq, Hp)
+                len_vec = jnp.stack([len_ref[b] for b in range(B)])
+                q_all = qrope[...][:B]  # (B, Hq, D)
+                out_rows = _group_attention_rows(
+                    kslab[...][:B], vslab[...][:B], q_all,
+                    ks_slab[...][:B], vs_slab[...][:B], len_vec,
+                    n_rep, selT)
+                aout[pl.ds(0, B), :] = out_rows.reshape(B, HD)
             for cp in writes:
                 cp.wait()
 
@@ -793,7 +802,8 @@ def _fused_call(x, pos, cos, sin, li,
                 wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
                 attn_norm, ffn_norm, k, v, ks, vs,
                 cfg, gs, interpret=False, debug_out=None,
-                _n_phases=5, n_grid_layers=1, bt=None, signed=False):
+                _n_phases=5, n_grid_layers=1, bt=None, signed=False,
+                _ablate=""):
     B, dim = x.shape
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     F = cfg.ffn_dim
@@ -1065,7 +1075,7 @@ def _fused_call(x, pos, cos, sin, li,
             debug_out=debug_out,
             prefetch_slabs=(B == 1 and _n_phases >= 2 and not batched),
             paged=paged, sc=SC, signed=signed, stream=stream,
-            stream_ns=stream_ns, batched=batched,
+            stream_ns=stream_ns, batched=batched, _ablate=_ablate,
         ),
         grid_spec=grid_spec,
         out_shape=[
