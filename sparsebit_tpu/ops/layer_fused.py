@@ -43,8 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sparsebit_tpu.ops.attention import (
-    _group_attention,
     _group_attention_rows,
+    _group_attention_t,
     _head_sel,
 )
 from sparsebit_tpu.ops.quant_matmul import (
@@ -579,25 +579,37 @@ def _layer_kernel(
         k8g = kslab[slice(None), pl.ds(base_kv, hg), :]  # (S, hg, D)
         v8g = vslab[slice(None), pl.ds(base_kv, hg), :]
         bcol = bsel.T  # (B, 1)
-        # whole head group in two MXU dots (ops/attention._group_attention;
-        # the per-head matvec loop was the fused kernels' top overhead in
-        # the round-2 phase profile) — scale columns gathered by one
-        # one-hot dot, the new row's scale (stale in the slab copy) masked
-        s_rows = jax.lax.broadcasted_iota(jnp.int32, (S, hgq), 0)
-        row_is_new = s_rows == length
-        sel = _head_sel(Hp, hgq, base_kv, n_rep)
-        ks_cols = jnp.dot(ks_slab[...], sel)  # (S, hgq)
-        vs_cols = jnp.dot(vs_slab[...], sel)
-        # zero rows past the context: unloaded slab chunks are garbage
-        ks_cols = jnp.where(s_rows <= length, ks_cols, 0.0)
-        vs_cols = jnp.where(s_rows <= length, vs_cols, 0.0)
-        ks_cols = jnp.where(row_is_new, jnp.dot(ksrow[...], sel), ks_cols)
-        vs_cols = jnp.where(row_is_new, jnp.dot(vsrow[...], sel), vs_cols)
+        # whole head group in two MXU dots, TRANSPOSED scores (hgq, S):
+        # S rides the MXU's 128-lane output dim (full utilisation; the
+        # (S, hgq) orientation used 32 of 128 lanes — 4x the passes, see
+        # _group_attention_t). Scale ROWS gathered by one lane-lane
+        # one-hot dot; the new row's scale (stale in the slab copy) is
+        # masked in by column.
+        s_colsT = jax.lax.broadcasted_iota(jnp.int32, (hgq, S), 1)
+        col_is_new = s_colsT == length
+        selT = _head_sel(Hp, hgq, base_kv, n_rep).T  # (hgq, Hp)
+        ksT = jax.lax.dot_general(
+            selT, ks_slab[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (hgq, S)
+        vsT = jax.lax.dot_general(
+            selT, vs_slab[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # zero cols past the context: unloaded slab chunks are garbage
+        ksT = jnp.where(s_colsT <= length, ksT, 0.0)
+        vsT = jnp.where(s_colsT <= length, vsT, 0.0)
+        ks_new = jax.lax.dot_general(
+            selT, ksrow[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (hgq, 1)
+        vs_new = jax.lax.dot_general(
+            selT, vsrow[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ksT = jnp.where(col_is_new, ks_new, ksT)
+        vsT = jnp.where(col_is_new, vs_new, vsT)
         base_qoff = pl.multiple_of(base_kv * n_rep * D, D)
         qrow = jnp.dot(bsel, qkv[:, pl.ds(base_qoff, hgq * D)],
                        preferred_element_type=jnp.float32)  # (1, hgq*D)
-        out_g = _group_attention(
-            k8g, v8g, qrow.reshape(hgq, D), ks_cols, vs_cols, length, n_rep
+        out_g = _group_attention_t(
+            k8g, v8g, qrow.reshape(hgq, D), ksT, vsT, length, n_rep
         )
         orow = out_g.reshape(1, hgq * D)
         aout[:, pl.ds(base_qoff, hgq * D)] = jnp.where(
