@@ -19,3 +19,4 @@ from sparsebit_tpu.parallel.tp import (  # noqa: F401
     tp_llama_forward,
     tp_llama_loss,
 )
+from sparsebit_tpu.parallel.sp import sp_llama_loss  # noqa: F401

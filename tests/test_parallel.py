@@ -101,3 +101,38 @@ def test_dryrun_multichip_entry():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("ring", [False, True])
+def test_sp_loss_matches_single_device(params, tokens, ring):
+    """Sequence-parallel loss (K/V all-gather and exact RING attention
+    with online-softmax accumulators) == unsharded llama_loss."""
+    from sparsebit_tpu.parallel.mesh import make_mesh_named
+    from sparsebit_tpu.parallel.sp import sp_llama_loss
+
+    mesh = make_mesh_named(sp=8)
+    ref = L.llama_loss(params, tokens, CFG)
+    loss = sp_llama_loss(params, tokens, CFG, mesh, ring=ring)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=2e-4)
+
+
+def test_sp_dp_composed_loss_and_grads(params, tokens):
+    """dp x sp composed mesh: batch sharded over dp, sequence over sp;
+    loss == single-device, and grads flow through shard_map (the sp
+    training step the dryrun certifies)."""
+    from sparsebit_tpu.parallel.mesh import make_mesh_named
+    from sparsebit_tpu.parallel.sp import sp_llama_loss
+
+    mesh = make_mesh_named(dp=2, sp=4)
+    ref = L.llama_loss(params, tokens, CFG)
+    loss_fn = lambda p: sp_llama_loss(
+        p, tokens, CFG, mesh, dp_axis="dp")
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=2e-4)
+    ref_grads = jax.grad(lambda p: L.llama_loss(p, tokens, CFG))(params)
+    g1 = jax.tree.leaves(grads)
+    g2 = jax.tree.leaves(ref_grads)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        )
