@@ -146,7 +146,7 @@ def _layer_kernel(
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False, paged=False, sc=128,
     signed=False, stream=False, stream_ns=(2, 2, 2, 2), batched=False,
-    _ablate="",
+    gb=0, _ablate="",
 ):
     # trailing scratch: [qrope (batched only)], sems, [stream ring bufs +
     # wsem (stream only)]
@@ -171,7 +171,8 @@ def _layer_kernel(
     HD = Hq * D
     KVD = Hkv * D
     T1 = n1_t * k1_t
-    T2 = 1 if batched else B * n_groups
+    n_bgroups = -(-B // gb) if batched else 0
+    T2 = n_bgroups if batched else B * n_groups
     T3 = k3_t
     T4 = n4_t * k4_t
     T5 = k5_t
@@ -362,10 +363,14 @@ def _layer_kernel(
     # dots), and the 4B cache-row writes are started together and waited
     # once at the end of the step, after the attention dots covered them.
     if batched:
+        # group 0's slab loads prefetch at the first grid step (they
+        # depend on nothing this kernel computes); later groups reuse the
+        # (gb, S, ...) slab scratch so their loads start at their own
+        # group step (the wait covers them).
         @pl.when(s == 0)
         def _():
-            for b in range(B):
-                _start_copies(_slab_copies(b, bslab=b))
+            for j in range(min(gb, B)):
+                _start_copies(_slab_copies(j, bslab=j))
 
         @pl.when(s == T1)
         def _():
@@ -448,32 +453,93 @@ def _layer_kernel(
                 ]
             for cp in writes:
                 cp.start()
-            # prefetched slab loads must land before patch + attention
-            for b in range(B):
-                _wait_copies(_slab_copies(b, bslab=b))
+
+        # ---- attention group steps: rows [g*gb, (g+1)*gb) per step -------
+        in_p2b = (s >= T1) & (s < T1 + T2)
+
+        @pl.when(in_p2b)
+        def _():
+            if "ropeq" in _ablate:  # whole phase ablated (exp22)
+                return
+            gbi = s - T1
+            single = n_bgroups == 1  # static: offsets/indices all static
+            if single:
+                rows = list(range(B))
+                goff = 0
+            else:
+                # gb == 8: group offsets are 8-aligned (Mosaic sublane
+                # proof); pad rows past B clamp to B-1 (their outputs
+                # land in aout rows >= B, which are discarded)
+                rows = [jnp.minimum(gbi * gb + j, B - 1)
+                        for j in range(gb)]
+                goff = pl.multiple_of(gbi * gb, gb)
+
+                @pl.when(gbi > 0)
+                def _():
+                    for j, b_idx in enumerate(rows):
+                        _start_copies(_slab_copies(b_idx, bslab=j))
+            for j, b_idx in enumerate(rows):
+                _wait_copies(_slab_copies(b_idx, bslab=j))
             if "patch" not in _ablate:  # timing-only ablation (exp22)
-                # patch slabs (incl. scale rows — no stale-row masking
-                # needed)
+                for j, b_idx in enumerate(rows):
+                    length = len_ref[b_idx]
+                    kslab[j, length] = krow[b_idx]
+                    vslab[j, length] = vrow[b_idx]
+                    ks_slab[j, pl.ds(length, 1)] = ksrow[b_idx]
+                    vs_slab[j, pl.ds(length, 1)] = vsrow[b_idx]
+            if "attn" not in _ablate:
+                # transposed-score batched attention: scores (gb*hgq, S)
+                # with S on MXU lanes, all VPU glue once across the
+                # group's rows (_group_attention_rows; exp22/exp23)
+                nrow = len(rows)
+                selT = _head_sel(Hp, Hq, 0, n_rep).T  # (Hq, Hp)
+                len_vec = jnp.stack([len_ref[b] for b in rows])
+                q_all = (qrope[...][:B] if single
+                         else qrope[pl.ds(goff, gb)])
+                out_rows = _group_attention_rows(
+                    kslab[...][:nrow], vslab[...][:nrow], q_all,
+                    ks_slab[...][:nrow], vs_slab[...][:nrow], len_vec,
+                    n_rep, selT)
+                if single:
+                    aout[pl.ds(0, B), :] = out_rows.reshape(B, HD)
+                else:
+                    aout[pl.ds(goff, gb), :] = out_rows.reshape(gb, HD)
+
+            @pl.when(s == T1 + T2 - 1)
+            def _():
+                # the KV row writes started at the rope/quant step; all
+                # attention reads went through the patched slabs, so the
+                # only ordering requirement is completion before the
+                # buffers are reused next layer
                 for b in range(B):
                     length = len_ref[b]
-                    kslab[b, length] = krow[b]
-                    vslab[b, length] = vrow[b]
-                    ks_slab[b, pl.ds(length, 1)] = ksrow[b]
-                    vs_slab[b, pl.ds(length, 1)] = vsrow[b]
-            if "attn" not in _ablate:
-                # transposed-score batched attention: scores (B*hgq, S)
-                # with S on MXU lanes, all VPU glue once across rows
-                # (_group_attention_rows; exp22/exp23)
-                selT = _head_sel(Hp, Hq, 0, n_rep).T  # (Hq, Hp)
-                len_vec = jnp.stack([len_ref[b] for b in range(B)])
-                q_all = qrope[...][:B]  # (B, Hq, D)
-                out_rows = _group_attention_rows(
-                    kslab[...][:B], vslab[...][:B], q_all,
-                    ks_slab[...][:B], vs_slab[...][:B], len_vec,
-                    n_rep, selT)
-                aout[pl.ds(0, B), :] = out_rows.reshape(B, HD)
-            for cp in writes:
-                cp.wait()
+                    if paged:
+                        blk_w = bt_ref[b, length // sc]
+                        row_w = length % sc
+                    wr = [
+                        pltpu.make_async_copy(
+                            krow.at[b],
+                            (ko_hbm.at[li0, blk_w, row_w] if paged
+                             else ko_hbm.at[li0, b, length]), sems.at[0]),
+                        pltpu.make_async_copy(
+                            vrow.at[b],
+                            (vo_hbm.at[li0, blk_w, row_w] if paged
+                             else vo_hbm.at[li0, b, length]), sems.at[1]),
+                        pltpu.make_async_copy(
+                            ksrow.at[b],
+                            (kso_hbm.at[li0, blk_w, pl.ds(row_w, 1)]
+                             if paged
+                             else kso_hbm.at[li0, b, pl.ds(length, 1)]),
+                            sems.at[2]),
+                        pltpu.make_async_copy(
+                            vsrow.at[b],
+                            (vso_hbm.at[li0, blk_w, pl.ds(row_w, 1)]
+                             if paged
+                             else vso_hbm.at[li0, b, pl.ds(length, 1)]),
+                            sems.at[3]),
+                    ]
+                    for cp in wr:
+                        cp.wait()
 
     in_p2 = (s >= T1) & (s < T1 + T2) & jnp.bool_(not batched)
 
@@ -744,8 +810,16 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None):
     Fp = f_pad or F
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     Nq = (Hq + 2 * Hkv) * D
-    if gs <= 0 or B > 8 or D % 128 or Fp < F:
+    if gs <= 0 or B > 64 or D % 128 or Fp < F:
         return False
+    if B > 8:
+        # batched attention runs in groups of 8 rows (aligned slab
+        # offsets); the whole-batch VMEM gate moves to the group size
+        S = cfg.max_seq_len
+        Hp = 128 if Hkv < 128 else Hkv
+        slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
+        if 8 * slab_bytes > 40 * 1024 * 1024:
+            return False
     if Hkv % 4:
         # the per-token KV row write DMAs a (Hkv, D) int8 slice; Mosaic
         # requires the sublane dim aligned to the (4, 128) int8 tiling
@@ -850,17 +924,24 @@ def _fused_call(x, pos, cos, sin, li,
     # still correct) for VMEM-constrained future shapes.
     n_groups = 1
 
-    # batched attention: collapse the B per-row grid steps into ONE step
-    # of (B*H, D)-vectorized rope/quant + static-b attention loops (see
-    # the kernel comment). Slabs gain a batch dim; gate on VMEM.
+    # batched attention: rope/quant (B*H, D)-vectorized at one step, then
+    # the rows processed in GROUPS of gb <= 8 — one grid step per group,
+    # the (gb, S, ...) slab scratch reused between groups. B <= 8 keeps
+    # the original one-step whole-batch behavior (gb = B); B up to 64
+    # rides the same megakernel instead of falling to per-matmul kernels
+    # (which re-stream weights per launch: 885 tok/s at B=32 vs the
+    # megakernel's single weight stream per step).
     slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
+    # gb must be 8 (sublane-aligned group offsets) or the whole batch
+    gb = B if B <= 8 else 8
+    n_bgroups = -(-B // gb)
     batched = (
         B > 1
         and n_groups == 1
         and _n_phases >= 2
-        and B * slab_bytes <= 40 * 1024 * 1024
+        and gb * slab_bytes <= 40 * 1024 * 1024
     )
-    slab_lead = (B,) if batched else ()
+    slab_lead = (gb,) if batched else ()
 
     KB1, NT1 = _fused_tiles(dim, Nq, gs)
     KB3, NT3 = _fused_tiles(HD, dim, gs)
@@ -874,7 +955,7 @@ def _fused_call(x, pos, cos, sin, li,
     G83 = _sz_layout(HD // gs, KB3 // gs, so.dtype)
     G84 = _sz_layout(dim // gs, KB4 // gs, s13.dtype)
     G85 = _sz_layout(Fp // gs, KB5 // gs, s2.dtype)
-    T1, T2, T3 = n1_t * k1_t, (1 if batched else B * n_groups), k3_t
+    T1, T2, T3 = n1_t * k1_t, (n_bgroups if batched else B * n_groups), k3_t
     T4, T5 = n4_t * k4_t, k5_t
     T = T1 + T2 + T3 + T4 + T5
     # _n_phases < 5 truncates the grid after that phase — timing-only knob
@@ -884,9 +965,16 @@ def _fused_call(x, pos, cos, sin, li,
 
     # manual weight streaming (ring buffers + explicit DMA — see the
     # kernel comment) only covers the u8 row-pair serving layout; the grid
-    # truncation knob would leave un-waited copies at kernel end
+    # truncation knob would leave un-waited copies at kernel end.
+    # B == 1 ONLY: streaming is the single-token HBM-bound optimisation
+    # (188.2 -> 195.0 tok/s at 7B). At B >= 8 it is neutral (measured
+    # B=8: 7.79 ms/step unstreamed vs 7.83 streamed; B=16: 11.01 vs
+    # 11.12) and at B = 32 it is catastrophic (36.7 vs 17.1 ms/step —
+    # the ring schedule serialises against the 4-group attention phase),
+    # so batched steps use Pallas' BlockSpec pipelining instead.
     stream = (
         rowpair
+        and B == 1
         and _n_phases == 5
         and _os.environ.get("SBT_FUSED_STREAM", "1") == "1"
     )
@@ -1087,7 +1175,7 @@ def _fused_call(x, pos, cos, sin, li,
             debug_out=debug_out,
             prefetch_slabs=(B == 1 and _n_phases >= 2 and not batched),
             paged=paged, sc=SC, signed=signed, stream=stream,
-            stream_ns=stream_ns, batched=batched, _ablate=_ablate,
+            stream_ns=stream_ns, batched=batched, gb=gb, _ablate=_ablate,
         ),
         grid_spec=grid_spec,
         out_shape=[
