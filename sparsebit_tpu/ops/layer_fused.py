@@ -810,7 +810,11 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None):
     Fp = f_pad or F
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     Nq = (Hq + 2 * Hkv) * D
-    if gs <= 0 or B > 64 or D % 128 or Fp < F:
+    # B cap 32: B=64 (8 attention group steps) reproducibly crashes the
+    # Mosaic compile subprocess on this toolchain (tpu_compile_helper
+    # exit 1); 64-row batches belong on the B-tiled per-matmul kernels
+    # or a tp mesh anyway.
+    if gs <= 0 or B > 32 or D % 128 or Fp < F:
         return False
     if B > 8:
         # batched attention runs in groups of 8 rows (aligned slab
