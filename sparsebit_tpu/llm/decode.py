@@ -305,7 +305,7 @@ def _u4_k_rows(lin):
     return w.shape[-2] * (2 if w.dtype == jnp.uint8 else 1)
 
 
-def _scan_uses_layer_kernel(S, layers, quant_mode, cfg, batch):
+def _scan_uses_layer_kernel(S, layers, quant_mode, cfg, batch, s_max=None):
     """True when the scanned decode runs each decoder layer as ONE fused
     launch (ops/layer_fused.py): fused-wqkv u4 QuantLinears for all four
     matmuls, uniform groupsize, no act-order perm / bias / N padding, and
@@ -329,7 +329,7 @@ def _scan_uses_layer_kernel(S, layers, quant_mode, cfg, batch):
         if _s4_serving(ln) != _s4_serving(lins[0]):
             return False  # one signedness flag per launch
     f_pad = _u4_k_rows(lins[3])  # w2 may be with_k_pad-ded
-    ok = fused_layer_supported(cfg, gs, batch, f_pad=f_pad)
+    ok = fused_layer_supported(cfg, gs, batch, f_pad=f_pad, s_max=s_max)
     if FORCE_LAYER_KERNEL is not None:
         return FORCE_LAYER_KERNEL and ok
     return ok and jax.default_backend() == "tpu"
@@ -384,7 +384,8 @@ def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
     layers = params["layers"]
 
     B0, S0 = tokens.shape
-    if _scan_uses_layer_kernel(S0, layers, quant_mode, cfg, B0):
+    if _scan_uses_layer_kernel(S0, layers, quant_mode, cfg, B0,
+                               s_max=kvs[0].shape[2]):
         # the WHOLE backbone = ONE kernel launch: grid (n_layers, phases)
         # with the activation carried in VMEM scratch between layers
         # (ops/layer_fused.fused_decoder_layers)
@@ -727,7 +728,8 @@ def decode_tokens_scanned(params_stacked, tok0, cache, cfg, n_tokens):
 
     pad = _scan_uses_update_kernel(1, quantized, cfg) or (
         _scan_uses_layer_kernel(
-            1, params_stacked["layers"], quantized, cfg, tok0.shape[0]
+            1, params_stacked["layers"], quantized, cfg, tok0.shape[0],
+            s_max=cache.k[0].shape[1],
         )
     )
     (tok, kvs, length), toks = jax.lax.scan(

@@ -161,12 +161,27 @@ def _serving_layout(lin):
     for bits <= 4 (2/3-bit codes ride s4 nibbles via with_nibble_serving,
     re-tagged bits=4 — mixed int4/3/2 GPTQ checkpoints stack into ONE
     homogeneous megakernel backbone), unsigned row-pairs otherwise, and
-    bf16 qparams throughout."""
+    bf16 qparams throughout.
+
+    impl is forced to "a8": the nibble repack DROPS the canonical fold
+    container (stack homogeneity + no double weight HBM), and the
+    row-pair containers are only consumed by the A8 kernels — an "auto"
+    linear from load_quant_checkpoint would otherwise take the f32
+    densify fallback for every prefill_at / chunked-decode matmul
+    (materialising f32 weights per matmul at 7B). The engines are A8
+    end-to-end anyway (megakernel, call_stacked)."""
+    from sparsebit_tpu.llm.quant import QuantLinear
+
     if lin.bits in (2, 3, 4):
         lin = lin.with_nibble_serving()
     else:
         lin = lin.with_u4_rows()
-    return lin.with_sz_dtype()
+    lin = lin.with_sz_dtype()
+    return QuantLinear(
+        lin.packed, lin.scales, lin.zeros, lin.bits, lin.groupsize,
+        lin.out_features, lin.bias, "a8", lin.perm,
+        lin.bwd_wq, lin.bwd_scale,
+    )
 
 
 class DecodeEngine:
@@ -287,11 +302,16 @@ class DecodeEngine:
         return [i for i, s in enumerate(self.slots) if s is None]
 
     def _get_scratch(self, n_rows, n_cols):
-        """Reused scratch cache (stale contents are masked by length)."""
+        """Reused scratch cache (stale contents are masked by length).
+
+        POPS the warm entry: the seeding/prefill jits DONATE the scratch
+        buffers, so a dict reference kept across a failing dispatch would
+        be a deleted Array wedging every later same-shape admission —
+        the caller re-inserts the returned (new) scratch on success, and
+        an exception just means the next admission re-inits cold."""
         key = (n_rows, n_cols)
-        if key not in self._scratch:
-            self._scratch[key] = self._init_cache(n_rows, n_cols)
-        return self._scratch[key]
+        s = self._scratch.pop(key, None)
+        return s if s is not None else self._init_cache(n_rows, n_cols)
 
     def _prefix_hit(self, prompt):
         """Longest cached prompt that is a strict prefix of ``prompt``
@@ -315,6 +335,15 @@ class DecodeEngine:
         if key in self._prefix:
             self._prefix.pop(key)  # refresh LRU position
         stacked = _stack_row_jit(scratch, jnp.int32(row))
+        # trim to the prompt's BUCKET (bucketed, so dispatch shapes stay
+        # bounded): a long-prefix + short-tail admission sizes the scratch
+        # at _bucket(offset + tail_bucket), which can be 2x the rows the
+        # entry actually pins; _seed_rows_jit handles S_entry < S_scratch
+        S_entry = _bucket(total_len)
+        if S_entry < stacked[0].shape[1]:
+            stacked = tuple(
+                a[:, :S_entry] if a is not None else None for a in stacked
+            )
         entry = {"len": total_len, "k": stacked[0], "v": stacked[1]}
         if self.kv_quantized:
             entry["k_scale"], entry["v_scale"] = stacked[2], stacked[3]
@@ -607,14 +636,16 @@ class PagedDecodeEngine(DecodeEngine):
             from sparsebit_tpu.llm.decode import _u4_k_rows
 
             assert fused_layer_supported(
-                cfg, gs, max_batch, f_pad=_u4_k_rows(lyr["w2"])
+                cfg, gs, max_batch, f_pad=_u4_k_rows(lyr["w2"]),
+                s_max=max_len,
             ), (
                 "PagedDecodeEngine: model shape unsupported by the decode "
                 "megakernel (need head_dim % 128 == 0, n_kv_heads % 4 == 0, "
-                "max_batch <= 8, groupsize-aligned dims; cfg dim={} heads={}"
-                "/{} head_dim={} gs={} B={})".format(
+                "max_batch <= 32 with 8-row-group KV slabs <= 40 MB at "
+                "max_len, groupsize-aligned dims; cfg dim={} heads={}"
+                "/{} head_dim={} gs={} B={} max_len={})".format(
                     cfg.dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, gs,
-                    max_batch)
+                    max_batch, max_len)
             )
         self.params_stacked = stack_layers(self.params)
         self.block = block

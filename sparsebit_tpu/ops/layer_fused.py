@@ -803,9 +803,12 @@ def _layer_kernel(
                 o_ref[...] = acc2[...] * gs8[...]
 
 
-def fused_layer_supported(cfg, gs, B=1, f_pad=None):
+def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None):
     """f_pad: W2's (possibly with_k_pad-ded) input width; defaults to
-    cfg.ffn_dim."""
+    cfg.ffn_dim. s_max: the RUNTIME cache length (engine max_len /
+    k.shape[2]) — the B>8 VMEM gate sizes the KV slabs with it;
+    defaults to cfg.max_seq_len (conservative when engines run shorter
+    caches than the model's context limit)."""
     dim, F = cfg.dim, cfg.ffn_dim
     Fp = f_pad or F
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
@@ -819,7 +822,7 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None):
     if B > 8:
         # batched attention runs in groups of 8 rows (aligned slab
         # offsets); the whole-batch VMEM gate moves to the group size
-        S = cfg.max_seq_len
+        S = s_max or cfg.max_seq_len
         Hp = 128 if Hkv < 128 else Hkv
         slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
         if 8 * slab_bytes > 40 * 1024 * 1024:

@@ -171,17 +171,20 @@ def run_cnn_fixture(steps=300, n_train=4096, n_eval=2048, batch=128, lr=3e-3,
 # ---------------------------------------------------------------------------
 
 
-def _transformer_cfg(w_bit=8, a_bit=8, a_observer="MSE"):
-    """Mirrors examples/post_training_quantization/imagenet1k_deit/
-    qconfig.yaml: MSE observers, NLC layout, LN/softmax left in float."""
+def _transformer_cfg(w_bit=8, a_bit=8, w_observer="MSE", a_observer="MSE"):
+    """DeiT regime (defaults): MSE observers, NLC layout, LN/softmax left
+    in float (examples/post_training_quantization/imagenet1k_deit/
+    qconfig.yaml). The BERT/CoLA regime passes w_observer=MINMAX +
+    a_observer=PERCENTILE (GLUE/CoLA qconfig: ALPHA 0.001)."""
     return parse_qconfig({
         "BACKEND": "virtual",
         "W": {"QSCHEME": "per-channel-symmetric",
               "QUANTIZER": {"TYPE": "uniform", "BIT": w_bit},
-              "OBSERVER": {"TYPE": a_observer}},
+              "OBSERVER": {"TYPE": w_observer}},
         "A": {"QSCHEME": "per-tensor-affine",
               "QUANTIZER": {"TYPE": "uniform", "BIT": a_bit},
-              "OBSERVER": {"TYPE": a_observer, "LAYOUT": "NLC"},
+              "OBSERVER": {"TYPE": a_observer, "LAYOUT": "NLC",
+                           "PERCENTILE": {"ALPHA": 0.001}},
               "SPECIFIC": [{
                   "*norm*": ["QUANTIZER.DISABLE", "True"],
                   "*softmax*": ["QUANTIZER.DISABLE", "True"],
@@ -190,8 +193,7 @@ def _transformer_cfg(w_bit=8, a_bit=8, a_observer="MSE"):
 
 
 def _train_and_sweep(qmodel, x_tr, y_tr, x_ev, y_ev, steps, batch, lr, seed,
-                     bit_configs, config_name, verbose, calib_n=512,
-                     a_observer="MSE"):
+                     bit_configs, config_name, verbose, calib_n=512):
     """Shared train-float -> calibrate -> PTQ-sweep harness (the CNN
     fixture's loop, factored for the transformer fixtures)."""
     import optax
@@ -327,7 +329,9 @@ def run_bert_fixture(steps=400, n_train=4096, n_eval=1024, batch=128, lr=1e-3,
         num_classes=2, key=jax.random.PRNGKey(seed),
     ).eval()
     qmodel = QuantModel(
-        model, _transformer_cfg(), (jnp.asarray(x_tr[:batch]),))
+        model,
+        _transformer_cfg(w_observer="MINMAX", a_observer="PERCENTILE"),
+        (jnp.asarray(x_tr[:batch]),))
     qmodel.set_quant(w_quant=False, a_quant=False)
     return _train_and_sweep(
         qmodel, x_tr, y_tr, x_ev, y_ev, steps, batch, lr, seed, bit_configs,
