@@ -534,15 +534,18 @@ def _pick_b_blk(B):
 
 
 def _pick_tiles_u4_bigb(K, N, gs_eff, b_blk):
-    """Prefill-regime tiles: same K preference as decode (8 groups/step),
-    NT chosen so x + out + acc + double-buffered w/s8 tiles fit a ~12 MB
-    VMEM budget at the given batch tile."""
+    """Prefill-regime tiles. Measured sweep at B=2048/7B shapes (v5e):
+    K_BLK 2048 beats 1024 and NT ~2048-2752 beats narrower — wqkv
+    (2048, 2048) 223.5 TOP/s vs the old (1024, 2048) 212.6; w13
+    (2048, 2752) ~224 vs the old (1024, 1376) 150. The 24 MB budget
+    admits those; the pallas_call raises its scoped-VMEM limit for the
+    big-B grid (21-24 MB live tiles exceed the 16 MB default)."""
     kcands = [
-        m for m in range(gs_eff, min(K, 1024) + 1, gs_eff) if K % m == 0
+        m for m in range(gs_eff, min(K, 2048) + 1, gs_eff) if K % m == 0
     ]
     static8 = [m for m in kcands if (m // gs_eff) % 8 == 0]
     K_BLK = max(static8) if static8 else max(kcands, default=gs_eff)
-    budget = 12 * 2**20
+    budget = 24 * 2**20
     ncands = sorted(
         {d for d in range(128, N + 1, 128) if N % d == 0}, reverse=True
     )
@@ -657,7 +660,8 @@ def _quant_matmul_pallas_u4(x8, w4, scales, zeros, gs, N, interpret=False,
         scratch_shapes=[pltpu.VMEM((B_BLK, NT), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=semantics,
-            vmem_limit_bytes=vmem_limit,
+            vmem_limit_bytes=(vmem_limit if vmem_limit
+                              else (64 * 2**20 if big_b else None)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B_pad * K * N,
@@ -786,6 +790,7 @@ def _quant_matmul_pallas_u4_stacked(x8, w4s, s4, z4, li, gs, N,
         out_shape=jax.ShapeDtypeStruct((B_pad, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=semantics,
+            vmem_limit_bytes=64 * 2**20 if big_b else None,
         ),
         interpret=interpret,
     )(jnp.asarray([li], jnp.int32), x8, w4s, s4, z4)
