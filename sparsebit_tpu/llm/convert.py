@@ -168,15 +168,23 @@ def quantize_llama_gptq(
 # ---- checkpointing (reference convert.py:355-365 format) --------------------
 
 
-def save_quant_checkpoint(path, quant_params, layers_bit, cfg, groupsize):
-    """npz weights + json metadata ({hyper_parameters, layers_bit} —
-    the mixed-precision map consumers need, reference utils.py:92)."""
+def save_quant_checkpoint(path, quant_params, layers_bit, cfg, groupsize,
+                          fmt="npz"):
+    """Packed weights + json metadata ({hyper_parameters, layers_bit} —
+    the mixed-precision map consumers need, reference utils.py:92).
+
+    fmt="npz" (default): single weights.npz — float leaves upcast to f32
+    (bfloat16 has no stable npz encoding). fmt="orbax": an orbax/
+    StandardCheckpointer directory — native dtypes incl. bf16, sharded
+    async-capable storage (SURVEY §5's checkpoint note); same json
+    metadata sidecar either way, and load_quant_checkpoint auto-detects
+    the format."""
     os.makedirs(path, exist_ok=True)
     flat = {}
 
     def arr(v):
-        """bfloat16 has no stable npz encoding (loads back as void) —
-        store float types as float32; integers (packed codes) as-is."""
+        if fmt == "orbax":  # orbax stores dtypes natively
+            return np.asarray(v)
         a = np.asarray(v)
         if a.dtype.kind not in "iub":
             a = a.astype(np.float32)
@@ -208,7 +216,19 @@ def save_quant_checkpoint(path, quant_params, layers_bit, cfg, groupsize):
             if name in layer:
                 put("layers.{}.{}".format(i, name), layer[name])
     put("lm_head", quant_params["lm_head"])
-    np.savez(os.path.join(path, "weights.npz"), **flat)
+    if fmt == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        odir = os.path.abspath(os.path.join(path, "weights_orbax"))
+        if os.path.exists(odir):
+            shutil.rmtree(odir)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(odir, flat)
+        ckptr.wait_until_finished()
+    else:
+        np.savez(os.path.join(path, "weights.npz"), **flat)
     meta = {
         "hyper_parameters": {
             "groupsize": groupsize,
@@ -234,7 +254,13 @@ def load_quant_checkpoint(path):
     cfg = L.LlamaConfig(**meta["hyper_parameters"]["config"])
     gs = meta["hyper_parameters"]["groupsize"]
     layers_bit = meta["layers_bit"]
-    z = np.load(os.path.join(path, "weights.npz"))
+    odir = os.path.abspath(os.path.join(path, "weights_orbax"))
+    if os.path.isdir(odir):
+        import orbax.checkpoint as ocp
+
+        z = dict(ocp.StandardCheckpointer().restore(odir))
+    else:
+        z = dict(np.load(os.path.join(path, "weights.npz")))
     dt = cfg.jnp_dtype
 
     def get_lin(prefix, bits):
@@ -245,7 +271,7 @@ def load_quant_checkpoint(path):
             return DenseLinear(jnp.asarray(z[prefix + ".w"], dt), bias)
         packed = {
             k.split(".packed.")[1]: jnp.asarray(z[k])
-            for k in z.files
+            for k in z
             if k.startswith(prefix + ".packed.")
         }
         perm = (
@@ -279,7 +305,7 @@ def load_quant_checkpoint(path):
         }
         for name in L._LINEAR_NAMES:
             p = "layers.{}.{}".format(i, name)
-            if any(f.startswith(p + ".") for f in z.files):
+            if any(f.startswith(p + ".") for f in z):
                 layer[name] = get_lin(p, layers_bit.get(p))
         params["layers"].append(layer)
     params["lm_head"] = get_lin("lm_head", layers_bit.get("lm_head"))

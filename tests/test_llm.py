@@ -495,3 +495,38 @@ def test_eval_checkpoint_cli_demo(tmp_path):
     # checkpoint roundtrip repacks (bf16 qparam serving layout) — equal to
     # float tolerance, not bit-identical
     np.testing.assert_allclose(res2["quant_ppl"], res["quant_ppl"], rtol=1e-4)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, params):
+    """fmt='orbax' save -> auto-detected load == the npz roundtrip (same
+    decode tokens), with native dtypes preserved (SURVEY §5: orbax
+    checkpoints carrying the packed-weight + layers_bit pytree)."""
+    from sparsebit_tpu.llm.convert import (
+        load_quant_checkpoint,
+        quantize_llama_gptq,
+        save_quant_checkpoint,
+    )
+    from sparsebit_tpu.llm.decode import generate
+
+    fused = L.fuse_llama_params(
+        jax.tree.map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a,
+            params,
+        )
+    )
+    calib = jax.random.randint(jax.random.PRNGKey(51), (2, 32), 0,
+                               CFG.vocab_size)
+    qp, lb = quantize_llama_gptq(
+        fused, calib, CFG, candidate_bits=(4,), groupsize=64, verbose=False
+    )
+    p_npz = str(tmp_path / "ck_npz")
+    p_orb = str(tmp_path / "ck_orbax")
+    save_quant_checkpoint(p_npz, qp, lb, CFG, 64)
+    save_quant_checkpoint(p_orb, qp, lb, CFG, 64, fmt="orbax")
+    qp1, cfg1, lb1 = load_quant_checkpoint(p_npz)
+    qp2, cfg2, lb2 = load_quant_checkpoint(p_orb)
+    assert lb1 == lb2
+    prompt = jnp.ones((1, 4), jnp.int32)
+    t1 = generate(qp1, prompt, cfg1, max_new_tokens=3)
+    t2 = generate(qp2, prompt, cfg2, max_new_tokens=3)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
