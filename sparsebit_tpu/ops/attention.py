@@ -106,7 +106,7 @@ def _group_attention_t(k8g, v8g, qg, ks_colsT, vs_colsT, length, n_rep):
     scores^T = Qbd^T (hgq, hg*D) x K2^T via a lane-lane contraction puts
     S (512) on lanes: (hgq/8)*(S/128)*(K/128) = 512 passes — 4x fewer.
     The softmax then reduces over LANES (cheap VPU) and the value mix is
-    the same (hgq, S) x (S, hg*D) dot as before. exp22/exp23: the per-row
+    the same (hgq, S) x (S, hg*D) dot as before. exp22: the per-row
     attention loop drops ~2x at B=8. ks_colsT/vs_colsT are (hgq, S)."""
     S, hg, D = k8g.shape
     hgq = qg.shape[0]

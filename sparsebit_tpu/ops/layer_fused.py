@@ -490,7 +490,7 @@ def _layer_kernel(
             if "attn" not in _ablate:
                 # transposed-score batched attention: scores (gb*hgq, S)
                 # with S on MXU lanes, all VPU glue once across the
-                # group's rows (_group_attention_rows; exp22/exp23)
+                # group's rows (_group_attention_rows; exp22)
                 nrow = len(rows)
                 selT = _head_sel(Hp, Hq, 0, n_rep).T  # (Hq, Hp)
                 len_vec = jnp.stack([len_ref[b] for b in rows])
