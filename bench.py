@@ -147,6 +147,25 @@ def main():
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    # Persistent compilation cache (same trick as tests/conftest.py): the
+    # script is COMPILE-bound cold (each scanned megakernel jit is a
+    # multi-minute XLA+Mosaic build; 4 phases blew the round-3 driver
+    # budget, rc=124). Executables cached here make re-runs take seconds.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache_bench"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    t_start = time.perf_counter()
+    # Wall budget: later phases are skipped (not lost — every completed
+    # phase has already been printed) once elapsed exceeds this.
+    budget_s = float(os.environ.get("SBT_BENCH_BUDGET_S", "1500"))
+
+    def budget_left():
+        return budget_s - (time.perf_counter() - t_start)
+
     from sparsebit_tpu.llm.kv_cache import init_kv_cache
     from sparsebit_tpu.llm import llama as L
 
@@ -218,6 +237,27 @@ def main():
     bw = HBM_BW.get(kind, 819.0)
     sol = bw * 1e9 / bytes_per_tok
 
+    # Incremental emission: each completed phase prints the FULL cumulative
+    # JSON dict on its own line. The driver keeps the output tail and parses
+    # the last JSON line, so a timeout mid-script preserves every phase that
+    # finished instead of losing the whole round (round-3 failure mode).
+    out = {
+        "metric": "llama{}_int4g128_decode_tokens_per_s_chip".format(
+            "7b" if on_tpu else "_tiny"
+        ),
+        "value": round(toks_per_s, 3),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_s / sol, 4),
+        "wall_tokens_per_s": round(wall_toks_per_s, 3),
+        "speed_of_light_tokens_per_s": round(sol, 1),
+    }
+
+    def emit():
+        out["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+        print(json.dumps(out), flush=True)
+
+    emit()
+
     # ---- batched decode headlines (VERDICT r2 #3) ---------------------------
     # The engine's reason to exist is batch: one weight stream amortized
     # over B slots. B=8 is the megakernel's max batch (fused backbone, one
@@ -280,61 +320,62 @@ def main():
     # ---- prefill headline ---------------------------------------------------
     # 2048-token cold prompt through the FLASH scanned prefill (the
     # engine's admission path): MXU-bound, no (S, S_max) score tensors.
-    from sparsebit_tpu.llm.decode import prefill_cold_scanned
+    def bench_prefill():
+        from sparsebit_tpu.llm.decode import prefill_cold_scanned
 
-    S_pre = 2048 if on_tpu else 64
-    pre_cache = init_kv_cache(cfg, 1, max_len=max(S_pre, 64), quantized=True)
-    pre_toks = jnp.zeros((1, S_pre), jnp.int32)
-    last = jnp.asarray([S_pre - 1], jnp.int32)
-    lg, _ = prefill_cold_scanned(params, pre_toks, pre_cache, cfg, last)
-    jax.block_until_ready(lg)  # warm/compile
-    t0 = time.perf_counter()
-    lg, _ = prefill_cold_scanned(params, pre_toks, pre_cache, cfg, last)
-    jax.block_until_ready(lg)
-    pre_wall = S_pre / (time.perf_counter() - t0)
-    pre_rate = pre_wall
-    try:
-        with jax.profiler.trace("/tmp/bench_trace_pre"):
-            lg, _ = prefill_cold_scanned(params, pre_toks, pre_cache, cfg,
-                                         last)
-            jax.block_until_ready(lg)
-        ds = _device_seconds("/tmp/bench_trace_pre",
-                             "jit_prefill_cold_scanned")
-        if ds:
-            pre_rate = S_pre / ds
-    except Exception:
-        pass
+        S_pre = 2048 if on_tpu else 64
+        pre_cache = init_kv_cache(cfg, 1, max_len=max(S_pre, 64),
+                                  quantized=True)
+        pre_toks = jnp.zeros((1, S_pre), jnp.int32)
+        last = jnp.asarray([S_pre - 1], jnp.int32)
+        lg, _ = prefill_cold_scanned(params, pre_toks, pre_cache, cfg, last)
+        jax.block_until_ready(lg)  # warm/compile
+        t0 = time.perf_counter()
+        lg, _ = prefill_cold_scanned(params, pre_toks, pre_cache, cfg, last)
+        jax.block_until_ready(lg)
+        pre_wall = S_pre / (time.perf_counter() - t0)
+        pre_rate = pre_wall
+        try:
+            with jax.profiler.trace("/tmp/bench_trace_pre"):
+                lg, _ = prefill_cold_scanned(params, pre_toks, pre_cache,
+                                             cfg, last)
+                jax.block_until_ready(lg)
+            ds = _device_seconds("/tmp/bench_trace_pre",
+                                 "jit_prefill_cold_scanned")
+            if ds:
+                pre_rate = S_pre / ds
+        except Exception:
+            pass
+        _free(pre_cache, lg)
+        return pre_rate, pre_wall
 
-    _free(cache, toks, pre_cache, lg)
-    b8, b8_wall, b8_sol = bench_decode_batch(8, iters)
-    b32 = b32_wall = b32_sol = None
-    if on_tpu:
+    # Phases in descending value-per-second, each gated on remaining wall
+    # budget and emitted as soon as it completes.
+    _free(cache, toks)
+    if budget_left() > 60:
+        try:
+            b8, b8_wall, b8_sol = bench_decode_batch(8, iters)
+            out["decode_b8_tokens_per_s_chip"] = round(b8, 3)
+            out["decode_b8_vs_sol"] = round(b8 / b8_sol, 4)
+        except Exception as e:
+            out["decode_b8"] = "failed: " + type(e).__name__
+        emit()
+    if budget_left() > 60:
+        try:
+            pre_rate, pre_wall = bench_prefill()
+            out["prefill2048_tokens_per_s_chip"] = round(pre_rate, 1)
+            out["prefill_wall_tokens_per_s"] = round(pre_wall, 1)
+        except Exception as e:
+            out["prefill"] = "failed: " + type(e).__name__
+        emit()
+    if on_tpu and budget_left() > 60:
         try:
             b32, b32_wall, b32_sol = bench_decode_batch(32, iters)
+            out["decode_b32_tokens_per_s_chip"] = round(b32, 3)
+            out["decode_b32_vs_sol"] = round(b32 / b32_sol, 4)
         except Exception as e:  # RESOURCE_EXHAUSTED on smaller-HBM chips
-            b32_skip = type(e).__name__
-
-
-    out = {
-        "metric": "llama{}_int4g128_decode_tokens_per_s_chip".format(
-            "7b" if on_tpu else "_tiny"
-        ),
-        "value": round(toks_per_s, 3),
-        "unit": "tokens/s",
-        "vs_baseline": round(toks_per_s / sol, 4),
-        "wall_tokens_per_s": round(wall_toks_per_s, 3),
-        "speed_of_light_tokens_per_s": round(sol, 1),
-        "decode_b8_tokens_per_s_chip": round(b8, 3),
-        "decode_b8_vs_sol": round(b8 / b8_sol, 4),
-        "prefill2048_tokens_per_s_chip": round(pre_rate, 1),
-        "prefill_wall_tokens_per_s": round(pre_wall, 1),
-    }
-    if b32 is not None:
-        out["decode_b32_tokens_per_s_chip"] = round(b32, 3)
-        out["decode_b32_vs_sol"] = round(b32 / b32_sol, 4)
-    elif on_tpu:
-        out["decode_b32"] = "skipped: " + b32_skip
-    print(json.dumps(out))
+            out["decode_b32"] = "skipped: " + type(e).__name__
+        emit()
 
 
 if __name__ == "__main__":

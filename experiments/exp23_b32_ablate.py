@@ -70,9 +70,12 @@ def run(ablate):
         carry, _ = jax.lax.scan(tok, (x, k8, v8, ks, vs), None, length=ITERS)
         return carry[0]
 
+    # donated buffers are consumed per call: re-allocate before EVERY f(...)
+    k8, v8, ks, vs = fresh_caches()
     out = f(x, k8, v8, ks, vs, *args)
     jax.block_until_ready(out)
     trace_dir = "/tmp/exp23_%d_%d_%s" % (B, POS, ablate or "full")
+    k8, v8, ks, vs = fresh_caches()
     with jax.profiler.trace(trace_dir):
         jax.block_until_ready(f(x, k8, v8, ks, vs, *args))
     paths = sorted(glob.glob(trace_dir + "/plugins/profile/*/*.trace.json.gz"))
