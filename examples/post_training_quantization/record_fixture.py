@@ -21,8 +21,8 @@ sys.path.insert(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--which", nargs="+", default=["cnn", "vit", "bert"],
-                    choices=["cnn", "vit", "bert"])
+    ap.add_argument("--which", nargs="+", default=["cnn", "vit", "bert", "vit_qat"],
+                    choices=["cnn", "vit", "bert", "vit_qat"])
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -35,7 +35,8 @@ def main():
 
     runners = {"cnn": fixture.run_cnn_fixture,
                "vit": fixture.run_vit_fixture,
-               "bert": fixture.run_bert_fixture}
+               "bert": fixture.run_bert_fixture,
+               "vit_qat": fixture.run_vit_qat_fixture}
     results = {k: runners[k](steps=args.steps, verbose=True)
                for k in args.which}
     out = os.path.abspath(args.out)
@@ -47,7 +48,7 @@ def main():
     if "llm_gptq" not in existing and "ppl_float" in existing:
         existing = {"llm_gptq": existing}  # migrate flat round-1 layout
     for k, v in results.items():
-        existing[k + "_ptq"] = v
+        existing[k if k.endswith("_qat") else k + "_ptq"] = v
     with open(out, "w") as f:
         json.dump(existing, f, indent=2)
     print("wrote", out)

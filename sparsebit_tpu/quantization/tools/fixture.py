@@ -338,3 +338,111 @@ def run_bert_fixture(steps=400, n_train=4096, n_eval=1024, batch=128, lr=1e-3,
         "fixture-bert vocab64 d48 L2, 2-chain Markov grammaticality",
         verbose,
     )
+
+
+def run_vit_qat_fixture(steps=150, qat_steps=150, n_train=2048, n_eval=512,
+                        batch=128, lr=1e-3, qat_lr=2e-4, seed=0, verbose=False):
+    """QAT-DeiT-regime gate: the fixture ViT at LSQ 4w4a — low enough that
+    plain PTQ visibly hurts — trained THROUGH the quantizers so LSQ scales
+    learn on the quantized attention path (QMatmul/softmax inputs), which
+    no CNN QAT example exercises. Mirrors
+    examples/quantization_aware_training/imagenet1k_deit/main.py
+    (reference: examples/quantization_aware_training/imagenet1k/deit/).
+
+    Returns acc_float, acc_ptq (quant-on at LSQ init == the calibrated
+    starting point), acc_qat (after training); gate: acc_qat >= acc_ptq.
+    """
+    import optax
+
+    from sparsebit_tpu.models.vit import VisionTransformer
+    from sparsebit_tpu.quantization.tools.qat import (
+        commit_qat_params,
+        cross_entropy,
+        init_qat_state,
+        make_qat_step,
+    )
+
+    size, patch = 16, 4
+    x_tr, y_tr = make_shifted_template_data(
+        n_train, size=size, seed=seed, shift_multiple=patch, noise=2.2)
+    x_ev, y_ev = make_shifted_template_data(
+        n_eval, size=size, seed=seed + 1, shift_multiple=patch, noise=2.2)
+
+    model = VisionTransformer(
+        img_size=size, patch_size=patch, dim=48, depth=2, num_heads=2,
+        num_classes=10, key=jax.random.PRNGKey(seed),
+    ).eval()
+    cfg = parse_qconfig({
+        "BACKEND": "virtual",
+        "W": {"QSCHEME": "per-channel-symmetric",
+              "QUANTIZER": {"TYPE": "lsq", "BIT": 4},
+              "OBSERVER": {"TYPE": "MINMAX"}},
+        "A": {"QSCHEME": "per-tensor-affine",
+              "QUANTIZER": {"TYPE": "lsq", "BIT": 4},
+              "OBSERVER": {"TYPE": "MINMAX", "LAYOUT": "NLC"},
+              "SPECIFIC": [{
+                  "*norm*": ["QUANTIZER.DISABLE", "True"],
+                  "*softmax*": ["QUANTIZER.DISABLE", "True"],
+              }]},
+    })
+    qmodel = QuantModel(model, cfg, (jnp.asarray(x_tr[:batch]),))
+    qmodel.set_quant(w_quant=False, a_quant=False)
+
+    # ---- float training (same loop as _train_and_sweep) --------------------
+    params = qmodel.params()
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def fstep(params, opt_state, xb, yb):
+        def loss_of(p):
+            logits = qmodel.apply(p, xb)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=-1))
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(seed + 2)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        idx = np.asarray(jax.random.randint(sub, (batch,), 0, n_train))
+        params, opt_state, _ = fstep(
+            params, opt_state, jnp.asarray(x_tr[idx]), jnp.asarray(y_tr[idx]))
+    qmodel.load_params(params)
+    eval_fn = jax.jit(lambda p, xb: qmodel.apply(p, xb))
+    acc_float = _accuracy(eval_fn, params, x_ev, y_ev, batch=batch)
+
+    # ---- calibrate + init_QAT; quant-on at init == the PTQ baseline --------
+    qmodel.prepare_calibration()
+    for i in range(0, 512, batch):
+        qmodel(jnp.asarray(x_tr[i : i + batch]))
+    qmodel.init_QAT()
+    q_eval = jax.jit(lambda p, xb: qmodel.apply(p, xb))
+    acc_ptq = _accuracy(q_eval, qmodel.params(), x_ev, y_ev, batch=batch)
+
+    # ---- QAT: train weights + LSQ scales through the fake-quant graph ------
+    qmodel.train()
+    qat_opt = optax.adam(qat_lr)
+    qstep = make_qat_step(qmodel, cross_entropy, qat_opt)
+    trainable, qat_state = init_qat_state(qmodel, qat_opt)
+    for i in range(qat_steps):
+        key, sub = jax.random.split(key)
+        idx = np.asarray(jax.random.randint(sub, (batch,), 0, n_train))
+        trainable, qat_state, loss = qstep(
+            trainable, qat_state, jnp.asarray(x_tr[idx]),
+            jnp.asarray(y_tr[idx]))
+        if verbose and (i + 1) % 50 == 0:
+            print("qat step {}: loss {:.4f}".format(i + 1, float(loss)))
+    commit_qat_params(qmodel, jax.device_get(trainable))
+    qmodel.eval()
+    q_eval2 = jax.jit(lambda p, xb: qmodel.apply(p, xb))
+    acc_qat = _accuracy(q_eval2, qmodel.params(), x_ev, y_ev, batch=batch)
+
+    return {
+        "config": "fixture-vit-qat 16x16x3/p4 d48 L2, LSQ 4w4a",
+        "train_steps": steps, "qat_steps": qat_steps,
+        "n_train": n_train, "n_eval": len(x_ev),
+        "acc_float": acc_float, "acc_ptq": acc_ptq, "acc_qat": acc_qat,
+    }

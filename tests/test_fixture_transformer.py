@@ -63,3 +63,22 @@ def test_bert_int8_ptq_cost_small(bert_results):
 def test_bert_w4_degrades_gracefully(bert_results):
     f, q4 = bert_results["acc_float"], bert_results["acc_w4a8"]
     assert q4 > f - 0.15, "w4a8 acc {} vs float {}".format(q4, f)
+
+
+@pytest.fixture(scope="module")
+def vit_qat_results():
+    from sparsebit_tpu.quantization.tools.fixture import run_vit_qat_fixture
+
+    return run_vit_qat_fixture(steps=150, qat_steps=120, n_train=2048,
+                               n_eval=512)
+
+
+def test_vit_qat_recovers_over_ptq(vit_qat_results):
+    """QAT (LSQ 4w4a trained through the quantized attention path) must
+    recover SUBSTANTIALLY over the calibrated PTQ starting point (VERDICT
+    r3 #5). Recorded artifact run (accuracy/ACCURACY.json vit_qat key):
+    float 0.885, PTQ-at-init 0.328, QAT 0.582 at 120 steps — the +0.10
+    floor is far below the observed +0.25 but still rules out a QAT step
+    that trains nothing."""
+    r = vit_qat_results
+    assert r["acc_qat"] >= r["acc_ptq"] + 0.10, r
