@@ -116,3 +116,40 @@ def bert_tiny(num_classes=2, key=None):
         vocab_size=1024, dim=128, depth=2, num_heads=2, ffn_dim=512,
         num_classes=num_classes, key=key,
     )
+
+
+class BertForQuestionAnswering(nn.Module):
+    """Extractive-QA head: per-token start/end span logits (reference:
+    examples/unstructured_prune/SQuAD/model.py BertForQuestionAnswering —
+    qa_outputs Linear(hidden, 2) over the full sequence)."""
+
+    def __init__(self, vocab_size=30522, dim=768, depth=12, num_heads=12,
+                 ffn_dim=3072, key=None):
+        super().__init__()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(key, depth + 2)
+        self.embeddings = BertEmbeddings(vocab_size, dim, key=ks[0])
+        self.encoder = nn.Sequential(
+            *[BertLayer(dim, num_heads, ffn_dim, key=ks[i + 1])
+              for i in range(depth)]
+        )
+        self.qa_outputs = nn.Linear(dim, 2, key=ks[-1])
+
+    def forward(self, input_ids):
+        y = self.encoder(self.embeddings(input_ids))
+        logits = self.qa_outputs(y)  # (B, N, 2)
+        start = F.getitem(logits, (slice(None), slice(None), 0))
+        end = F.getitem(logits, (slice(None), slice(None), 1))
+        return start, end
+
+
+@register_model
+def bert_qa(key=None, **kwargs):
+    return BertForQuestionAnswering(key=key, **kwargs)
+
+
+@register_model
+def bert_qa_tiny(key=None, **kwargs):
+    kw = dict(vocab_size=1024, dim=128, depth=2, num_heads=2, ffn_dim=512)
+    kw.update(kwargs)
+    return BertForQuestionAnswering(key=key, **kw)

@@ -69,3 +69,112 @@ class YoloV3Tiny(nn.Module):
 @register_model
 def yolov3_tiny(num_classes=80, key=None):
     return YoloV3Tiny(num_classes, key)
+
+# ---- full YOLOv3: Darknet-53 backbone + FPN neck + 3 scale heads ----------
+# Reference: examples/post_training_quantization/coco2017/yolo_series/
+# models/yolov3.py (Darknet depth 53, num_blocks [1,2,8,8,4]; three
+# _make_embedding branches of alternating 1x1/3x3 convs with upsample +
+# concat routing). NHWC throughout; raw per-scale prediction maps out.
+
+
+class ResLayer(nn.Module):
+    """1x1 squeeze -> 3x3 expand with residual (yolov3.py ResLayer)."""
+
+    def __init__(self, ch, key=None):
+        super().__init__()
+        ks = jax.random.split(key if key is not None else jax.random.PRNGKey(0), 2)
+        self.conv1 = ConvBNLeaky(ch, ch // 2, k=1, key=ks[0])
+        self.conv2 = ConvBNLeaky(ch // 2, ch, key=ks[1])
+
+    def forward(self, x):
+        return x + self.conv2(self.conv1(x))
+
+
+class Darknet(nn.Module):
+    """Darknet backbone (yolov3.py Darknet): stem + 5 stride-2 stages;
+    returns the last three stage features (strides 8/16/32)."""
+
+    def __init__(self, num_blocks=(1, 2, 8, 8, 4), nf=32, key=None):
+        super().__init__()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        n_keys = 1 + sum(1 + nb for nb in num_blocks)
+        ks = list(jax.random.split(key, n_keys))
+        self.stem = ConvBNLeaky(3, nf, key=ks.pop())
+        stages = []
+        ch = nf
+        for nb in num_blocks:
+            layers = [ConvBNLeaky(ch, ch * 2, stride=2, key=ks.pop())]
+            layers += [ResLayer(ch * 2, key=ks.pop()) for _ in range(nb)]
+            stages.append(nn.Sequential(*layers))
+            ch *= 2
+        self.stages = nn.ModuleList(stages)
+
+    def forward(self, x):
+        x = self.stem(x)
+        feats = []
+        for i in range(len(self.stages)):
+            x = self.stages[i](x)
+            feats.append(x)
+        return feats[-3], feats[-2], feats[-1]
+
+
+class _Embedding(nn.Module):
+    """Five alternating 1x1/3x3 CBL convs + 3x3 CBL + 1x1 head conv; the
+    5th conv's output is the routing branch (yolov3.py _make_embedding +
+    the i == 4 branch tap in forward)."""
+
+    def __init__(self, c_in, filters, out_ch, key=None):
+        super().__init__()
+        f0, f1 = filters
+        ks = jax.random.split(key if key is not None else jax.random.PRNGKey(0), 7)
+        self.conv1 = ConvBNLeaky(c_in, f0, k=1, key=ks[0])
+        self.conv2 = ConvBNLeaky(f0, f1, key=ks[1])
+        self.conv3 = ConvBNLeaky(f1, f0, k=1, key=ks[2])
+        self.conv4 = ConvBNLeaky(f0, f1, key=ks[3])
+        self.conv5 = ConvBNLeaky(f1, f0, k=1, key=ks[4])
+        self.conv6 = ConvBNLeaky(f0, f1, key=ks[5])
+        self.head = nn.Conv2d(f1, out_ch, 1, key=ks[6])
+
+    def forward(self, x):
+        branch = self.conv5(self.conv4(self.conv3(self.conv2(self.conv1(x)))))
+        return self.head(self.conv6(branch)), branch
+
+
+class YoloV3(nn.Module):
+    def __init__(self, num_classes=80, num_anchors=3, num_blocks=(1, 2, 8, 8, 4),
+                 nf=32, key=None):
+        super().__init__()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 6)
+        self.backbone = Darknet(num_blocks, nf=nf, key=ks[0])
+        c3, c4, c5 = nf * 8, nf * 16, nf * 32  # stride 8/16/32 channels
+        out_ch = num_anchors * (5 + num_classes)
+        self.out0 = _Embedding(c5, (c5 // 2, c5), out_ch, key=ks[1])
+        self.out1_cbl = ConvBNLeaky(c5 // 2, c4 // 2, k=1, key=ks[2])
+        self.up1 = nn.Upsample(scale_factor=2, mode="nearest")
+        self.out1 = _Embedding(c4 + c4 // 2, (c4 // 2, c4), out_ch, key=ks[3])
+        self.out2_cbl = ConvBNLeaky(c4 // 2, c3 // 2, k=1, key=ks[4])
+        self.up2 = nn.Upsample(scale_factor=2, mode="nearest")
+        self.out2 = _Embedding(c3 + c3 // 2, (c3 // 2, c3), out_ch, key=ks[5])
+
+    def forward(self, x):
+        x2, x1, x0 = self.backbone(x)
+        p0, b0 = self.out0(x0)
+        y1 = F.concat([self.up1(self.out1_cbl(b0)), x1], axis=-1)
+        p1, b1 = self.out1(y1)
+        y2 = F.concat([self.up2(self.out2_cbl(b1)), x2], axis=-1)
+        p2, _ = self.out2(y2)
+        return p0, p1, p2
+
+
+@register_model
+def yolov3(num_classes=80, key=None):
+    """Full YOLOv3 (Darknet-53): reference yolo_series/models/yolov3.py."""
+    return YoloV3(num_classes, key=key)
+
+
+@register_model
+def yolov3_darknet21(num_classes=80, key=None):
+    """Shallow Darknet-21 variant (reference Darknet depth=21 option) —
+    same topology at CI-friendly size."""
+    return YoloV3(num_classes, num_blocks=(1, 1, 2, 2, 1), key=key)

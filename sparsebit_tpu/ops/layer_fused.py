@@ -43,7 +43,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sparsebit_tpu.ops.attention import (
-    _group_attention_rows,
     _group_attention_t,
     _head_sel,
 )
@@ -146,12 +145,12 @@ def _layer_kernel(
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False, paged=False, sc=128,
     signed=False, stream=False, stream_ns=(2, 2, 2, 2), batched=False,
-    gb=0, _ablate="",
+    gb=0, s_full=0, _ablate="",
 ):
-    # trailing scratch: [qrope (batched only)], sems, [stream ring bufs +
-    # wsem (stream only)]
+    # trailing scratch: [qbdT + flash accs + chunk sems (batched only)],
+    # sems, [stream ring bufs + wsem (stream only)]
     if batched:
-        qrope, tail = tail[0], tail[1:]
+        (qbdT, m_acc, d_acc, o_acc, csem), tail = tail[:5], tail[5:]
     sems, stream_scr = tail[0], tail[1:]
     # grid is (n_grid_layers, T): the leading dimension walks whole decoder
     # layers with the activation carried in VMEM scratch (xcur) — one
@@ -166,13 +165,15 @@ def _layer_kernel(
     @pl.when((l == 0) & (s == 0))
     def _():
         xcur[...] = x_ref[...].astype(jnp.float32)
-    S = kslab.shape[-3]
+    # batched chunk buffers are (2, gb, sc, ...) — the real cache length
+    # rides the s_full kwarg; unbatched slabs still carry it directly
+    S = s_full if batched else kslab.shape[-3]
     Hp = ks_slab.shape[-1]
     HD = Hq * D
     KVD = Hkv * D
     T1 = n1_t * k1_t
     n_bgroups = -(-B // gb) if batched else 0
-    T2 = n_bgroups if batched else B * n_groups
+    T2 = (1 + n_bgroups * (s_full // sc)) if batched else B * n_groups
     T3 = k3_t
     T4 = n4_t * k4_t
     T5 = k5_t
@@ -298,10 +299,9 @@ def _layer_kernel(
     # value mix).
     n_sc = S // sc
 
-    def _slab_copies(b, bslab=None):
-        """Chunked loads of row ``b``'s cache into the slab scratch; when
-        the slabs carry a batch dim (batched attention), ``bslab`` picks
-        the destination row."""
+    def _slab_copies(b):
+        """Chunked loads of row ``b``'s cache into the slab scratch
+        (unbatched path; the batched path uses _chunk_copies)."""
         length = len_ref[b]
         out = []
         for c in range(n_sc):
@@ -318,12 +318,8 @@ def _layer_kernel(
             else:
                 srcs = (k_hbm.at[li0, b, sl], v_hbm.at[li0, b, sl],
                         ks_hbm.at[li0, b, sl], vs_hbm.at[li0, b, sl])
-            if bslab is None:
-                dsts = (kslab.at[sl], vslab.at[sl],
-                        ks_slab.at[sl], vs_slab.at[sl])
-            else:
-                dsts = (kslab.at[bslab, sl], vslab.at[bslab, sl],
-                        ks_slab.at[bslab, sl], vs_slab.at[bslab, sl])
+            dsts = (kslab.at[sl], vslab.at[sl],
+                    ks_slab.at[sl], vs_slab.at[sl])
             for i, (src, dst) in enumerate(zip(srcs, dsts)):
                 out.append((cond, pltpu.make_async_copy(
                     src, dst, sems.at[4 + i])))
@@ -353,24 +349,59 @@ def _layer_kernel(
         def _():
             _start_copies(_slab_copies(0))
 
-    # ---- batched attention (B > 1): ONE grid step for the whole phase ------
-    # The per-row formulation paid ~13 us/layer/row at 7B: per-row rope /
-    # quant relayouts, one-hot row gathers, and 4 row-write DMA round
-    # trips serialized per grid step. Here the rope + INT8 row quant run
-    # ONCE as (B*H, D) vector ops, the slabs carry a batch dim (loads
-    # prefetched at s == 0), every per-row index is a STATIC Python loop
-    # (b is unrolled, so slab slices and aout stores need no one-hot
-    # dots), and the 4B cache-row writes are started together and waited
-    # once at the end of the step, after the attention dots covered them.
+    # ---- batched attention (B > 1): FLASH-CHUNKED group/chunk steps --------
+    # Round-3 shipped one grid step per 8-row group over full-S slabs; the
+    # cost analysis (exp22/exp23) put the un-hidden phase time in (a) the
+    # full-S int8->bf16 slab casts + dots running over garbage rows far
+    # past the real context, and (b) each group's slab DMA serialising
+    # against its own compute. Round-4 rework: the phase walks
+    # (group, chunk) grid steps — chunk-sized ping-pong slab buffers
+    # (2, gb, sc, ...) double-buffer the loads (chunk j+2 streams while
+    # chunk j computes), per-chunk compute is SKIPPED entirely when the
+    # group's longest row ends before the chunk (flash-decode compute
+    # gating — casts/dots/glue now scale with the real context), and
+    # softmax runs as running flash accumulators (m/d/o scratch) across a
+    # group's chunk steps. rope + INT8 row quant still run ONCE as
+    # (B*H, D) vector ops at the phase's first step, which also builds the
+    # block-diagonal Q^T operand (qbdT) once per layer.
     if batched:
-        # group 0's slab loads prefetch at the first grid step (they
-        # depend on nothing this kernel computes); later groups reuse the
-        # (gb, S, ...) slab scratch so their loads start at their own
-        # group step (the wait covers them).
-        @pl.when(s == 0)
-        def _():
-            for j in range(min(gb, B)):
-                _start_copies(_slab_copies(j, bslab=j))
+        Jtot = n_bgroups * n_sc
+        selT_b = _head_sel(Hp, hg * n_rep, 0, n_rep).T  # (hgq, Hp)
+
+        def _chunk_copies(buf, g, c):
+            """Conditional copies of group g's rows' chunk c into ping-pong
+            buffer set ``buf``; g/c may be traced scalars."""
+            out = []
+            for jr in range(gb):
+                b_idx = jnp.minimum(g * gb + jr, B - 1)
+                length = len_ref[b_idx]
+                cond = (c * sc) <= length
+                if paged:
+                    blk = bt_ref[b_idx, c]
+                    srcs = (k_hbm.at[li0, blk], v_hbm.at[li0, blk],
+                            ks_hbm.at[li0, blk], vs_hbm.at[li0, blk])
+                else:
+                    slc = pl.ds(c * sc, sc)
+                    srcs = (k_hbm.at[li0, b_idx, slc],
+                            v_hbm.at[li0, b_idx, slc],
+                            ks_hbm.at[li0, b_idx, slc],
+                            vs_hbm.at[li0, b_idx, slc])
+                dsts = (kslab.at[buf, jr], vslab.at[buf, jr],
+                        ks_slab.at[buf, jr], vs_slab.at[buf, jr])
+                for i, (src, dst) in enumerate(zip(srcs, dsts)):
+                    out.append((cond, pltpu.make_async_copy(
+                        src, dst, csem.at[buf, i])))
+            return out
+
+        # chunks j=0,1 prefetch at each layer's FIRST grid step (they
+        # depend only on scalar-prefetched lengths; the new-row HBM race
+        # is patched in VMEM either way) — the whole Wqkv phase covers
+        # their latency. Later chunks chain: step j issues j+2.
+        if "ropeq" not in _ablate:
+            @pl.when(s == 0)
+            def _():
+                for j0 in range(min(2, Jtot)):
+                    _start_copies(_chunk_copies(j0, j0 // n_sc, j0 % n_sc))
 
         @pl.when(s == T1)
         def _():
@@ -398,10 +429,20 @@ def _layer_kernel(
 
             cosA = cosf_ref[...]
             sinA = sinf_ref[...]
-            qrope[...] = rope_rows(
+            q2 = rope_rows(
                 qkvA[:, :HD].reshape(Bp * Hq, D),
                 expand_rows(cosA, Hq), expand_rows(sinA, Hq),
-            ).reshape(Bp, Hq, D)
+            )  # (Bp*Hq, D)
+            # block-diagonal Q^T operand for the chunked score dots, built
+            # ONCE per layer (a per-chunk-step rebuild costs ~1 us each —
+            # 16 steps/layer at B=32)
+            qw = jnp.tile(q2.astype(jnp.bfloat16), (1, Hkv))
+            col_h = jax.lax.broadcasted_iota(
+                jnp.int32, (Bp * Hq, Hkv * D), 1) // D
+            row_h = (jax.lax.broadcasted_iota(
+                jnp.int32, (Bp * Hq, Hkv * D), 0) % Hq) // n_rep
+            qbdT[...] = jnp.where(col_h == row_h, qw,
+                                  jnp.zeros((), jnp.bfloat16))
             kr = rope_rows(
                 qkvA[:, HD:HD + KVD].reshape(Bp * Hkv, D),
                 expand_rows(cosA, Hkv), expand_rows(sinA, Hkv))
@@ -454,58 +495,143 @@ def _layer_kernel(
             for cp in writes:
                 cp.start()
 
-        # ---- attention group steps: rows [g*gb, (g+1)*gb) per step -------
-        in_p2b = (s >= T1) & (s < T1 + T2)
+        # ---- flash chunk steps: (group, chunk) per grid step --------------
+        in_p2b = (s >= T1 + 1) & (s < T1 + 1 + Jtot)
+        hgq = hg * n_rep
 
         @pl.when(in_p2b)
         def _():
             if "ropeq" in _ablate:  # whole phase ablated (exp22)
                 return
-            gbi = s - T1
-            single = n_bgroups == 1  # static: offsets/indices all static
-            if single:
-                rows = list(range(B))
-                goff = 0
-            else:
-                # gb == 8: group offsets are 8-aligned (Mosaic sublane
-                # proof); pad rows past B clamp to B-1 (their outputs
-                # land in aout rows >= B, which are discarded)
-                rows = [jnp.minimum(gbi * gb + j, B - 1)
-                        for j in range(gb)]
-                goff = pl.multiple_of(gbi * gb, gb)
+            j = s - T1 - 1
+            g = j // n_sc
+            c = j % n_sc
+            # pad rows past B clamp to B-1 for lengths/cache; their aout
+            # rows (>= B) are discarded at phase 5
+            rows = [jnp.minimum(g * gb + jr, B - 1) for jr in range(gb)]
+            len_vec = jnp.stack([len_ref[b] for b in rows])
 
-                @pl.when(gbi > 0)
+            def flash_update(p_):
+                # running-softmax update for chunk c of group g's rows
+                @pl.when(c == 0)
                 def _():
-                    for j, b_idx in enumerate(rows):
-                        _start_copies(_slab_copies(b_idx, bslab=j))
-            for j, b_idx in enumerate(rows):
-                _wait_copies(_slab_copies(b_idx, bslab=j))
-            if "patch" not in _ablate:  # timing-only ablation (exp22)
-                for j, b_idx in enumerate(rows):
-                    length = len_ref[b_idx]
-                    kslab[j, length] = krow[b_idx]
-                    vslab[j, length] = vrow[b_idx]
-                    ks_slab[j, pl.ds(length, 1)] = ksrow[b_idx]
-                    vs_slab[j, pl.ds(length, 1)] = vsrow[b_idx]
-            if "attn" not in _ablate:
-                # transposed-score batched attention: scores (gb*hgq, S)
-                # with S on MXU lanes, all VPU glue once across the
-                # group's rows (_group_attention_rows; exp22)
-                nrow = len(rows)
-                selT = _head_sel(Hp, Hq, 0, n_rep).T  # (Hq, Hp)
-                len_vec = jnp.stack([len_ref[b] for b in rows])
-                q_all = (qrope[...][:B] if single
-                         else qrope[pl.ds(goff, gb)])
-                out_rows = _group_attention_rows(
-                    kslab[...][:nrow], vslab[...][:nrow], q_all,
-                    ks_slab[...][:nrow], vs_slab[...][:nrow], len_vec,
-                    n_rep, selT)
-                if single:
-                    aout[pl.ds(0, B), :] = out_rows.reshape(B, HD)
-                else:
-                    aout[pl.ds(goff, gb), :] = out_rows.reshape(gb, HD)
+                    m_acc[...] = jnp.full_like(m_acc, -1e30)
+                    d_acc[...] = jnp.zeros_like(d_acc)
+                    o_acc[...] = jnp.zeros_like(o_acc)
+                dt = jnp.bfloat16
+                if n_bgroups == 1 or "statq" in _ablate:
+                    Qg = qbdT[...][: gb * hgq]
+                else:  # gb == 8 -> gb*hgq is sublane-aligned
+                    Qg = qbdT[pl.ds(
+                        pl.multiple_of(g * gb * hgq, gb * hgq),
+                        gb * hgq), :]
+                scores_parts, ks_parts, vs_parts = [], [], []
+                for jr in range(gb):
+                    K2c = kslab[p_, jr].reshape(sc, hg * D).astype(dt)
+                    scores_parts.append(jax.lax.dot_general(
+                        Qg[jr * hgq:(jr + 1) * hgq], K2c,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))  # (hgq, sc)
+                    ks_parts.append(jax.lax.dot_general(
+                        selT_b, ks_slab[p_, jr],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                    vs_parts.append(jax.lax.dot_general(
+                        selT_b, vs_slab[p_, jr],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                scoresT = jnp.concatenate(scores_parts, axis=0)
+                ksT = jnp.concatenate(ks_parts, axis=0)
+                vsT = jnp.concatenate(vs_parts, axis=0)
+                sel_row = (
+                    jax.lax.broadcasted_iota(jnp.int32, (gb * hgq, gb), 1)
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (gb * hgq, gb), 0) // hgq
+                ).astype(jnp.float32)
+                len_rows = jnp.dot(
+                    sel_row, len_vec.astype(jnp.float32)[:, None],
+                    preferred_element_type=jnp.float32)  # (gb*hgq, 1)
+                s_cols = (jax.lax.broadcasted_iota(
+                    jnp.int32, (gb * hgq, sc), 1) + c * sc
+                ).astype(jnp.float32)
+                valid = s_cols <= len_rows
+                scoresT = jnp.where(
+                    valid, scoresT * ksT * (1.0 / (D ** 0.5)), -1e30)
+                m_prev = m_acc[...]
+                m_new = jnp.maximum(
+                    m_prev, jnp.max(scoresT, axis=1, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(scoresT - m_new)
+                d_acc[...] = d_acc[...] * alpha + jnp.sum(
+                    p, axis=1, keepdims=True)
+                p2 = (p * jnp.where(valid, vsT, 0.0)).astype(dt)
+                out_parts = []
+                for jr in range(gb):
+                    V2c = vslab[p_, jr].reshape(sc, hg * D).astype(dt)
+                    out_parts.append(jax.lax.dot_general(
+                        p2[jr * hgq:(jr + 1) * hgq], V2c,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                o3 = jnp.concatenate(out_parts, axis=0).reshape(
+                    gb * hgq, hg, D)
+                own = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (gb * hgq, hg, 1), 1)
+                    == (jax.lax.broadcasted_iota(
+                        jnp.int32, (gb * hgq, hg, 1), 0) % hgq) // n_rep
+                )
+                o_acc[...] = o_acc[...] * alpha + jnp.sum(
+                    jnp.where(own, o3, 0.0), axis=1)
+                m_acc[...] = m_new
 
-            @pl.when(s == T1 + T2 - 1)
+            def chunk_body(p_):
+                copies = _chunk_copies(p_, g, c)
+                _wait_copies(copies)
+                if "patch" not in _ablate:  # timing-only ablation (exp22)
+                    for jr, b_idx in enumerate(rows):
+                        length = len_ref[b_idx]
+
+                        @pl.when(c == length // sc)
+                        def _(jr=jr, b_idx=b_idx, length=length):
+                            lm = length % sc
+                            kslab[p_, jr, lm] = krow[b_idx]
+                            vslab[p_, jr, lm] = vrow[b_idx]
+                            ks_slab[p_, jr, pl.ds(lm, 1)] = ksrow[b_idx]
+                            vs_slab[p_, jr, pl.ds(lm, 1)] = vsrow[b_idx]
+                if "attn" not in _ablate:
+                    # compute is SKIPPED outright past the group's longest
+                    # row — the casts/dots/glue scale with the real
+                    # context, not max_seq_len
+                    @pl.when(c * sc <= jnp.max(len_vec))
+                    def _():
+                        flash_update(p_)
+
+                # double-buffer chain: chunk j+2 streams into the buffer
+                # this step just finished reading
+                @pl.when(j + 2 < Jtot)
+                def _():
+                    _start_copies(_chunk_copies(
+                        p_, (j + 2) // n_sc, (j + 2) % n_sc))
+
+            for p_ in range(2):
+                @pl.when(j % 2 == p_)
+                def _(p_=p_):
+                    chunk_body(p_)
+
+            if "attn" not in _ablate:
+                @pl.when(c == n_sc - 1)
+                def _():
+                    # inactive tail chunks never touched m/d/o, so the
+                    # accumulators already hold the final softmax state
+                    if n_bgroups == 1:
+                        aout[pl.ds(0, gb), :] = (
+                            o_acc[...] / d_acc[...]).reshape(gb, HD)
+                    else:
+                        goff = pl.multiple_of(g * gb, gb)
+                        aout[pl.ds(goff, gb), :] = (
+                            o_acc[...] / d_acc[...]).reshape(gb, HD)
+
+            @pl.when(s == T1 + Jtot)
             def _():
                 # the KV row writes started at the rope/quant step; all
                 # attention reads went through the patched slabs, so the
@@ -819,13 +945,17 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None):
     # or a tp mesh anyway.
     if gs <= 0 or B > 32 or D % 128 or Fp < F:
         return False
-    if B > 8:
-        # batched attention runs in groups of 8 rows (aligned slab
-        # offsets); the whole-batch VMEM gate moves to the group size
+    if B > 1:
+        # batched flash-chunked attention: ping-pong chunk buffers + the
+        # block-diagonal Q^T scratch are the VMEM-relevant allocations
+        # (the full-S slabs are gone — VMEM no longer scales with s_max)
         S = s_max or cfg.max_seq_len
+        SC = 128 if S % 128 == 0 else S
         Hp = 128 if Hkv < 128 else Hkv
-        slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
-        if 8 * slab_bytes > 40 * 1024 * 1024:
+        gb = B if B <= 8 else 8
+        chunk_bytes = SC * Hkv * D * 2 + SC * Hp * 4 * 2
+        qbd_bytes = max(8, B) * Hq * Hkv * D * 2
+        if 2 * gb * chunk_bytes + qbd_bytes > 48 * 1024 * 1024:
             return False
     if Hkv % 4:
         # the per-token KV row write DMAs a (Hkv, D) int8 slice; Mosaic
@@ -932,23 +1062,26 @@ def _fused_call(x, pos, cos, sin, li,
     n_groups = 1
 
     # batched attention: rope/quant (B*H, D)-vectorized at one step, then
-    # the rows processed in GROUPS of gb <= 8 — one grid step per group,
-    # the (gb, S, ...) slab scratch reused between groups. B <= 8 keeps
-    # the original one-step whole-batch behavior (gb = B); B up to 64
+    # FLASH-CHUNKED (group, chunk) grid steps — rows in GROUPS of gb <= 8,
+    # each group's KV walked in SC-row chunks through ping-pong
+    # (2, gb, SC, ...) buffers (loads double-buffered across steps,
+    # compute skipped outright past the group's longest row). B up to 32
     # rides the same megakernel instead of falling to per-matmul kernels
     # (which re-stream weights per launch: 885 tok/s at B=32 vs the
     # megakernel's single weight stream per step).
-    slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
     # gb must be 8 (sublane-aligned group offsets) or the whole batch
     gb = B if B <= 8 else 8
     n_bgroups = -(-B // gb)
+    n_sc_host = S // SC
+    chunk_bytes = SC * Hkv * D * 2 + SC * Hp * 4 * 2
+    qbd_bytes = max(8, B) * Hq * Hkv * D * 2
     batched = (
         B > 1
         and n_groups == 1
         and _n_phases >= 2
-        and gb * slab_bytes <= 40 * 1024 * 1024
+        and 2 * gb * chunk_bytes + qbd_bytes <= 48 * 1024 * 1024
     )
-    slab_lead = (gb,) if batched else ()
+    slab_lead = (2, gb) if batched else ()
 
     KB1, NT1 = _fused_tiles(dim, Nq, gs)
     KB3, NT3 = _fused_tiles(HD, dim, gs)
@@ -962,7 +1095,10 @@ def _fused_call(x, pos, cos, sin, li,
     G83 = _sz_layout(HD // gs, KB3 // gs, so.dtype)
     G84 = _sz_layout(dim // gs, KB4 // gs, s13.dtype)
     G85 = _sz_layout(Fp // gs, KB5 // gs, s2.dtype)
-    T1, T2, T3 = n1_t * k1_t, (n_bgroups if batched else B * n_groups), k3_t
+    T1 = n1_t * k1_t
+    # batched: 1 rope/quant step + one step per (group, chunk)
+    T2 = (1 + n_bgroups * n_sc_host) if batched else B * n_groups
+    T3 = k3_t
     T4, T5 = n4_t * k4_t, k5_t
     T = T1 + T2 + T3 + T4 + T5
     # _n_phases < 5 truncates the grid after that phase — timing-only knob
@@ -1156,10 +1292,14 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad, NT3), jnp.float32),  # acco
             pltpu.VMEM((B_pad, NT4), jnp.float32),  # acc13
             pltpu.VMEM((B_pad, NT5), jnp.float32),  # acc2
-            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # k slab
-            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # v slab
-            pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # ks slab
-            pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # vs slab
+            pltpu.VMEM(slab_lead + (SC if batched else S, Hkv, D),
+                       jnp.int8),                           # k slab
+            pltpu.VMEM(slab_lead + (SC if batched else S, Hkv, D),
+                       jnp.int8),                           # v slab
+            pltpu.VMEM(slab_lead + (SC if batched else S, Hp),
+                       jnp.float32),                        # ks slab
+            pltpu.VMEM(slab_lead + (SC if batched else S, Hp),
+                       jnp.float32),                        # vs slab
             # batched: ALL rows' kv rows / scale rows, 3-D so per-row DMA
             # srcs slice the UNTILED leading dim
             pltpu.VMEM((B_pad, Hkv, D) if batched else (Hkv, D),
@@ -1170,7 +1310,16 @@ def _fused_call(x, pos, cos, sin, li,
                        jnp.float32),               # k scale row(s)
             pltpu.VMEM((B_pad, 1, Hp) if batched else (1, Hp),
                        jnp.float32),               # v scale row(s)
-        ] + ([pltpu.VMEM((B_pad, Hq, D), jnp.float32)] if batched else [])
+        ] + ([
+            # batched flash-attention state: block-diagonal Q^T (built once
+            # per layer at the rope step) + running softmax accumulators +
+            # per-buffer chunk-load semaphores
+            pltpu.VMEM((B_pad * Hq, Hkv * D), jnp.bfloat16),  # qbdT
+            pltpu.VMEM((gb * Hq, 1), jnp.float32),            # m_acc
+            pltpu.VMEM((gb * Hq, 1), jnp.float32),            # d_acc
+            pltpu.VMEM((gb * Hq, D), jnp.float32),            # o_acc
+            pltpu.SemaphoreType.DMA((2, 4)),                  # csem
+        ] if batched else [])
         + [pltpu.SemaphoreType.DMA((8,))] + stream_scratch,
     )
     out, k2, v2, ks2, vs2 = pl.pallas_call(
@@ -1182,7 +1331,8 @@ def _fused_call(x, pos, cos, sin, li,
             debug_out=debug_out,
             prefetch_slabs=(B == 1 and _n_phases >= 2 and not batched),
             paged=paged, sc=SC, signed=signed, stream=stream,
-            stream_ns=stream_ns, batched=batched, gb=gb, _ablate=_ablate,
+            stream_ns=stream_ns, batched=batched, gb=gb, s_full=S,
+            _ablate=_ablate,
         ),
         grid_spec=grid_spec,
         out_shape=[

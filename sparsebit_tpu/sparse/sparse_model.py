@@ -130,6 +130,13 @@ class SparseModel:
     def params(self):
         return self.graph.collect_params()
 
+    def load_params(self, params):
+        """Write a trained params pytree back into the stateful modules
+        (the sparse-finetune loops thread params functionally, then commit
+        here before re-running calc_params / eval)."""
+        self.graph.load_params(params)
+        self._jit_cache.clear()
+
     def train(self, mode=True):
         for node in self.graph.op_nodes:
             node.op.train(mode)

@@ -184,18 +184,22 @@ def test_fused_decoder_layers_matches_sequential(layout):
 
 
 @pytest.mark.parametrize(
-    "B,k_pad,sz_bf16",
-    [(1, None, False), (2, None, False), (1, 256, False), (1, None, True),
+    "B,k_pad,sz_bf16,S",
+    [(1, None, False, 64), (2, None, False, 64), (1, 256, False, 64),
+     (1, None, True, 64),
      # B=12: MULTI-GROUP batched attention (two 8-row group steps with
      # clamped pad rows in the second — the B>8 megakernel regime)
-     (12, None, False)],
+     (12, None, False, 64),
+     # S=256: MULTI-CHUNK flash attention (2 chunk steps/group, running
+     # softmax accumulators, double-buffered chunk loads) — the round-4
+     # batched regime; S=64 is a single chunk and never exercises it
+     (2, None, False, 256), (12, None, False, 256)],
 )
-def test_fused_decoder_layer_matches_oracle(B, k_pad, sz_bf16):
+def test_fused_decoder_layer_matches_oracle(B, k_pad, sz_bf16, S):
     cfg = _mk_cfg()
     gs = 64
     assert fused_layer_supported(cfg, gs, B)
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
-    S = 64
     key = jax.random.PRNGKey(0)
     q, an, fn = _build(cfg, gs, key)
     if sz_bf16:
