@@ -341,6 +341,30 @@ class QuantLinear:
             self.bwd_wq, self.bwd_scale,
         )
 
+    def with_plane_serving(self, drop_fold=True):
+        """Return a copy carrying the TRUE-width plane-concat serving
+        array ("pl", ops/packing.pack_planes_serving) for 3/2-bit
+        weights: the megakernel streams the real 3 (2) bits/weight —
+        int3-g128 7B ≈ 2.9 GB/token vs the nibble container's 3.7
+        (round-4 VERDICT #3; reference cuda_kernel_3bit.cu). The unpack
+        is in-kernel shift/mask (VPU) instead of the nibble container's
+        free bitcast — bytes/token vs unpack cost is measured in
+        docs/perf_notes.md; serving picks per deployment via
+        prepare_params_host(sub4="planes"|"nibble")."""
+        from sparsebit_tpu.ops.packing import (
+            pack_planes_serving, unpack_columns)
+
+        if self.bits not in (2, 3) or "pl" in self.packed:
+            return self
+        codes = unpack_columns(self.packed, self.bits, self.n_padded)
+        packed = {} if drop_fold else dict(self.packed)
+        packed["pl"] = pack_planes_serving(codes, self.bits)
+        return QuantLinear(
+            packed, self.scales, self.zeros, self.bits, self.groupsize,
+            self.out_features, self.bias, self.impl, self.perm,
+            self.bwd_wq, self.bwd_scale,
+        )
+
     def with_sz_dtype(self, dtype=jnp.bfloat16):
         """Return a copy whose scales/zeros are stored in ``dtype``
         (serving layout: bf16 halves the qparam stream — at 7B INT4-g128

@@ -131,6 +131,52 @@ def _mm_step(xq_ref, w_ref, s_ref, z_ref, acc_ref, k, col_off, *, gs, GB, G8,
     acc_ref[...] += acc
 
 
+def _mm_step_planes(xq_ref, w_ref, s_ref, z_ref, acc_ref, k, col_off, *,
+                    gs, GB, G8, bits, NP):
+    """One TRUE-width sub-4-bit k-step: ``w_ref`` is a (1, KB, W) plane
+    window (pack_planes_serving: 3-bit [low2|high1] concat, W = 3N/8;
+    2-bit fold array, W = N/4) streamed at the real bit width. Tiles are
+    FULL-N (plane p covers output columns [p*NP, (p+1)*NP), so column
+    tiling would have to align to N/8 anyway); the unpack is shift/mask
+    at i32 lane granularity (VPU) — the bytes-vs-unpack tradeoff against
+    the free-bitcast nibble container is measured, not assumed
+    (docs/perf_notes.md round 4). Epilogue matches _mm_step exactly
+    (unsigned codes, so no zshift)."""
+    wt = w_ref[0] if len(w_ref.shape) == 3 else w_ref[...]
+    KB = wt.shape[-2]
+    xb = xq_ref[:, pl.ds(col_off, KB)]  # (B, KB) int8
+    w32 = wt.astype(jnp.int32)
+    n_planes = 8 if bits == 3 else 4
+    if bits == 3:
+        lo32 = w32[:, : 2 * NP]   # (KB, N/4)
+        hi32 = w32[:, 2 * NP:]    # (KB, N/8)
+    for j in range(n_planes):
+        if bits == 3:
+            jl, half = j // 2, j % 2
+            codes_i = (
+                (lo32[:, half * NP:(half + 1) * NP] >> (2 * jl)) & 3
+            ) | (((hi32 >> j) & 1) << 2)
+        else:
+            codes_i = (w32 >> (bits * j)) & ((1 << bits) - 1)
+        codes = codes_i.astype(jnp.int8)  # (KB, NP)
+        acc = None
+        for g in range(GB):
+            xg = xb[:, g * gs: (g + 1) * gs]
+            cg = codes[g * gs: (g + 1) * gs, :]
+            dot_g = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            xsum = jnp.sum(xg.astype(jnp.int32), axis=1,
+                           keepdims=True).astype(jnp.float32)
+            sg, zg = _sz_rows(s_ref, z_ref, k, g, GB, G8, lead=(0,))
+            sgj = sg[:, j * NP:(j + 1) * NP]
+            zgj = zg[:, j * NP:(j + 1) * NP]
+            contrib = (dot_g - xsum * zgj) * sgj
+            acc = contrib if acc is None else acc + contrib
+        acc_ref[:, j * NP:(j + 1) * NP] += acc
+
+
 def _layer_kernel(
     li_ref, len_ref, bt_ref,
     x_ref, an_ref, fn_ref, cosf_ref, sinf_ref,
@@ -145,7 +191,7 @@ def _layer_kernel(
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False, paged=False, sc=128,
     signed=False, stream=False, stream_ns=(2, 2, 2, 2), batched=False,
-    gb=0, s_full=0, _ablate="",
+    gb=0, s_full=0, wbits=4, np_t=(0, 0, 0, 0), _ablate="",
 ):
     # trailing scratch: [qbdT + flash accs + chunk sems (batched only)],
     # sems, [stream ring bufs + wsem (stream only)]
@@ -160,7 +206,26 @@ def _layer_kernel(
     # layer boundaries.
     l = pl.program_id(0)
     s = pl.program_id(1)
-    li0 = li_ref[0] + l
+    li0 = li_ref[0] + l       # weight-stack layer index
+    lic = li_ref[1] + l       # CACHE layer index (differs under the
+    # segmented mixed-precision scan: per-segment weight stacks walk from
+    # 0 while the cache stack is whole-model)
+    plane = wbits in (2, 3)
+
+    def _mm(xq, w_ref_, s_ref_, z_ref_, acc_, k_, G8_, npx):
+        """One matmul k-step: row-pair 4-bit (free bitcast) or TRUE-width
+        2/3-bit plane window (_mm_step_planes)."""
+        if plane:
+            KBp = w_ref_.shape[-2]
+            _mm_step_planes(
+                xq, w_ref_, s_ref_, z_ref_, acc_, k_,
+                pl.multiple_of(k_ * KBp, KBp), gs=gs, GB=KBp // gs,
+                G8=G8_, bits=wbits, NP=npx)
+        else:
+            KBx = _kb_of(w_ref_)
+            _mm_step(xq, w_ref_, s_ref_, z_ref_, acc_, k_,
+                     pl.multiple_of(k_ * KBx, KBx), gs=gs, GB=KBx // gs,
+                     G8=G8_, signed=signed)
 
     @pl.when((l == 0) & (s == 0))
     def _():
@@ -275,10 +340,7 @@ def _layer_kernel(
             _stream_mm("wq", s, xq8, sq_ref, zq_ref, accq, k,
                        pl.multiple_of(k * KB, KB), KB // gs, G81)
         else:
-            KB = _kb_of(wq_ref)
-            _mm_step(xq8, wq_ref, sq_ref, zq_ref, accq, k,
-                     pl.multiple_of(k * KB, KB), gs=gs, GB=KB // gs, G8=G81,
-                     signed=signed)
+            _mm(xq8, wq_ref, sq_ref, zq_ref, accq, k, G81, np_t[0])
 
         @pl.when(k == k1_t - 1)
         def _():
@@ -313,11 +375,11 @@ def _layer_kernel(
                 # the index is SMEM scalar arithmetic, the DMA itself is
                 # identical to the contiguous case)
                 blk = bt_ref[b, c]
-                srcs = (k_hbm.at[li0, blk], v_hbm.at[li0, blk],
-                        ks_hbm.at[li0, blk], vs_hbm.at[li0, blk])
+                srcs = (k_hbm.at[lic, blk], v_hbm.at[lic, blk],
+                        ks_hbm.at[lic, blk], vs_hbm.at[lic, blk])
             else:
-                srcs = (k_hbm.at[li0, b, sl], v_hbm.at[li0, b, sl],
-                        ks_hbm.at[li0, b, sl], vs_hbm.at[li0, b, sl])
+                srcs = (k_hbm.at[lic, b, sl], v_hbm.at[lic, b, sl],
+                        ks_hbm.at[lic, b, sl], vs_hbm.at[lic, b, sl])
             dsts = (kslab.at[sl], vslab.at[sl],
                     ks_slab.at[sl], vs_slab.at[sl])
             for i, (src, dst) in enumerate(zip(srcs, dsts)):
@@ -378,14 +440,14 @@ def _layer_kernel(
                 cond = (c * sc) <= length
                 if paged:
                     blk = bt_ref[b_idx, c]
-                    srcs = (k_hbm.at[li0, blk], v_hbm.at[li0, blk],
-                            ks_hbm.at[li0, blk], vs_hbm.at[li0, blk])
+                    srcs = (k_hbm.at[lic, blk], v_hbm.at[lic, blk],
+                            ks_hbm.at[lic, blk], vs_hbm.at[lic, blk])
                 else:
                     slc = pl.ds(c * sc, sc)
-                    srcs = (k_hbm.at[li0, b_idx, slc],
-                            v_hbm.at[li0, b_idx, slc],
-                            ks_hbm.at[li0, b_idx, slc],
-                            vs_hbm.at[li0, b_idx, slc])
+                    srcs = (k_hbm.at[lic, b_idx, slc],
+                            v_hbm.at[lic, b_idx, slc],
+                            ks_hbm.at[lic, b_idx, slc],
+                            vs_hbm.at[lic, b_idx, slc])
                 dsts = (kslab.at[buf, jr], vslab.at[buf, jr],
                         ks_slab.at[buf, jr], vs_slab.at[buf, jr])
                 for i, (src, dst) in enumerate(zip(srcs, dsts)):
@@ -446,7 +508,7 @@ def _layer_kernel(
             kr = rope_rows(
                 qkvA[:, HD:HD + KVD].reshape(Bp * Hkv, D),
                 expand_rows(cosA, Hkv), expand_rows(sinA, Hkv))
-            vr = qkvA[:, HD + KVD:].reshape(Bp * Hkv, D)
+            vr = qkvA[:, HD + KVD:HD + 2 * KVD].reshape(Bp * Hkv, D)
             ksc = jnp.maximum(
                 jnp.max(jnp.abs(kr), axis=1, keepdims=True), 1e-8) / 127.0
             vsc = jnp.maximum(
@@ -475,21 +537,21 @@ def _layer_kernel(
                 writes += [
                     pltpu.make_async_copy(
                         krow.at[b],
-                        (ko_hbm.at[li0, blk_w, row_w] if paged
-                         else ko_hbm.at[li0, b, length]), sems.at[0]),
+                        (ko_hbm.at[lic, blk_w, row_w] if paged
+                         else ko_hbm.at[lic, b, length]), sems.at[0]),
                     pltpu.make_async_copy(
                         vrow.at[b],
-                        (vo_hbm.at[li0, blk_w, row_w] if paged
-                         else vo_hbm.at[li0, b, length]), sems.at[1]),
+                        (vo_hbm.at[lic, blk_w, row_w] if paged
+                         else vo_hbm.at[lic, b, length]), sems.at[1]),
                     pltpu.make_async_copy(
                         ksrow.at[b],
-                        (kso_hbm.at[li0, blk_w, pl.ds(row_w, 1)] if paged
-                         else kso_hbm.at[li0, b, pl.ds(length, 1)]),
+                        (kso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
+                         else kso_hbm.at[lic, b, pl.ds(length, 1)]),
                         sems.at[2]),
                     pltpu.make_async_copy(
                         vsrow.at[b],
-                        (vso_hbm.at[li0, blk_w, pl.ds(row_w, 1)] if paged
-                         else vso_hbm.at[li0, b, pl.ds(length, 1)]),
+                        (vso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
+                         else vso_hbm.at[lic, b, pl.ds(length, 1)]),
                         sems.at[3]),
                 ]
             for cp in writes:
@@ -645,23 +707,23 @@ def _layer_kernel(
                     wr = [
                         pltpu.make_async_copy(
                             krow.at[b],
-                            (ko_hbm.at[li0, blk_w, row_w] if paged
-                             else ko_hbm.at[li0, b, length]), sems.at[0]),
+                            (ko_hbm.at[lic, blk_w, row_w] if paged
+                             else ko_hbm.at[lic, b, length]), sems.at[0]),
                         pltpu.make_async_copy(
                             vrow.at[b],
-                            (vo_hbm.at[li0, blk_w, row_w] if paged
-                             else vo_hbm.at[li0, b, length]), sems.at[1]),
+                            (vo_hbm.at[lic, blk_w, row_w] if paged
+                             else vo_hbm.at[lic, b, length]), sems.at[1]),
                         pltpu.make_async_copy(
                             ksrow.at[b],
-                            (kso_hbm.at[li0, blk_w, pl.ds(row_w, 1)]
+                            (kso_hbm.at[lic, blk_w, pl.ds(row_w, 1)]
                              if paged
-                             else kso_hbm.at[li0, b, pl.ds(length, 1)]),
+                             else kso_hbm.at[lic, b, pl.ds(length, 1)]),
                             sems.at[2]),
                         pltpu.make_async_copy(
                             vsrow.at[b],
-                            (vso_hbm.at[li0, blk_w, pl.ds(row_w, 1)]
+                            (vso_hbm.at[lic, blk_w, pl.ds(row_w, 1)]
                              if paged
-                             else vso_hbm.at[li0, b, pl.ds(length, 1)]),
+                             else vso_hbm.at[lic, b, pl.ds(length, 1)]),
                             sems.at[3]),
                     ]
                     for cp in wr:
@@ -706,7 +768,7 @@ def _layer_kernel(
             kr = rope_rows(
                 qkvb[:, HD:HD + KVD].reshape(Hkv, D), cosb, sinb
             )  # (Hkv, D)
-            vr = qkvb[:, HD + KVD:].reshape(Hkv, D)
+            vr = qkvb[:, HD + KVD:HD + 2 * KVD].reshape(Hkv, D)
             ksc = jnp.maximum(
                 jnp.max(jnp.abs(kr), axis=1, keepdims=True), 1e-8
             ) / 127.0  # (Hkv, 1)
@@ -738,21 +800,21 @@ def _layer_kernel(
             row_writes = [
                 pltpu.make_async_copy(
                     krow,
-                    (ko_hbm.at[li0, blk_w, row_w] if paged
-                     else ko_hbm.at[li0, b, length]), sems.at[0]),
+                    (ko_hbm.at[lic, blk_w, row_w] if paged
+                     else ko_hbm.at[lic, b, length]), sems.at[0]),
                 pltpu.make_async_copy(
                     vrow,
-                    (vo_hbm.at[li0, blk_w, row_w] if paged
-                     else vo_hbm.at[li0, b, length]), sems.at[1]),
+                    (vo_hbm.at[lic, blk_w, row_w] if paged
+                     else vo_hbm.at[lic, b, length]), sems.at[1]),
                 pltpu.make_async_copy(
                     ksrow,
-                    (kso_hbm.at[li0, blk_w, pl.ds(row_w, 1)] if paged
-                     else kso_hbm.at[li0, b, pl.ds(length, 1)]),
+                    (kso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
+                     else kso_hbm.at[lic, b, pl.ds(length, 1)]),
                     sems.at[2]),
                 pltpu.make_async_copy(
                     vsrow,
-                    (vso_hbm.at[li0, blk_w, pl.ds(row_w, 1)] if paged
-                     else vso_hbm.at[li0, b, pl.ds(length, 1)]),
+                    (vso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
+                     else vso_hbm.at[lic, b, pl.ds(length, 1)]),
                     sems.at[3]),
             ]
             loads = _slab_copies(b)
@@ -827,14 +889,11 @@ def _layer_kernel(
             _stream_mm("wo", k, a8, so_ref, zo_ref, acco, k,
                        pl.multiple_of(k * KB, KB), KB // gs, G83)
         else:
-            KB = _kb_of(wo_ref)
-            _mm_step(a8, wo_ref, so_ref, zo_ref, acco, k,
-                     pl.multiple_of(k * KB, KB), gs=gs, GB=KB // gs, G8=G83,
-                     signed=signed)
+            _mm(a8, wo_ref, so_ref, zo_ref, acco, k, G83, np_t[1])
 
         @pl.when(k == T3 - 1)
         def _():
-            xm = xcur[...] + acco[...] * as_[...]
+            xm = xcur[...] + (acco[...] * as_[...])[:, :dim]
             xmid[...] = xm
             xn = _norm_row(fn_ref, li0, eps, xm)
             q, sc = _quant_rows(xn)
@@ -858,10 +917,7 @@ def _layer_kernel(
             _stream_mm("w13", t, xq8, s13_ref, z13_ref, acc13, k,
                        pl.multiple_of(k * KB, KB), KB // gs, G84)
         else:
-            KB = _kb_of(w13_ref)
-            _mm_step(xq8, w13_ref, s13_ref, z13_ref, acc13, k,
-                     pl.multiple_of(k * KB, KB), gs=gs, GB=KB // gs, G8=G84,
-                     signed=signed)
+            _mm(xq8, w13_ref, s13_ref, z13_ref, acc13, k, G84, np_t[2])
 
         @pl.when(k == k4_t - 1)
         def _():
@@ -877,7 +933,7 @@ def _layer_kernel(
     @pl.when(s == T_pre)
     def _():
         h = h1[...]
-        g_, u_ = h[:, :F], h[:, F:]
+        g_, u_ = h[:, :F], h[:, F:2 * F]  # cols past 2F: plane-mode N pad
         a = (g_ * jax.nn.sigmoid(g_)) * u_
         q, sc = _quant_rows(a)
         F_pad = g8buf.shape[-1]  # W2 may be K-padded (with_k_pad): zero
@@ -899,14 +955,11 @@ def _layer_kernel(
             _stream_mm("w2", k, g8buf, s2_ref, z2_ref, acc2, k,
                        pl.multiple_of(k * KB, KB), KB // gs, G85)
         else:
-            KB = _kb_of(w2_ref)
-            _mm_step(g8buf, w2_ref, s2_ref, z2_ref, acc2, k,
-                     pl.multiple_of(k * KB, KB), gs=gs, GB=KB // gs, G8=G85,
-                     signed=signed)
+            _mm(g8buf, w2_ref, s2_ref, z2_ref, acc2, k, G85, np_t[3])
 
         @pl.when(k == k5_t - 1)
         def _():
-            out = xmid[...] + acc2[...] * gs8[...]
+            out = xmid[...] + (acc2[...] * gs8[...])[:, :dim]
             if B != out.shape[0]:
                 # zero the batch-pad rows: attention never writes them, so
                 # they carry VMEM garbage (inf/nan) through the row-local
@@ -997,7 +1050,8 @@ def fused_decoder_layer(x, pos, cos, sin, li,
 def fused_decoder_layers(x, pos, cos, sin,
                          wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
                          attn_norm, ffn_norm, k, v, ks, vs,
-                         cfg, gs, interpret=False, bt=None, signed=False):
+                         cfg, gs, interpret=False, bt=None, signed=False,
+                         wbits=4, li_cache=0):
     """The WHOLE backbone in one launch: grid (n_layers, T) walks every
     decoder layer's five phases with the activation row carried in VMEM
     scratch between layers. vs. one launch per layer this saves the
@@ -1017,7 +1071,8 @@ def fused_decoder_layers(x, pos, cos, sin,
         x, pos, cos, sin, jnp.int32(0), wq, sq, zq, wo, so, zo,
         w13, s13, z13, w2, s2, z2, attn_norm, ffn_norm, k, v, ks, vs,
         cfg, gs, interpret=interpret, debug_out=None, _n_phases=5,
-        n_grid_layers=k.shape[0], bt=bt, signed=signed,
+        n_grid_layers=attn_norm.shape[0], bt=bt, signed=signed,
+        wbits=wbits, li_cache=jnp.int32(li_cache),
     )
 
 
@@ -1026,12 +1081,13 @@ def _fused_call(x, pos, cos, sin, li,
                 attn_norm, ffn_norm, k, v, ks, vs,
                 cfg, gs, interpret=False, debug_out=None,
                 _n_phases=5, n_grid_layers=1, bt=None, signed=False,
-                _ablate=""):
+                wbits=4, li_cache=None, _ablate=""):
     B, dim = x.shape
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     F = cfg.ffn_dim
-    rowpair = wq.dtype == jnp.uint8  # pack_u4_rows serving layout
-    assert all((w.dtype == jnp.uint8) == rowpair for w in (wo, w13, w2))
+    plane = wbits in (2, 3)  # TRUE-width sub-4-bit plane windows
+    rowpair = wq.dtype == jnp.uint8 and not plane  # pack_u4_rows layout
+    assert all(w.dtype == jnp.uint8 for w in (wo, w13, w2)) or not rowpair
     # each phase's scale/zero pair shares one BlockSpec window size, which
     # is picked from the SCALE dtype — the pair must match
     assert all(s.dtype == z.dtype for s, z in
@@ -1083,14 +1139,37 @@ def _fused_call(x, pos, cos, sin, li,
     )
     slab_lead = (2, gb) if batched else ()
 
-    KB1, NT1 = _fused_tiles(dim, Nq, gs)
-    KB3, NT3 = _fused_tiles(HD, dim, gs)
-    KB4, NT4 = _fused_tiles(dim, 2 * F, gs)
-    KB5, NT5 = _fused_tiles(Fp, dim, gs)
-    k1_t, n1_t = dim // KB1, Nq // NT1
+    if plane:
+        # TRUE-width 2/3-bit: FULL-N tiles, k-only steps (a plane covers
+        # output columns [p*NP, (p+1)*NP) — column tiling would have to
+        # align to N/8). Logical (possibly lane-padded) N per operand
+        # rides the scale arrays' trailing dim.
+        def _tiles_p(K, N):
+            ng = K // gs
+            d = ng
+            while d > 1 and (d * gs * N > _FUSED_TILE_BUDGET
+                             or d * gs > _FUSED_K_CAP or (ng % d)):
+                d -= 1
+            return d * gs, N
+
+        Nq_s, N13_s = sq.shape[-1], s13.shape[-1]
+        KB1, NT1 = _tiles_p(dim, Nq_s)
+        KB3, NT3 = _tiles_p(HD, so.shape[-1])
+        KB4, NT4 = _tiles_p(dim, N13_s)
+        KB5, NT5 = _tiles_p(Fp, s2.shape[-1])
+    else:
+        Nq_s, N13_s = Nq, 2 * F
+        KB1, NT1 = _fused_tiles(dim, Nq, gs)
+        KB3, NT3 = _fused_tiles(HD, dim, gs)
+        KB4, NT4 = _fused_tiles(dim, 2 * F, gs)
+        KB5, NT5 = _fused_tiles(Fp, dim, gs)
+    k1_t, n1_t = dim // KB1, Nq_s // NT1
     k3_t = HD // KB3
-    k4_t, n4_t = dim // KB4, (2 * F) // NT4
+    k4_t, n4_t = dim // KB4, N13_s // NT4
     k5_t = Fp // KB5
+    n_planes = {3: 8, 2: 4}.get(wbits, 1)
+    np_t = ((NT1 // n_planes, NT3 // n_planes,
+             NT4 // n_planes, NT5 // n_planes) if plane else (0, 0, 0, 0))
     G81 = _sz_layout(dim // gs, KB1 // gs, sq.dtype)
     G83 = _sz_layout(HD // gs, KB3 // gs, so.dtype)
     G84 = _sz_layout(dim // gs, KB4 // gs, s13.dtype)
@@ -1104,7 +1183,10 @@ def _fused_call(x, pos, cos, sin, li,
     # _n_phases < 5 truncates the grid after that phase — timing-only knob
     # for per-phase profiling (outputs are garbage unless _n_phases == 5)
     T_grid = [T1, T1 + T2, T1 + T2 + T3, T1 + T2 + T3 + T4, T][_n_phases - 1]
-    Wn = 8 if Lx >= 8 else Lx
+    # norm-stack window rows follow the WEIGHT stack depth (differs from
+    # the cache depth Lx under the segmented mixed-precision scan)
+    Ln = attn_norm.shape[0]
+    Wn = 8 if Ln >= 8 else Ln
 
     # manual weight streaming (ring buffers + explicit DMA — see the
     # kernel comment) only covers the u8 row-pair serving layout; the grid
@@ -1217,6 +1299,15 @@ def _fused_call(x, pos, cos, sin, li,
         wo_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         w13_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         w2_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    elif plane:
+        # packed plane windows: 3N/8 (3-bit) or N/4 (2-bit) columns
+        def _wcols(NT):
+            return 3 * NT // 8 if wbits == 3 else NT // 4
+
+        wq_spec = pl.BlockSpec((1, KB1, _wcols(NT1)), wq_w)
+        wo_spec = pl.BlockSpec((1, KB3, _wcols(NT3)), wo_w)
+        w13_spec = pl.BlockSpec((1, KB4, _wcols(NT4)), w13_w)
+        w2_spec = pl.BlockSpec((1, KB5, _wcols(NT5)), w2_w)
     else:
         wq_spec = pl.BlockSpec((1, KB1 // kdiv, NT1), wq_w)
         wo_spec = pl.BlockSpec((1, KB3 // kdiv, NT3), wo_w)
@@ -1280,12 +1371,12 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad, dim), jnp.float32),  # xcur (carried act row)
             pltpu.VMEM((B_pad, dim), jnp.int8),    # xq8
             pltpu.VMEM((B_pad, 1), jnp.float32),   # xs
-            pltpu.VMEM((B_pad, Nq), jnp.float32),  # qkv
+            pltpu.VMEM((B_pad, Nq_s), jnp.float32),  # qkv (plane: N-pad)
             pltpu.VMEM((B_pad, HD), jnp.float32),  # attn out
             pltpu.VMEM((B_pad, HD), jnp.int8),     # a8 (wo input)
             pltpu.VMEM((B_pad, 1), jnp.float32),   # as_
             pltpu.VMEM((B_pad, dim), jnp.float32),  # xmid
-            pltpu.VMEM((B_pad, 2 * F), jnp.float32),  # h1
+            pltpu.VMEM((B_pad, N13_s), jnp.float32),  # h1 (plane: N-pad)
             pltpu.VMEM((B_pad, Fp), jnp.int8),     # g8 (w2 input; K-padded)
             pltpu.VMEM((B_pad, 1), jnp.float32),   # gs8
             pltpu.VMEM((B_pad, NT1), jnp.float32),  # accq
@@ -1332,7 +1423,7 @@ def _fused_call(x, pos, cos, sin, li,
             prefetch_slabs=(B == 1 and _n_phases >= 2 and not batched),
             paged=paged, sc=SC, signed=signed, stream=stream,
             stream_ns=stream_ns, batched=batched, gb=gb, s_full=S,
-            _ablate=_ablate,
+            wbits=wbits, np_t=np_t, _ablate=_ablate,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1354,7 +1445,10 @@ def _fused_call(x, pos, cos, sin, li,
                 "SBT_FUSED_VMEM", 100 * 1024 * 1024)),
         ),
         interpret=interpret,
-    )(jnp.reshape(li, (1,)).astype(jnp.int32), pos.astype(jnp.int32),
+    )(jnp.stack([jnp.reshape(li, ()).astype(jnp.int32),
+                 jnp.reshape(li if li_cache is None else li_cache,
+                             ()).astype(jnp.int32)]),
+      pos.astype(jnp.int32),
       bt_arr,
       x, attn_norm, ffn_norm, cos, sin,
       wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2, k, v, ks, vs)

@@ -194,6 +194,10 @@ def unpack_columns(packed, bits, N):
     if bits == 4 and "s4r" in packed and "w" not in packed:
         # signed row-pair serving layout as the sole container
         return unpack_s4_rows(packed["s4r"])
+    if bits in (2, 3) and "pl" in packed and "w" not in packed \
+            and "low2" not in packed:
+        # plane-concat serving layout as the sole container
+        return unpack_planes_serving(packed["pl"], bits, N)
     if bits in (4, 2):
         p = 8 // bits
         w = packed["w"]
@@ -211,4 +215,35 @@ def unpack_columns(packed, bits, N):
             [(high1 >> j) & 1 for j in range(8)], axis=-2
         ).reshape(lead + (N,))
         return low | (high << 2)
+    raise ValueError("unsupported bits: {}".format(bits))
+
+
+def pack_planes_serving(codes, bits):
+    """Serving concat of the fold planes for TRUE sub-4-bit streaming
+    (round-4 VERDICT #3): one uint8 array per linear so the megakernel
+    BlockSpec streams the real 3 (or 2) bits/weight instead of the 4-bit
+    nibble container.
+
+      bits==3 -> (K, 3N/8): [low2 (K, N/4) | high1 (K, N/8)] columns
+      bits==2 -> (K, N/4):  the fold array as-is
+
+    Reference: the 10-codes-per-int32 3-bit stream of
+    cuda_kernel_3bit.cu:89-180 — this is the TPU-layout equivalent."""
+    packed = pack_columns(codes, bits)
+    if bits == 3:
+        return jnp.concatenate([packed["low2"], packed["high1"]], axis=-1)
+    if bits == 2:
+        return packed["w"]
+    raise ValueError("plane serving covers bits 2/3, got {}".format(bits))
+
+
+def unpack_planes_serving(pl_arr, bits, N):
+    """Inverse of pack_planes_serving -> uint8 codes (..., K, N)."""
+    if bits == 3:
+        NP = N // 8
+        return unpack_columns(
+            {"low2": pl_arr[..., : 2 * NP], "high1": pl_arr[..., 2 * NP:]},
+            3, N)
+    if bits == 2:
+        return unpack_columns({"w": pl_arr}, 2, N)
     raise ValueError("unsupported bits: {}".format(bits))

@@ -467,3 +467,155 @@ def test_mixed_precision_megakernel_matches_unrolled():
             tok = jnp.asarray(lu.argmax(-1), jnp.int32)
     finally:
         Dmod.FORCE_LAYER_KERNEL = old
+
+
+@pytest.mark.parametrize("wbits,B", [(3, 1), (3, 2), (2, 1)])
+def test_plane_megakernel_matches_nibble_container(wbits, B):
+    """TRUE-width 2/3-bit plane streaming (round-4 VERDICT #3): the plane
+    megakernel (pack_planes_serving windows, in-kernel shift/mask unpack)
+    must reproduce the same checkpoint served through the 4-bit nibble
+    container bit-for-bit in the int8 dot inputs — outputs match to f32
+    rounding. Reference: cuda_kernel_3bit.cu true 3-bit stream."""
+    from sparsebit_tpu.ops.layer_fused import _fused_call
+
+    cfg = _mk_cfg()
+    gs = 64
+    D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    S, Lx = 64, 2
+    keys = jax.random.split(jax.random.PRNGKey(11), Lx)
+    built = []
+    for kkey in keys:
+        q4, an, fn = _build(cfg, gs, kkey)
+        # re-quantize each linear at wbits via RTN on the dequantized f32
+        qn = {n: QuantLinear.from_dense(
+            lin.dequantize(), bits=wbits, groupsize=gs)
+            for n, lin in q4.items()}
+        built.append((qn, an, fn))
+
+    def stacked(serving):
+        names = ("wqkv", "wo", "w13", "w2")
+        conv = {
+            "nibble": lambda lin: lin.with_nibble_serving(),
+            "plane": lambda lin: lin.with_plane_serving(),
+        }[serving]
+        lin = {n: [conv(b[0][n]) for b in built] for n in names}
+        out = {}
+        for n in names:
+            out[n] = (
+                jnp.stack([ln.packed["s4r" if serving == "nibble" else "pl"]
+                           for ln in lin[n]]),
+                jnp.stack([ln.scales for ln in lin[n]]),
+                jnp.stack([ln.zeros for ln in lin[n]]),
+            )
+        return out
+
+    ans = jnp.stack([b[1] for b in built])
+    fns = jnp.stack([b[2] for b in built])
+    Hp = 128
+    kk, kv, kx = jax.random.split(jax.random.PRNGKey(12), 3)
+    k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
+    pos = jnp.asarray(np.arange(5, 5 + B), jnp.int32)
+    inv_freq = L.rope_frequencies(cfg)
+    angles = pos[:, None].astype(jnp.float32) * inv_freq
+    cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)
+    sinf = jnp.concatenate([jnp.sin(angles)] * 2, axis=1)
+
+    def run(serving, wb):
+        st = stacked(serving)
+        args = (st["wqkv"] + st["wo"] + st["w13"] + st["w2"])
+        return _fused_call(
+            x, pos, cosf, sinf, jnp.int32(0), *args, ans, fns,
+            k8, v8, kssc, vssc, cfg, gs, interpret=True,
+            n_grid_layers=Lx, signed=(serving == "nibble"),
+            wbits=(4 if serving == "nibble" else wb),
+        )
+
+    o_nib, kn, vn, ksn, vsn = run("nibble", wbits)
+    o_pl, kp, vp, ksp, vsp = run("plane", wbits)
+    np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_nib),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(kp), np.asarray(kn))
+    np.testing.assert_allclose(np.asarray(ksp), np.asarray(ksn), rtol=1e-6)
+
+
+def test_plane_megakernel_segmented_mixed_stack():
+    """Mixed int4/int3 checkpoint as TWO segment launches (4-bit rows then
+    3-bit rows) with li_cache offsets against one homogeneous nibble
+    launch — the segmented scan decode path's kernel contract."""
+    from sparsebit_tpu.ops.layer_fused import _fused_call
+
+    cfg = _mk_cfg()
+    gs, B, S, Lx = 64, 1, 64, 2
+    keys = jax.random.split(jax.random.PRNGKey(21), Lx)
+    layer_bits = [4, 3]
+    built = []
+    for kkey, wb in zip(keys, layer_bits):
+        q4, an, fn = _build(cfg, gs, kkey)
+        if wb != 4:
+            q4 = {n: QuantLinear.from_dense(
+                lin.dequantize(), bits=wb, groupsize=gs)
+                for n, lin in q4.items()}
+        built.append((q4, an, fn))
+
+    names = ("wqkv", "wo", "w13", "w2")
+    Hp = 128
+    D, Hkv = cfg.head_dim, cfg.n_kv_heads
+    kk, kv, kx = jax.random.split(jax.random.PRNGKey(22), 3)
+    k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
+    pos = jnp.asarray([9], jnp.int32)
+    inv_freq = L.rope_frequencies(cfg)
+    angles = pos[:, None].astype(jnp.float32) * inv_freq
+    cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)
+    sinf = jnp.concatenate([jnp.sin(angles)] * 2, axis=1)
+
+    def seg_args(idx, serving):
+        b = built[idx]
+        if serving == "nibble":
+            lin = {n: b[0][n].with_nibble_serving() for n in names}
+            key = "s4r"
+        else:
+            lin = {n: b[0][n].with_plane_serving() for n in names}
+            key = "pl"
+        out = []
+        for n in names:
+            out += [lin[n].packed[key][None], lin[n].scales[None],
+                    lin[n].zeros[None]]
+        return out + [b[1][None], b[2][None]]
+
+    # homogeneous nibble reference over both layers
+    nib = [seg_args(0, "nibble"), seg_args(1, "nibble")]
+    args2 = [jnp.concatenate([a[i] for a in nib], axis=0)
+             for i in range(14)]
+    o_ref, kr, vr, ksr, vsr = _fused_call(
+        x, pos, cosf, sinf, jnp.int32(0), *args2, k8, v8, kssc, vssc,
+        cfg, gs, interpret=True, n_grid_layers=Lx, signed=True)
+
+    # segmented: layer 0 (4-bit, signed nibble) then layer 1 (3-bit plane)
+    out = x
+    caches = (k8, v8, kssc, vssc)
+    for idx, wb in enumerate(layer_bits):
+        serving = "nibble" if wb == 4 else "plane"
+        a = seg_args(idx, serving)
+        out, *caches = _fused_call(
+            out, pos, cosf, sinf, jnp.int32(0), *a, *caches,
+            cfg, gs, interpret=True, n_grid_layers=1,
+            signed=(serving == "nibble"),
+            wbits=(4 if serving == "nibble" else wb),
+            li_cache=jnp.int32(idx))
+        out = out  # (B, dim) f32 activation carries between segments
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(caches[0]), np.asarray(kr))
