@@ -298,6 +298,12 @@ def _s4_serving(lin):
     return "s4r" in lin.packed
 
 
+def _pl_serving(lin):
+    """The TRUE-width 2/3-bit plane-concat serving array
+    (QuantLinear.with_plane_serving), or None."""
+    return lin.packed.get("pl")
+
+
 def _u4_k_rows(lin):
     """Logical K (input-channel rows) of the u4 serving array — row-pair
     u8 arrays store K//2 sublanes."""
@@ -320,6 +326,21 @@ def _scan_uses_layer_kernel(S, layers, quant_mode, cfg, batch, s_max=None):
     if not all(isinstance(ln, QuantLinear) for ln in lins):
         return False
     gs = lins[0].groupsize
+    if all(_pl_serving(ln) is not None for ln in lins):
+        # TRUE-width 2/3-bit plane serving (round-4 VERDICT #3): uniform
+        # bits per launch; lane-padded N is handled in-kernel
+        wb = lins[0].bits
+        for ln in lins:
+            if ln.perm is not None or ln.bias is not None:
+                return False
+            if ln.bits != wb or ln.groupsize != gs or gs <= 0:
+                return False
+        f_pad = lins[3].packed["pl"].shape[-2]
+        ok = fused_layer_supported(cfg, gs, batch, f_pad=f_pad,
+                                   s_max=s_max, wbits=wb)
+        if FORCE_LAYER_KERNEL is not None:
+            return FORCE_LAYER_KERNEL and ok
+        return ok and jax.default_backend() == "tpu"
     for ln in lins:
         if _u4_serving(ln) is None or ln.perm is not None \
                 or ln.bias is not None:
@@ -398,19 +419,22 @@ def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
         interp = jax.default_backend() != "tpu"
 
         k, v, ks, vs = kvs
+        pl_mode = _pl_serving(layers["wqkv"]) is not None
+        wser = _pl_serving if pl_mode else _u4_serving
         out, k, v, ks, vs = fused_decoder_layers(
             x[:, 0].astype(jnp.float32), pos0, cosf, sinf,
-            _u4_serving(layers["wqkv"]), layers["wqkv"].scales,
+            wser(layers["wqkv"]), layers["wqkv"].scales,
             layers["wqkv"].zeros,
-            _u4_serving(layers["wo"]), layers["wo"].scales,
+            wser(layers["wo"]), layers["wo"].scales,
             layers["wo"].zeros,
-            _u4_serving(layers["w13"]), layers["w13"].scales,
+            wser(layers["w13"]), layers["w13"].scales,
             layers["w13"].zeros,
-            _u4_serving(layers["w2"]), layers["w2"].scales,
+            wser(layers["w2"]), layers["w2"].scales,
             layers["w2"].zeros,
             layers["attn_norm"], layers["ffn_norm"],
             k, v, ks, vs, cfg, gs, interpret=interp,
-            signed=_s4_serving(layers["wqkv"]),
+            signed=(not pl_mode and _s4_serving(layers["wqkv"])),
+            wbits=(layers["wqkv"].bits if pl_mode else 4),
         )
         x = out[:, None].astype(x.dtype)
         x = L.rms_norm(x, params["norm"], cfg.rms_eps)
@@ -624,7 +648,7 @@ def decode_step_scanned(params_stacked, tokens, cache, cfg):
 
 
 def prepare_params_host(params, drop_fold=True, sz_dtype=jnp.bfloat16,
-                        head_bits=None):
+                        head_bits=None, sub4="nibble"):
     """HOST-side (outside jit) serving preparation: convert every packed
     QuantLinear to the u8 ROW-PAIR layout — signed nibbles for 4-bit
     (QuantLinear.with_s4_rows: the int4->int8 in-kernel cast is the
@@ -652,11 +676,19 @@ def prepare_params_host(params, drop_fold=True, sz_dtype=jnp.bfloat16,
             if lin.bits == 4:
                 lin = lin.with_s4_rows(drop_fold=drop_fold)
             elif lin.bits in (2, 3):
-                # mixed/sub-4-bit checkpoints ride the SIGNED nibble
-                # container re-tagged bits=4 (QuantLinear.
-                # with_nibble_serving) so int4/3/2 stacks serve through
-                # the megakernel as one homogeneous backbone
-                lin = lin.with_nibble_serving()
+                if sub4 == "planes":
+                    # TRUE-width plane streaming: the megakernel reads
+                    # the real 3 (2) bits/weight (in-kernel shift/mask
+                    # unpack; VERDICT r3 #3). Uniform-bit checkpoints
+                    # only — mixed stacks segment at the kernel level
+                    # (fused_decoder_layers li_cache) or use "nibble".
+                    lin = lin.with_plane_serving(drop_fold=drop_fold)
+                else:
+                    # mixed/sub-4-bit checkpoints ride the SIGNED nibble
+                    # container re-tagged bits=4 (QuantLinear.
+                    # with_nibble_serving) so int4/3/2 stacks serve
+                    # through the megakernel as one homogeneous backbone
+                    lin = lin.with_nibble_serving()
             else:
                 lin = lin.with_u4_rows(drop_fold=drop_fold)
             if sz_dtype is not None:

@@ -982,7 +982,7 @@ def _layer_kernel(
                 o_ref[...] = acc2[...] * gs8[...]
 
 
-def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None):
+def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None, wbits=4):
     """f_pad: W2's (possibly with_k_pad-ded) input width; defaults to
     cfg.ffn_dim. s_max: the RUNTIME cache length (engine max_len /
     k.shape[2]) — the B>8 VMEM gate sizes the KV slabs with it;
@@ -1014,6 +1014,12 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None):
         # the per-token KV row write DMAs a (Hkv, D) int8 slice; Mosaic
         # requires the sublane dim aligned to the (4, 128) int8 tiling
         return False
+    if wbits in (2, 3):
+        # plane mode: full-N tiles are always row-covering; the pack
+        # layout guarantees the lane-padded N (pallas_n_pad), so only the
+        # K/groupsize divisibility matters
+        return all(K % gs == 0
+                   for K in (dim, Hq * D, Fp))
     for K, N in ((dim, Nq), (Hq * D, dim), (dim, 2 * F), (Fp, dim)):
         if K % gs or N % 128:
             return False

@@ -619,3 +619,57 @@ def test_plane_megakernel_segmented_mixed_stack():
     np.testing.assert_allclose(np.asarray(out), np.asarray(o_ref),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(caches[0]), np.asarray(kr))
+
+
+def test_uniform_int3_planes_scanned_decode_matches_nibble():
+    """End-to-end: a UNIFORM int3 checkpoint served with
+    prepare_params_host(sub4="planes") — the megakernel streaming TRUE
+    3-bit plane windows — must produce the same scanned-decode logits as
+    the nibble-container serving of the same checkpoint."""
+    from sparsebit_tpu.llm import decode as Dmod
+    from sparsebit_tpu.llm.decode import (
+        decode_step_scanned, prefill_scanned, prepare_params_host,
+        stack_layers)
+    from sparsebit_tpu.llm.kv_cache import init_kv_cache
+
+    cfg = L.llama_tiny(
+        dim=512, n_heads=4, n_kv_heads=4, ffn_dim=384, max_seq_len=64,
+        n_layers=2,
+    )
+    params = L.init_llama_params(cfg, jax.random.PRNGKey(5))
+    params = L.fuse_llama_params(params)
+    qparams = L.quantize_llama_params(
+        params, lambda p, lin: QuantLinear.from_dense(
+            lin.w.astype(jnp.float32), bits=3, groupsize=64))
+
+    prompt = jax.random.randint(jax.random.PRNGKey(6), (2, 5), 0,
+                                cfg.vocab_size)
+    old = Dmod.FORCE_LAYER_KERNEL
+    try:
+        Dmod.FORCE_LAYER_KERNEL = True
+        outs = {}
+        for sub4 in ("nibble", "planes"):
+            sp = stack_layers(prepare_params_host(qparams, sub4=sub4))
+            assert Dmod._scan_uses_layer_kernel(
+                1, sp["layers"], "int8", cfg, 2), sub4
+            if sub4 == "planes":
+                assert sp["layers"]["wqkv"].bits == 3
+                assert "pl" in sp["layers"]["wqkv"].packed
+                # the serving stack really is 3 bits/weight: 3N/8 bytes
+                w = sp["layers"]["wqkv"].packed["pl"]
+                assert w.shape[-1] * 8 == 3 * sp["layers"]["wqkv"].n_padded
+            cache = init_kv_cache(cfg, 2, 32, quantized=True)
+            logits, cache = prefill_scanned(sp, prompt, cache, cfg)
+            toks = [jnp.argmax(logits, -1).astype(jnp.int32)]
+            for _ in range(4):
+                lg, cache = decode_step_scanned(sp, toks[-1], cache, cfg)
+                toks.append(jnp.asarray(np.asarray(lg).argmax(-1),
+                                        jnp.int32))
+            outs[sub4] = (logits, toks)
+        np.testing.assert_allclose(
+            np.asarray(outs["planes"][0], np.float32),
+            np.asarray(outs["nibble"][0], np.float32), atol=0.05)
+        for a, b in zip(outs["planes"][1], outs["nibble"][1]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        Dmod.FORCE_LAYER_KERNEL = old
