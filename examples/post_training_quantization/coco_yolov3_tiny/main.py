@@ -1,8 +1,11 @@
 """Detection PTQ (reference: examples/post_training_quantization/coco2017/
-yolo_series/main.py). Quantizes the detector graph; box decode/NMS/mAP are
-downstream of the quantized network.
+yolo_series/main.py — YOLOv3/v4 over Darknet). Quantizes the detector
+graph; box decode/NMS/mAP are downstream of the quantized network.
 
-    python main.py [--data coco_imgs.npz] [--ckpt yolo.npz]
+    python main.py --model yolov3 [--data coco_imgs.npz] [--ckpt yolo.npz]
+
+Models: yolov3 (full Darknet-53 + FPN, the reference yolo_series scale),
+yolov3_darknet21 (shallow variant), yolov3_tiny.
 """
 
 import os as _os
@@ -21,6 +24,8 @@ from sparsebit_tpu.models import create_model
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov3_tiny",
+                    choices=["yolov3", "yolov3_darknet21", "yolov3_tiny"])
     ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig.yaml"))
     ap.add_argument("--data", default=None, help="npz x (N,H,W,3) float")
     ap.add_argument("--ckpt", default=None)
@@ -29,7 +34,7 @@ def main():
     ap.add_argument("--calib-batches", type=int, default=8)
     args = ap.parse_args()
 
-    model = create_model("yolov3_tiny")
+    model = create_model(args.model)
     if args.ckpt:
         model.load_full_state_dict(dict(np.load(args.ckpt)))
     model.eval()
@@ -49,8 +54,8 @@ def main():
         qmodel(jnp.asarray(x[i * args.batch : (i + 1) * args.batch]))
     qmodel.calc_qparams()
     qmodel.set_quant(True, True)
-    p1, p2 = qmodel(jnp.asarray(x[: args.batch]))
-    print("quantized prediction maps:", p1.shape, p2.shape)
+    preds = qmodel(jnp.asarray(x[: args.batch]))
+    print("quantized prediction maps:", [tuple(p.shape) for p in preds])
     err = qmodel.get_quantization_error(jnp.asarray(x[: args.batch]))
     print("mean per-layer quant error:", float(np.mean(list(err.values()))))
 

@@ -220,6 +220,126 @@ def _group_attention_rows(kslab, vslab, q_all, ks_slab, vs_slab, len_vec,
     return (out / denom).reshape(B, hgq, D)
 
 
+def _group_attention_rows_int8(kslab, vslab, q8_rows, qsc, ks_slab,
+                               vs_slab, len_vec, n_rep, selT):
+    """Batched-row attention with INT8 MXU dots end-to-end — the round-4
+    batched megakernel formulation. The bf16 variant's cost was the
+    int8->bf16 slab casts (~2.2 us per (512, 4096) slab, x2 slabs x8 rows
+    ~ 35 us/layer at B=8; exp22/23): here the score dot consumes the int8
+    K slab directly against a per-row-quantized block-diagonal q8, and
+    the value mix quantizes the scale-folded probabilities to int8 per
+    row — both noise terms sit at the same ~1/254 relative level as the
+    INT8 KV cache itself.
+
+    kslab/vslab (B, S, hg, D) int8; q8_rows (B*hgq, hg*D) int8
+    block-diagonal (off-head columns zero); qsc (B*hgq, 1) f32 per-row q
+    scales; ks_slab/vs_slab (B, S, Hp) f32; len_vec (B,) int32; selT
+    (hgq, Hp). Returns (B, hgq, D) f32."""
+    B, S, hg, D = kslab.shape
+    hgq = q8_rows.shape[0] // B
+
+    scores_parts, ks_parts, vs_parts = [], [], []
+    for b in range(B):
+        K2 = kslab[b].reshape(S, hg * D)  # int8, no cast
+        scores_parts.append(jax.lax.dot_general(
+            q8_rows[b * hgq:(b + 1) * hgq], K2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ))  # (hgq, S) int32 — exact
+        ks_parts.append(jax.lax.dot_general(
+            selT, ks_slab[b], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        vs_parts.append(jax.lax.dot_general(
+            selT, vs_slab[b], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    scoresT = jnp.concatenate(scores_parts, axis=0).astype(jnp.float32)
+    scoresT = scoresT * qsc  # fold the per-row q quantization scale back
+    ksT = jnp.concatenate(ks_parts, axis=0)
+    vsT = jnp.concatenate(vs_parts, axis=0)
+
+    sel_b = (
+        jax.lax.broadcasted_iota(jnp.int32, (B * hgq, B), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (B * hgq, B), 0) // hgq
+    ).astype(jnp.float32)
+    len_rows = jnp.dot(sel_b, len_vec.astype(jnp.float32)[:, None],
+                       preferred_element_type=jnp.float32)
+    s_cols = jax.lax.broadcasted_iota(jnp.int32, (B * hgq, S), 1).astype(
+        jnp.float32)
+    valid = s_cols <= len_rows
+    scoresT = jnp.where(
+        valid, scoresT * ksT * (1.0 / (D ** 0.5)), -1e30)
+    m = jnp.max(scoresT, axis=1, keepdims=True)
+    p = jnp.exp(scoresT - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    p2 = p * jnp.where(valid, vsT, 0.0)  # f32, >= 0
+    psc = jnp.maximum(jnp.max(p2, axis=1, keepdims=True), 1e-30) / 127.0
+    p8 = jnp.clip(jnp.round(p2 / psc), 0, 127).astype(jnp.int8)
+
+    out_parts = []
+    for b in range(B):
+        V2 = vslab[b].reshape(S, hg * D)  # int8, no cast
+        out_parts.append(jax.lax.dot_general(
+            p8[b * hgq:(b + 1) * hgq], V2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ))  # (hgq, hg*D) int32
+    outs = jnp.concatenate(out_parts, axis=0).astype(jnp.float32) * psc
+    o3 = outs.reshape(B * hgq, hg, D)
+    own = (
+        jax.lax.broadcasted_iota(jnp.int32, (B * hgq, hg, 1), 1)
+        == (jax.lax.broadcasted_iota(jnp.int32, (B * hgq, hg, 1), 0) % hgq)
+        // n_rep
+    )
+    out = jnp.sum(jnp.where(own, o3, 0.0), axis=1)  # (B*hgq, D)
+    return (out / denom).reshape(B, hgq, D)
+
+
+def _group_attention_t_int8(k8g, v8g, qg, ks_colsT, vs_colsT, length,
+                            n_rep):
+    """Single-row INT8 variant of _group_attention_t (the B=1 megakernel
+    attention phase): per-head int8 q against the int8 K slab, int8
+    probability mix against the int8 V slab — numerically IDENTICAL to
+    one row of _group_attention_rows_int8, so B=1 decode and batched
+    decode agree exactly (the serving engines' cross-path token-parity
+    contract). k8g/v8g (S, hg, D) int8; qg (hgq, D) f32;
+    ks_colsT/vs_colsT (hgq, S) f32."""
+    S, hg, D = k8g.shape
+    hgq = qg.shape[0]
+    qs = jnp.maximum(
+        jnp.max(jnp.abs(qg), axis=1, keepdims=True), 1e-30) / 127.0
+    q8 = jnp.clip(jnp.round(qg / qs), -127, 127).astype(jnp.int8)
+    q_wide = jnp.tile(q8, (1, hg))  # (hgq, hg*D) int8
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hgq, hg * D), 1) // D
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hgq, hg * D), 0) // n_rep
+    Qbd8 = jnp.where(col_h == row_h, q_wide, jnp.int8(0))
+    K2 = k8g.reshape(S, hg * D)  # int8, no cast
+    scoresT = jax.lax.dot_general(
+        Qbd8, K2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * qs  # (hgq, S)
+    scoresT = scoresT * ks_colsT * (1.0 / (D ** 0.5))
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (hgq, S), 1)
+    scoresT = jnp.where(s_idx <= length, scoresT, -1e30)
+    m = jnp.max(scoresT, axis=1, keepdims=True)
+    p = jnp.exp(scoresT - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    p2 = p * jnp.where(s_idx <= length, vs_colsT, 0.0)
+    psc = jnp.maximum(jnp.max(p2, axis=1, keepdims=True), 1e-30) / 127.0
+    p8 = jnp.clip(jnp.round(p2 / psc), 0, 127).astype(jnp.int8)
+    V2 = v8g.reshape(S, hg * D)
+    outs = jax.lax.dot_general(
+        p8, V2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * psc  # (hgq, hg*D)
+    o3 = outs.reshape(hgq, hg, D)
+    own = (
+        jax.lax.broadcasted_iota(jnp.int32, (hgq, hg, 1), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (hgq, hg, 1), 0) // n_rep
+    )
+    out = jnp.sum(jnp.where(own, o3, 0.0), axis=1)  # (hgq, D)
+    return out / denom
+
+
 def _decode_attn_kernel(*refs, n_rep, quantized, stacked=False):
     if stacked:
         # stacked variant: scalar-prefetched layer index selects the K/V

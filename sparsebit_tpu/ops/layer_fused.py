@@ -43,7 +43,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sparsebit_tpu.ops.attention import (
-    _group_attention_t,
+    _group_attention_rows_int8,
+    _group_attention_t_int8,
     _head_sel,
 )
 from sparsebit_tpu.ops.quant_matmul import (
@@ -193,10 +194,10 @@ def _layer_kernel(
     signed=False, stream=False, stream_ns=(2, 2, 2, 2), batched=False,
     gb=0, s_full=0, wbits=4, np_t=(0, 0, 0, 0), _ablate="",
 ):
-    # trailing scratch: [qbdT + flash accs + chunk sems (batched only)],
-    # sems, [stream ring bufs + wsem (stream only)]
+    # trailing scratch: [int8 block-diag Q + its row scales (batched
+    # only)], sems, [stream ring bufs + wsem (stream only)]
     if batched:
-        (qbdT, m_acc, d_acc, o_acc, csem), tail = tail[:5], tail[5:]
+        (qbd8, qsc), tail = tail[:2], tail[2:]
     sems, stream_scr = tail[0], tail[1:]
     # grid is (n_grid_layers, T): the leading dimension walks whole decoder
     # layers with the activation carried in VMEM scratch (xcur) — one
@@ -238,7 +239,7 @@ def _layer_kernel(
     KVD = Hkv * D
     T1 = n1_t * k1_t
     n_bgroups = -(-B // gb) if batched else 0
-    T2 = (1 + n_bgroups * (s_full // sc)) if batched else B * n_groups
+    T2 = (1 + n_bgroups) if batched else B * n_groups
     T3 = k3_t
     T4 = n4_t * k4_t
     T5 = k5_t
@@ -411,59 +412,57 @@ def _layer_kernel(
         def _():
             _start_copies(_slab_copies(0))
 
-    # ---- batched attention (B > 1): FLASH-CHUNKED group/chunk steps --------
-    # Round-3 shipped one grid step per 8-row group over full-S slabs; the
-    # cost analysis (exp22/exp23) put the un-hidden phase time in (a) the
-    # full-S int8->bf16 slab casts + dots running over garbage rows far
-    # past the real context, and (b) each group's slab DMA serialising
-    # against its own compute. Round-4 rework: the phase walks
-    # (group, chunk) grid steps — chunk-sized ping-pong slab buffers
-    # (2, gb, sc, ...) double-buffer the loads (chunk j+2 streams while
-    # chunk j computes), per-chunk compute is SKIPPED entirely when the
-    # group's longest row ends before the chunk (flash-decode compute
-    # gating — casts/dots/glue now scale with the real context), and
-    # softmax runs as running flash accumulators (m/d/o scratch) across a
-    # group's chunk steps. rope + INT8 row quant still run ONCE as
-    # (B*H, D) vector ops at the phase's first step, which also builds the
-    # block-diagonal Q^T operand (qbdT) once per layer.
+    # ---- batched attention (B > 1): INT8 group steps ----------------------
+    # One grid step per 8-row group over full-S (gb, S, ...) slabs, with
+    # the attention dots INT8 end-to-end (_group_attention_rows_int8):
+    # round 3's bf16 formulation paid ~2.2 us per (512, 4096) int8->bf16
+    # slab cast (x2 slabs x rows — the dominant phase cost, exp22/exp23);
+    # the round-4 flash-chunked rework died on a toolchain property
+    # (branch-skipped heavy regions still cost ~70% of their body per
+    # grid step — experiments/exp24_when_branch.py), so the win comes
+    # from making the per-row compute cheap UNCONDITIONALLY: the score
+    # dot consumes the int8 K slab directly against a per-row-quantized
+    # block-diagonal q8 (built once at the rope step), and the value mix
+    # quantizes the scale-folded probabilities to int8. Slab loads stay
+    # length-chunk-gated (IO scales with the real context); group 0
+    # prefetches at each layer's first grid step.
     if batched:
-        Jtot = n_bgroups * n_sc
         selT_b = _head_sel(Hp, hg * n_rep, 0, n_rep).T  # (hgq, Hp)
 
-        def _chunk_copies(buf, g, c):
-            """Conditional copies of group g's rows' chunk c into ping-pong
-            buffer set ``buf``; g/c may be traced scalars."""
+        def _group_copies(g):
+            """Length-gated chunked loads of group g's rows' caches into
+            the (gb, S, ...) slabs; g may be a traced scalar."""
             out = []
             for jr in range(gb):
                 b_idx = jnp.minimum(g * gb + jr, B - 1)
                 length = len_ref[b_idx]
-                cond = (c * sc) <= length
-                if paged:
-                    blk = bt_ref[b_idx, c]
-                    srcs = (k_hbm.at[lic, blk], v_hbm.at[lic, blk],
-                            ks_hbm.at[lic, blk], vs_hbm.at[lic, blk])
-                else:
-                    slc = pl.ds(c * sc, sc)
-                    srcs = (k_hbm.at[lic, b_idx, slc],
-                            v_hbm.at[lic, b_idx, slc],
-                            ks_hbm.at[lic, b_idx, slc],
-                            vs_hbm.at[lic, b_idx, slc])
-                dsts = (kslab.at[buf, jr], vslab.at[buf, jr],
-                        ks_slab.at[buf, jr], vs_slab.at[buf, jr])
-                for i, (src, dst) in enumerate(zip(srcs, dsts)):
-                    out.append((cond, pltpu.make_async_copy(
-                        src, dst, csem.at[buf, i])))
+                for c in range(n_sc):
+                    cond = (c * sc) <= length
+                    if paged:
+                        blk = bt_ref[b_idx, c]
+                        srcs = (k_hbm.at[lic, blk], v_hbm.at[lic, blk],
+                                ks_hbm.at[lic, blk], vs_hbm.at[lic, blk])
+                    else:
+                        slc = pl.ds(c * sc, sc)
+                        srcs = (k_hbm.at[lic, b_idx, slc],
+                                v_hbm.at[lic, b_idx, slc],
+                                ks_hbm.at[lic, b_idx, slc],
+                                vs_hbm.at[lic, b_idx, slc])
+                    dsl = pl.ds(c * sc, sc)
+                    dsts = (kslab.at[jr, dsl], vslab.at[jr, dsl],
+                            ks_slab.at[jr, dsl], vs_slab.at[jr, dsl])
+                    for i, (src, dst) in enumerate(zip(srcs, dsts)):
+                        out.append((cond, pltpu.make_async_copy(
+                            src, dst, sems.at[4 + i])))
             return out
 
-        # chunks j=0,1 prefetch at each layer's FIRST grid step (they
-        # depend only on scalar-prefetched lengths; the new-row HBM race
-        # is patched in VMEM either way) — the whole Wqkv phase covers
-        # their latency. Later chunks chain: step j issues j+2.
+        # group 0's loads depend only on scalar-prefetched lengths: start
+        # them at each layer's first grid step so the whole Wqkv phase
+        # covers them (the new-row HBM race is patched in VMEM)
         if "ropeq" not in _ablate:
             @pl.when(s == 0)
             def _():
-                for j0 in range(min(2, Jtot)):
-                    _start_copies(_chunk_copies(j0, j0 // n_sc, j0 % n_sc))
+                _start_copies(_group_copies(0))
 
         @pl.when(s == T1)
         def _():
@@ -495,16 +494,19 @@ def _layer_kernel(
                 qkvA[:, :HD].reshape(Bp * Hq, D),
                 expand_rows(cosA, Hq), expand_rows(sinA, Hq),
             )  # (Bp*Hq, D)
-            # block-diagonal Q^T operand for the chunked score dots, built
-            # ONCE per layer (a per-chunk-step rebuild costs ~1 us each —
-            # 16 steps/layer at B=32)
-            qw = jnp.tile(q2.astype(jnp.bfloat16), (1, Hkv))
+            # block-diagonal INT8 Q^T operand + per-row scales, built ONCE
+            # per layer: the group steps' score dots consume the int8 K
+            # slabs directly (no bf16 casts — exp22/23's dominant cost)
+            qs_ = jnp.maximum(
+                jnp.max(jnp.abs(q2), axis=1, keepdims=True), 1e-30) / 127.0
+            q8 = jnp.clip(jnp.round(q2 / qs_), -127, 127).astype(jnp.int8)
+            qw = jnp.tile(q8, (1, Hkv))
             col_h = jax.lax.broadcasted_iota(
                 jnp.int32, (Bp * Hq, Hkv * D), 1) // D
             row_h = (jax.lax.broadcasted_iota(
                 jnp.int32, (Bp * Hq, Hkv * D), 0) % Hq) // n_rep
-            qbdT[...] = jnp.where(col_h == row_h, qw,
-                                  jnp.zeros((), jnp.bfloat16))
+            qbd8[...] = jnp.where(col_h == row_h, qw, jnp.int8(0))
+            qsc[...] = qs_
             kr = rope_rows(
                 qkvA[:, HD:HD + KVD].reshape(Bp * Hkv, D),
                 expand_rows(cosA, Hkv), expand_rows(sinA, Hkv))
@@ -557,143 +559,48 @@ def _layer_kernel(
             for cp in writes:
                 cp.start()
 
-        # ---- flash chunk steps: (group, chunk) per grid step --------------
-        in_p2b = (s >= T1 + 1) & (s < T1 + 1 + Jtot)
+        # ---- attention group steps: rows [g*gb, (g+1)*gb) per step -------
+        in_p2b = (s >= T1 + 1) & (s < T1 + T2)
         hgq = hg * n_rep
 
         @pl.when(in_p2b)
         def _():
             if "ropeq" in _ablate:  # whole phase ablated (exp22)
                 return
-            j = s - T1 - 1
-            g = j // n_sc
-            c = j % n_sc
-            # pad rows past B clamp to B-1 for lengths/cache; their aout
-            # rows (>= B) are discarded at phase 5
+            g = s - T1 - 1
             rows = [jnp.minimum(g * gb + jr, B - 1) for jr in range(gb)]
-            len_vec = jnp.stack([len_ref[b] for b in rows])
+            copies = _group_copies(g)
 
-            def flash_update(p_):
-                # running-softmax update for chunk c of group g's rows
-                @pl.when(c == 0)
-                def _():
-                    m_acc[...] = jnp.full_like(m_acc, -1e30)
-                    d_acc[...] = jnp.zeros_like(d_acc)
-                    o_acc[...] = jnp.zeros_like(o_acc)
-                dt = jnp.bfloat16
-                if n_bgroups == 1 or "statq" in _ablate:
-                    Qg = qbdT[...][: gb * hgq]
-                else:  # gb == 8 -> gb*hgq is sublane-aligned
-                    Qg = qbdT[pl.ds(
-                        pl.multiple_of(g * gb * hgq, gb * hgq),
-                        gb * hgq), :]
-                scores_parts, ks_parts, vs_parts = [], [], []
-                for jr in range(gb):
-                    K2c = kslab[p_, jr].reshape(sc, hg * D).astype(dt)
-                    scores_parts.append(jax.lax.dot_general(
-                        Qg[jr * hgq:(jr + 1) * hgq], K2c,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32))  # (hgq, sc)
-                    ks_parts.append(jax.lax.dot_general(
-                        selT_b, ks_slab[p_, jr],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32))
-                    vs_parts.append(jax.lax.dot_general(
-                        selT_b, vs_slab[p_, jr],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32))
-                scoresT = jnp.concatenate(scores_parts, axis=0)
-                ksT = jnp.concatenate(ks_parts, axis=0)
-                vsT = jnp.concatenate(vs_parts, axis=0)
-                sel_row = (
-                    jax.lax.broadcasted_iota(jnp.int32, (gb * hgq, gb), 1)
-                    == jax.lax.broadcasted_iota(
-                        jnp.int32, (gb * hgq, gb), 0) // hgq
-                ).astype(jnp.float32)
-                len_rows = jnp.dot(
-                    sel_row, len_vec.astype(jnp.float32)[:, None],
-                    preferred_element_type=jnp.float32)  # (gb*hgq, 1)
-                s_cols = (jax.lax.broadcasted_iota(
-                    jnp.int32, (gb * hgq, sc), 1) + c * sc
-                ).astype(jnp.float32)
-                valid = s_cols <= len_rows
-                scoresT = jnp.where(
-                    valid, scoresT * ksT * (1.0 / (D ** 0.5)), -1e30)
-                m_prev = m_acc[...]
-                m_new = jnp.maximum(
-                    m_prev, jnp.max(scoresT, axis=1, keepdims=True))
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(scoresT - m_new)
-                d_acc[...] = d_acc[...] * alpha + jnp.sum(
-                    p, axis=1, keepdims=True)
-                p2 = (p * jnp.where(valid, vsT, 0.0)).astype(dt)
-                out_parts = []
-                for jr in range(gb):
-                    V2c = vslab[p_, jr].reshape(sc, hg * D).astype(dt)
-                    out_parts.append(jax.lax.dot_general(
-                        p2[jr * hgq:(jr + 1) * hgq], V2c,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32))
-                o3 = jnp.concatenate(out_parts, axis=0).reshape(
-                    gb * hgq, hg, D)
-                own = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (gb * hgq, hg, 1), 1)
-                    == (jax.lax.broadcasted_iota(
-                        jnp.int32, (gb * hgq, hg, 1), 0) % hgq) // n_rep
-                )
-                o_acc[...] = o_acc[...] * alpha + jnp.sum(
-                    jnp.where(own, o3, 0.0), axis=1)
-                m_acc[...] = m_new
-
-            def chunk_body(p_):
-                copies = _chunk_copies(p_, g, c)
-                _wait_copies(copies)
-                if "patch" not in _ablate:  # timing-only ablation (exp22)
-                    for jr, b_idx in enumerate(rows):
-                        length = len_ref[b_idx]
-
-                        @pl.when(c == length // sc)
-                        def _(jr=jr, b_idx=b_idx, length=length):
-                            lm = length % sc
-                            kslab[p_, jr, lm] = krow[b_idx]
-                            vslab[p_, jr, lm] = vrow[b_idx]
-                            ks_slab[p_, jr, pl.ds(lm, 1)] = ksrow[b_idx]
-                            vs_slab[p_, jr, pl.ds(lm, 1)] = vsrow[b_idx]
-                if "attn" not in _ablate:
-                    # compute is SKIPPED outright past the group's longest
-                    # row — the casts/dots/glue scale with the real
-                    # context, not max_seq_len
-                    @pl.when(c * sc <= jnp.max(len_vec))
-                    def _():
-                        flash_update(p_)
-
-                # double-buffer chain: chunk j+2 streams into the buffer
-                # this step just finished reading
-                @pl.when(j + 2 < Jtot)
-                def _():
-                    _start_copies(_chunk_copies(
-                        p_, (j + 2) // n_sc, (j + 2) % n_sc))
-
-            for p_ in range(2):
-                @pl.when(j % 2 == p_)
-                def _(p_=p_):
-                    chunk_body(p_)
-
+            @pl.when(g > 0)  # group 0 prefetched at s == 0
+            def _():
+                _start_copies(copies)
+            _wait_copies(copies)
+            if "patch" not in _ablate:  # timing-only ablation (exp22)
+                for jr, b_idx in enumerate(rows):
+                    length = len_ref[b_idx]
+                    kslab[jr, length] = krow[b_idx]
+                    vslab[jr, length] = vrow[b_idx]
+                    ks_slab[jr, pl.ds(length, 1)] = ksrow[b_idx]
+                    vs_slab[jr, pl.ds(length, 1)] = vsrow[b_idx]
             if "attn" not in _ablate:
-                @pl.when(c == n_sc - 1)
-                def _():
-                    # inactive tail chunks never touched m/d/o, so the
-                    # accumulators already hold the final softmax state
-                    if n_bgroups == 1:
-                        aout[pl.ds(0, gb), :] = (
-                            o_acc[...] / d_acc[...]).reshape(gb, HD)
-                    else:
-                        goff = pl.multiple_of(g * gb, gb)
-                        aout[pl.ds(goff, gb), :] = (
-                            o_acc[...] / d_acc[...]).reshape(gb, HD)
+                len_vec = jnp.stack([len_ref[b] for b in rows])
+                if n_bgroups == 1:
+                    Qg8 = qbd8[...][: gb * hgq]
+                    qs_g = qsc[...][: gb * hgq]
+                else:  # gb == 8 -> gb*hgq sublane-aligned offsets
+                    off = pl.multiple_of(g * gb * hgq, gb * hgq)
+                    Qg8 = qbd8[pl.ds(off, gb * hgq), :]
+                    qs_g = qsc[pl.ds(off, gb * hgq), :]
+                out_rows = _group_attention_rows_int8(
+                    kslab, vslab, Qg8, qs_g, ks_slab, vs_slab, len_vec,
+                    n_rep, selT_b)
+                if n_bgroups == 1:
+                    aout[pl.ds(0, gb), :] = out_rows.reshape(gb, HD)
+                else:
+                    goff = pl.multiple_of(g * gb, gb)
+                    aout[pl.ds(goff, gb), :] = out_rows.reshape(gb, HD)
 
-            @pl.when(s == T1 + Jtot)
+            @pl.when(s == T1 + T2 - 1)
             def _():
                 # the KV row writes started at the rope/quant step; all
                 # attention reads went through the patched slabs, so the
@@ -728,6 +635,7 @@ def _layer_kernel(
                     ]
                     for cp in wr:
                         cp.wait()
+
 
     in_p2 = (s >= T1) & (s < T1 + T2) & jnp.bool_(not batched)
 
@@ -862,7 +770,10 @@ def _layer_kernel(
         base_qoff = pl.multiple_of(base_kv * n_rep * D, D)
         qrow = jnp.dot(bsel, qkv[:, pl.ds(base_qoff, hgq * D)],
                        preferred_element_type=jnp.float32)  # (1, hgq*D)
-        out_g = _group_attention_t(
+        # INT8 dots (round 4): no bf16 slab casts, and numerically
+        # IDENTICAL to one row of the batched int8 path — B=1 decode and
+        # batched decode agree exactly (serving cross-path token parity)
+        out_g = _group_attention_t_int8(
             k8g, v8g, qrow.reshape(hgq, D), ksT, vsT, length, n_rep
         )
         orow = out_g.reshape(1, hgq * D)
@@ -999,16 +910,14 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None, wbits=4):
     if gs <= 0 or B > 32 or D % 128 or Fp < F:
         return False
     if B > 1:
-        # batched flash-chunked attention: ping-pong chunk buffers + the
-        # block-diagonal Q^T scratch are the VMEM-relevant allocations
-        # (the full-S slabs are gone — VMEM no longer scales with s_max)
+        # batched int8 attention runs over full-S (gb, S, ...) slabs +
+        # the int8 block-diagonal Q scratch
         S = s_max or cfg.max_seq_len
-        SC = 128 if S % 128 == 0 else S
         Hp = 128 if Hkv < 128 else Hkv
         gb = B if B <= 8 else 8
-        chunk_bytes = SC * Hkv * D * 2 + SC * Hp * 4 * 2
-        qbd_bytes = max(8, B) * Hq * Hkv * D * 2
-        if 2 * gb * chunk_bytes + qbd_bytes > 48 * 1024 * 1024:
+        slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
+        qbd_bytes = max(8, B) * Hq * Hkv * D
+        if gb * slab_bytes + qbd_bytes > 44 * 1024 * 1024:
             return False
     if Hkv % 4:
         # the per-token KV row write DMAs a (Hkv, D) int8 slice; Mosaic
@@ -1134,16 +1043,15 @@ def _fused_call(x, pos, cos, sin, li,
     # gb must be 8 (sublane-aligned group offsets) or the whole batch
     gb = B if B <= 8 else 8
     n_bgroups = -(-B // gb)
-    n_sc_host = S // SC
-    chunk_bytes = SC * Hkv * D * 2 + SC * Hp * 4 * 2
-    qbd_bytes = max(8, B) * Hq * Hkv * D * 2
+    slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
+    qbd_bytes = max(8, B) * Hq * Hkv * D  # int8
     batched = (
         B > 1
         and n_groups == 1
         and _n_phases >= 2
-        and 2 * gb * chunk_bytes + qbd_bytes <= 48 * 1024 * 1024
+        and gb * slab_bytes + qbd_bytes <= 44 * 1024 * 1024
     )
-    slab_lead = (2, gb) if batched else ()
+    slab_lead = (gb,) if batched else ()
 
     if plane:
         # TRUE-width 2/3-bit: FULL-N tiles, k-only steps (a plane covers
@@ -1181,8 +1089,8 @@ def _fused_call(x, pos, cos, sin, li,
     G84 = _sz_layout(dim // gs, KB4 // gs, s13.dtype)
     G85 = _sz_layout(Fp // gs, KB5 // gs, s2.dtype)
     T1 = n1_t * k1_t
-    # batched: 1 rope/quant step + one step per (group, chunk)
-    T2 = (1 + n_bgroups * n_sc_host) if batched else B * n_groups
+    # batched: 1 rope/quant step + one step per 8-row group
+    T2 = (1 + n_bgroups) if batched else B * n_groups
     T3 = k3_t
     T4, T5 = n4_t * k4_t, k5_t
     T = T1 + T2 + T3 + T4 + T5
@@ -1389,14 +1297,10 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad, NT3), jnp.float32),  # acco
             pltpu.VMEM((B_pad, NT4), jnp.float32),  # acc13
             pltpu.VMEM((B_pad, NT5), jnp.float32),  # acc2
-            pltpu.VMEM(slab_lead + (SC if batched else S, Hkv, D),
-                       jnp.int8),                           # k slab
-            pltpu.VMEM(slab_lead + (SC if batched else S, Hkv, D),
-                       jnp.int8),                           # v slab
-            pltpu.VMEM(slab_lead + (SC if batched else S, Hp),
-                       jnp.float32),                        # ks slab
-            pltpu.VMEM(slab_lead + (SC if batched else S, Hp),
-                       jnp.float32),                        # vs slab
+            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # k slab
+            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # v slab
+            pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # ks slab
+            pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # vs slab
             # batched: ALL rows' kv rows / scale rows, 3-D so per-row DMA
             # srcs slice the UNTILED leading dim
             pltpu.VMEM((B_pad, Hkv, D) if batched else (Hkv, D),
@@ -1408,14 +1312,11 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad, 1, Hp) if batched else (1, Hp),
                        jnp.float32),               # v scale row(s)
         ] + ([
-            # batched flash-attention state: block-diagonal Q^T (built once
-            # per layer at the rope step) + running softmax accumulators +
-            # per-buffer chunk-load semaphores
-            pltpu.VMEM((B_pad * Hq, Hkv * D), jnp.bfloat16),  # qbdT
-            pltpu.VMEM((gb * Hq, 1), jnp.float32),            # m_acc
-            pltpu.VMEM((gb * Hq, 1), jnp.float32),            # d_acc
-            pltpu.VMEM((gb * Hq, D), jnp.float32),            # o_acc
-            pltpu.SemaphoreType.DMA((2, 4)),                  # csem
+            # batched int8 attention operands: block-diagonal q8 + its
+            # per-row quantization scales (built once per layer at the
+            # rope step)
+            pltpu.VMEM((B_pad * Hq, Hkv * D), jnp.int8),      # qbd8
+            pltpu.VMEM((B_pad * Hq, 1), jnp.float32),         # qsc
         ] if batched else [])
         + [pltpu.SemaphoreType.DMA((8,))] + stream_scratch,
     )

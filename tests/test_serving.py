@@ -135,10 +135,18 @@ def _fused_quant_model(cfg, gs=64):
 def test_paged_engine_matches_fixed_slot_engine():
     """PagedDecodeEngine (block-table pools, 16-row blocks) produces the
     same greedy tokens as the fixed-slot engine on the same quantized
-    model — including a third request queued behind 2 slots."""
+    model — including a third request queued behind 2 slots. Both engines
+    are forced onto the decode megakernel (the paged engine always runs
+    it; the fixed-slot engine on CPU would otherwise take the unfused
+    path, whose bf16 attention differs from the megakernel's INT8
+    attention by more than near-tie token margins — round 4). The
+    megakernel's B=1 and batched int8 formulations are row-exact against
+    each other, so tokens must match exactly even when the engines batch
+    a step differently."""
+    from sparsebit_tpu.llm import decode as Dmod
     from sparsebit_tpu.llm.serving import PagedDecodeEngine
 
-    cfg = L.llama_tiny(dim=256, n_heads=2, n_kv_heads=2, ffn_dim=384,
+    cfg = L.llama_tiny(dim=512, n_heads=4, n_kv_heads=4, ffn_dim=384,
                        vocab_size=128, max_seq_len=48, dtype="float32")
     qparams = _fused_quant_model(cfg)
     prompts = [
@@ -148,14 +156,20 @@ def test_paged_engine_matches_fixed_slot_engine():
     ]
     n_new = 5
 
-    ref_engine = DecodeEngine(qparams, cfg, max_batch=2, max_len=48)
-    rids = [ref_engine.add_request(p, max_new_tokens=n_new) for p in prompts]
-    ref = ref_engine.run()
+    old = Dmod.FORCE_LAYER_KERNEL
+    try:
+        Dmod.FORCE_LAYER_KERNEL = True
+        ref_engine = DecodeEngine(qparams, cfg, max_batch=2, max_len=48)
+        rids = [ref_engine.add_request(p, max_new_tokens=n_new)
+                for p in prompts]
+        ref = ref_engine.run()
 
-    eng = PagedDecodeEngine(qparams, cfg, max_batch=2, block=16,
-                            n_blocks=8, max_len=48)
-    rids_p = [eng.add_request(p, max_new_tokens=n_new) for p in prompts]
-    got = eng.run()
+        eng = PagedDecodeEngine(qparams, cfg, max_batch=2, block=16,
+                                n_blocks=8, max_len=48)
+        rids_p = [eng.add_request(p, max_new_tokens=n_new) for p in prompts]
+        got = eng.run()
+    finally:
+        Dmod.FORCE_LAYER_KERNEL = old
     for r_ref, r_got in zip(rids, rids_p):
         np.testing.assert_array_equal(
             np.asarray(got[r_got]), np.asarray(ref[r_ref]),
