@@ -586,12 +586,26 @@ def _layer_kernel(
                 _start_copies(copies)
             _wait_copies(copies)
             if "patch" not in _ablate:  # timing-only ablation (exp22)
+                patches = []
                 for jr, b_idx in enumerate(rows):
                     length = len_ref[b_idx]
-                    kslab[jr, pl.ds(length, 1)] = krow[pl.ds(b_idx, 1)]
-                    vslab[jr, pl.ds(length, 1)] = vrow[pl.ds(b_idx, 1)]
+                    # k/v patches ride DMA: Mosaic cannot lower a 1-row
+                    # dynamic-sublane vector store on the int8 (32, 128)
+                    # tiling (the f32 scale stores below are fine)
+                    patches += [
+                        pltpu.make_async_copy(
+                            krow.at[pl.ds(b_idx, 1)],
+                            kslab.at[jr, pl.ds(length, 1)], sems.at[8]),
+                        pltpu.make_async_copy(
+                            vrow.at[pl.ds(b_idx, 1)],
+                            vslab.at[jr, pl.ds(length, 1)], sems.at[9]),
+                    ]
                     ks_slab[jr, pl.ds(length, 1)] = ksrow[b_idx]
                     vs_slab[jr, pl.ds(length, 1)] = vsrow[b_idx]
+                for cp in patches:
+                    cp.start()
+                for cp in patches:
+                    cp.wait()
             if "attn" not in _ablate:
                 len_vec = jnp.stack([len_ref[b] for b in rows])
                 if n_bgroups == 1:
@@ -749,8 +763,16 @@ def _layer_kernel(
             for c in row_writes:
                 c.wait()
             _wait_copies(loads)
-            kslab[pl.ds(length, 1)] = krow[...]
-            vslab[pl.ds(length, 1)] = vrow[...]
+            patches = [
+                pltpu.make_async_copy(
+                    krow, kslab.at[pl.ds(length, 1)], sems.at[8]),
+                pltpu.make_async_copy(
+                    vrow, vslab.at[pl.ds(length, 1)], sems.at[9]),
+            ]
+            for cp in patches:
+                cp.start()
+            for cp in patches:
+                cp.wait()
 
         base_kv = pl.multiple_of(g * hg, hg) if n_groups > 1 else 0
         hgq = hg * n_rep
@@ -1339,7 +1361,7 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad * Hq, Hkv * D), jnp.int8),      # qbd8
             pltpu.VMEM((B_pad * Hq, 1), jnp.float32),         # qsc
         ] if batched else [])
-        + [pltpu.SemaphoreType.DMA((8,))] + stream_scratch,
+        + [pltpu.SemaphoreType.DMA((10,))] + stream_scratch,
     )
     # flatten the KV cache views to (..., S|block, Hkv*D): free for the
     # row-major HBM arrays (trailing-dim collapse) and it removes every
