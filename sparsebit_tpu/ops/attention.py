@@ -221,7 +221,7 @@ def _group_attention_rows(kslab, vslab, q_all, ks_slab, vs_slab, len_vec,
 
 
 def _group_attention_rows_int8(kslab, vslab, q8_rows, qsc, ks_slab,
-                               vs_slab, len_vec, n_rep, selT, D):
+                               vs_slab, len_vec, n_rep, selT):
     """Batched-row attention with INT8 MXU dots end-to-end — the round-4
     batched megakernel formulation. The bf16 variant's cost was the
     int8->bf16 slab casts (~2.2 us per (512, 4096) slab, x2 slabs x8 rows
@@ -231,20 +231,16 @@ def _group_attention_rows_int8(kslab, vslab, q8_rows, qsc, ks_slab,
     row — both noise terms sit at the same ~1/254 relative level as the
     INT8 KV cache itself.
 
-    kslab/vslab (B, S, hg*D) int8 FLAT (the megakernel stores the KV
-    slabs pre-flattened — the (S, hg, D) -> (S, hg*D) sublane->lane
-    relayout cost ~2 us per 2 MB slab use, the post-int8 residual);
-    q8_rows (B*hgq, hg*D) int8 block-diagonal (off-head columns zero);
-    qsc (B*hgq, 1) f32 per-row q scales; ks_slab/vs_slab (B, S, Hp) f32;
-    len_vec (B,) int32; selT (hgq, Hp); D the head dim. Returns
-    (B, hgq, D) f32."""
-    B, S, hgD = kslab.shape
-    hg = hgD // D
+    kslab/vslab (B, S, hg, D) int8; q8_rows (B*hgq, hg*D) int8
+    block-diagonal (off-head columns zero); qsc (B*hgq, 1) f32 per-row q
+    scales; ks_slab/vs_slab (B, S, Hp) f32; len_vec (B,) int32; selT
+    (hgq, Hp). Returns (B, hgq, D) f32."""
+    B, S, hg, D = kslab.shape
     hgq = q8_rows.shape[0] // B
 
     scores_parts, ks_parts, vs_parts = [], [], []
     for b in range(B):
-        K2 = kslab[b]  # (S, hg*D) int8, no cast, no relayout
+        K2 = kslab[b].reshape(S, hg * D)  # int8, no cast
         scores_parts.append(jax.lax.dot_general(
             q8_rows[b * hgq:(b + 1) * hgq], K2,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -281,7 +277,7 @@ def _group_attention_rows_int8(kslab, vslab, q8_rows, qsc, ks_slab,
 
     out_parts = []
     for b in range(B):
-        V2 = vslab[b]  # (S, hg*D) int8
+        V2 = vslab[b].reshape(S, hg * D)  # int8, no cast
         out_parts.append(jax.lax.dot_general(
             p8[b * hgq:(b + 1) * hgq], V2,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -299,16 +295,15 @@ def _group_attention_rows_int8(kslab, vslab, q8_rows, qsc, ks_slab,
 
 
 def _group_attention_t_int8(k8g, v8g, qg, ks_colsT, vs_colsT, length,
-                            n_rep, D):
+                            n_rep):
     """Single-row INT8 variant of _group_attention_t (the B=1 megakernel
     attention phase): per-head int8 q against the int8 K slab, int8
     probability mix against the int8 V slab — numerically IDENTICAL to
     one row of _group_attention_rows_int8, so B=1 decode and batched
     decode agree exactly (the serving engines' cross-path token-parity
-    contract). k8g/v8g (S, hg*D) int8 FLAT; qg (hgq, D) f32;
+    contract). k8g/v8g (S, hg, D) int8; qg (hgq, D) f32;
     ks_colsT/vs_colsT (hgq, S) f32."""
-    S, hgD = k8g.shape
-    hg = hgD // D
+    S, hg, D = k8g.shape
     hgq = qg.shape[0]
     qs = jnp.maximum(
         jnp.max(jnp.abs(qg), axis=1, keepdims=True), 1e-30) / 127.0
@@ -317,7 +312,7 @@ def _group_attention_t_int8(k8g, v8g, qg, ks_colsT, vs_colsT, length,
     col_h = jax.lax.broadcasted_iota(jnp.int32, (hgq, hg * D), 1) // D
     row_h = jax.lax.broadcasted_iota(jnp.int32, (hgq, hg * D), 0) // n_rep
     Qbd8 = jnp.where(col_h == row_h, q_wide, jnp.int8(0))
-    K2 = k8g  # (S, hg*D) int8, no cast, no relayout
+    K2 = k8g.reshape(S, hg * D)  # int8, no cast
     scoresT = jax.lax.dot_general(
         Qbd8, K2, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -331,7 +326,7 @@ def _group_attention_t_int8(k8g, v8g, qg, ks_colsT, vs_colsT, length,
     p2 = p * jnp.where(s_idx <= length, vs_colsT, 0.0)
     psc = jnp.maximum(jnp.max(p2, axis=1, keepdims=True), 1e-30) / 127.0
     p8 = jnp.clip(jnp.round(p2 / psc), 0, 127).astype(jnp.int8)
-    V2 = v8g
+    V2 = v8g.reshape(S, hg * D)
     outs = jax.lax.dot_general(
         p8, V2, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

@@ -32,15 +32,13 @@ K slab directly and the scale-folded probabilities are int8-quantized for
 the value mix (_group_attention_t_int8 / _group_attention_rows_int8) —
 the bf16 formulation's int8->bf16 slab casts were the dominant batched
 attention cost (exp22/exp23), and the B=1 and batched paths are row-exact
-against each other (cross-engine token parity). Scale/zero and norm
-operands use the default-tiled window layout of quant_matmul._sz_layout —
-unit-sublane blocks would retile the whole arrays inside the decode loop.
+against each other (cross-engine token parity). Scale/zero and norm operands
+use the default-tiled window layout of quant_matmul._sz_layout — unit-
+sublane blocks would retile the whole arrays inside the decode loop.
 
-Layer-stacked weights (L, K, N) ride the scalar-prefetched layer index;
-2/3-bit stacks stream at TRUE width via plane windows (wbits, round 4).
+Layer-stacked weights (L, K, N) ride the scalar-prefetched layer index.
 Reference: one CUDA matvec launch per linear + eager attention
-(cuda_kernel_4bit.cu, llama_wrapper.py; cuda_kernel_3bit.cu's 3-bit
-stream); this is the TPU answer.
+(cuda_kernel_4bit.cu, llama_wrapper.py); this is the TPU answer.
 """
 
 import functools
@@ -239,8 +237,9 @@ def _layer_kernel(
     @pl.when((l == 0) & (s == 0))
     def _():
         xcur[...] = x_ref[...].astype(jnp.float32)
-    # the cache length (slabs are flat (..., S, Hkv*D))
-    S = s_full if batched else kslab.shape[-2]
+    # batched chunk buffers are (2, gb, sc, ...) — the real cache length
+    # rides the s_full kwarg; unbatched slabs still carry it directly
+    S = s_full if batched else kslab.shape[-3]
     Hp = ks_slab.shape[-1]
     HD = Hq * D
     KVD = Hkv * D
@@ -522,13 +521,12 @@ def _layer_kernel(
                 jnp.max(jnp.abs(kr), axis=1, keepdims=True), 1e-8) / 127.0
             vsc = jnp.maximum(
                 jnp.max(jnp.abs(vr), axis=1, keepdims=True), 1e-8) / 127.0
-            # rows live FLAT (B_pad, Hkv*D): the KV slabs/cache views are
-            # pre-flattened so the attention dots never pay the
-            # (S, Hkv, D) -> (S, Hkv*D) relayout (round 4)
+            # rows live 3-D (B_pad, H, D): per-row DMA srcs slice the
+            # UNTILED leading dim (sublane slices must be 8-aligned)
             krow[...] = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(
-                jnp.int8).reshape(Bp, KVD)
+                jnp.int8).reshape(Bp, Hkv, D)
             vrow[...] = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(
-                jnp.int8).reshape(Bp, KVD)
+                jnp.int8).reshape(Bp, Hkv, D)
             ks2 = ksc.reshape(Bp, Hkv)  # (B_pad, Hkv) scale rows
             vs2 = vsc.reshape(Bp, Hkv)
             if Hp != Hkv:
@@ -546,15 +544,13 @@ def _layer_kernel(
                     row_w = length % sc
                 writes += [
                     pltpu.make_async_copy(
-                        krow.at[pl.ds(b, 1)],
-                        (ko_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
-                         else ko_hbm.at[lic, b, pl.ds(length, 1)]),
-                        sems.at[0]),
+                        krow.at[b],
+                        (ko_hbm.at[lic, blk_w, row_w] if paged
+                         else ko_hbm.at[lic, b, length]), sems.at[0]),
                     pltpu.make_async_copy(
-                        vrow.at[pl.ds(b, 1)],
-                        (vo_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
-                         else vo_hbm.at[lic, b, pl.ds(length, 1)]),
-                        sems.at[1]),
+                        vrow.at[b],
+                        (vo_hbm.at[lic, blk_w, row_w] if paged
+                         else vo_hbm.at[lic, b, length]), sems.at[1]),
                     pltpu.make_async_copy(
                         ksrow.at[b],
                         (kso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
@@ -586,26 +582,12 @@ def _layer_kernel(
                 _start_copies(copies)
             _wait_copies(copies)
             if "patch" not in _ablate:  # timing-only ablation (exp22)
-                patches = []
                 for jr, b_idx in enumerate(rows):
                     length = len_ref[b_idx]
-                    # k/v patches ride DMA: Mosaic cannot lower a 1-row
-                    # dynamic-sublane vector store on the int8 (32, 128)
-                    # tiling (the f32 scale stores below are fine)
-                    patches += [
-                        pltpu.make_async_copy(
-                            krow.at[pl.ds(b_idx, 1)],
-                            kslab.at[jr, pl.ds(length, 1)], sems.at[8]),
-                        pltpu.make_async_copy(
-                            vrow.at[pl.ds(b_idx, 1)],
-                            vslab.at[jr, pl.ds(length, 1)], sems.at[9]),
-                    ]
+                    kslab[jr, length] = krow[b_idx]
+                    vslab[jr, length] = vrow[b_idx]
                     ks_slab[jr, pl.ds(length, 1)] = ksrow[b_idx]
                     vs_slab[jr, pl.ds(length, 1)] = vsrow[b_idx]
-                for cp in patches:
-                    cp.start()
-                for cp in patches:
-                    cp.wait()
             if "attn" not in _ablate:
                 len_vec = jnp.stack([len_ref[b] for b in rows])
                 if n_bgroups == 1:
@@ -617,7 +599,7 @@ def _layer_kernel(
                     qs_g = qsc[pl.ds(off, gb * hgq), :]
                 out_rows = _group_attention_rows_int8(
                     kslab, vslab, Qg8, qs_g, ks_slab, vs_slab, len_vec,
-                    n_rep, selT_b, D)
+                    n_rep, selT_b)
                 if n_bgroups == 1:
                     aout[pl.ds(0, gb), :] = out_rows.reshape(gb, HD)
                 else:
@@ -637,17 +619,13 @@ def _layer_kernel(
                         row_w = length % sc
                     wr = [
                         pltpu.make_async_copy(
-                            krow.at[pl.ds(b, 1)],
-                            (ko_hbm.at[lic, blk_w, pl.ds(row_w, 1)]
-                             if paged
-                             else ko_hbm.at[lic, b, pl.ds(length, 1)]),
-                            sems.at[0]),
+                            krow.at[b],
+                            (ko_hbm.at[lic, blk_w, row_w] if paged
+                             else ko_hbm.at[lic, b, length]), sems.at[0]),
                         pltpu.make_async_copy(
-                            vrow.at[pl.ds(b, 1)],
-                            (vo_hbm.at[lic, blk_w, pl.ds(row_w, 1)]
-                             if paged
-                             else vo_hbm.at[lic, b, pl.ds(length, 1)]),
-                            sems.at[1]),
+                            vrow.at[b],
+                            (vo_hbm.at[lic, blk_w, row_w] if paged
+                             else vo_hbm.at[lic, b, length]), sems.at[1]),
                         pltpu.make_async_copy(
                             ksrow.at[b],
                             (kso_hbm.at[lic, blk_w, pl.ds(row_w, 1)]
@@ -712,9 +690,9 @@ def _layer_kernel(
                 jnp.max(jnp.abs(vr), axis=1, keepdims=True), 1e-8
             ) / 127.0
             krow[...] = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(
-                jnp.int8).reshape(1, KVD)
+                jnp.int8)
             vrow[...] = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(
-                jnp.int8).reshape(1, KVD)
+                jnp.int8)
             ksc_t = jnp.transpose(ksc)  # (1, Hkv)
             vsc_t = jnp.transpose(vsc)
             if Hp == Hkv:
@@ -736,14 +714,12 @@ def _layer_kernel(
             row_writes = [
                 pltpu.make_async_copy(
                     krow,
-                    (ko_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
-                     else ko_hbm.at[lic, b, pl.ds(length, 1)]),
-                    sems.at[0]),
+                    (ko_hbm.at[lic, blk_w, row_w] if paged
+                     else ko_hbm.at[lic, b, length]), sems.at[0]),
                 pltpu.make_async_copy(
                     vrow,
-                    (vo_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
-                     else vo_hbm.at[lic, b, pl.ds(length, 1)]),
-                    sems.at[1]),
+                    (vo_hbm.at[lic, blk_w, row_w] if paged
+                     else vo_hbm.at[lic, b, length]), sems.at[1]),
                 pltpu.make_async_copy(
                     ksrow,
                     (kso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
@@ -763,26 +739,13 @@ def _layer_kernel(
             for c in row_writes:
                 c.wait()
             _wait_copies(loads)
-            patches = [
-                pltpu.make_async_copy(
-                    krow, kslab.at[pl.ds(length, 1)], sems.at[8]),
-                pltpu.make_async_copy(
-                    vrow, vslab.at[pl.ds(length, 1)], sems.at[9]),
-            ]
-            for cp in patches:
-                cp.start()
-            for cp in patches:
-                cp.wait()
+            kslab[length, :, :] = krow[...]
+            vslab[length, :, :] = vrow[...]
 
         base_kv = pl.multiple_of(g * hg, hg) if n_groups > 1 else 0
         hgq = hg * n_rep
-        if n_groups == 1:
-            k8g = kslab[...]  # (S, hg*D) flat
-            v8g = vslab[...]
-        else:
-            koff = pl.multiple_of(base_kv * D, D)
-            k8g = kslab[:, pl.ds(koff, hg * D)]
-            v8g = vslab[:, pl.ds(koff, hg * D)]
+        k8g = kslab[slice(None), pl.ds(base_kv, hg), :]  # (S, hg, D)
+        v8g = vslab[slice(None), pl.ds(base_kv, hg), :]
         bcol = bsel.T  # (B, 1)
         # whole head group in two MXU dots, TRANSPOSED scores (hgq, S):
         # S rides the MXU's 128-lane output dim (full utilisation; the
@@ -817,7 +780,7 @@ def _layer_kernel(
         # IDENTICAL to one row of the batched int8 path — B=1 decode and
         # batched decode agree exactly (serving cross-path token parity)
         out_g = _group_attention_t_int8(
-            k8g, v8g, qrow.reshape(hgq, D), ksT, vsT, length, n_rep, D
+            k8g, v8g, qrow.reshape(hgq, D), ksT, vsT, length, n_rep
         )
         orow = out_g.reshape(1, hgq * D)
         aout[:, pl.ds(base_qoff, hgq * D)] = jnp.where(
@@ -1340,15 +1303,15 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad, NT3), jnp.float32),  # acco
             pltpu.VMEM((B_pad, NT4), jnp.float32),  # acc13
             pltpu.VMEM((B_pad, NT5), jnp.float32),  # acc2
-            pltpu.VMEM(slab_lead + (S, Hkv * D), jnp.int8),  # k slab (flat)
-            pltpu.VMEM(slab_lead + (S, Hkv * D), jnp.int8),  # v slab (flat)
+            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # k slab
+            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # v slab
             pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # ks slab
             pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # vs slab
-            # kv rows FLAT (Hkv*D lanes): per-row DMA src/dst are
-            # (1, Hkv*D) slices of the flattened cache views
-            pltpu.VMEM((B_pad, Hkv * D) if batched else (1, Hkv * D),
+            # batched: ALL rows' kv rows / scale rows, 3-D so per-row DMA
+            # srcs slice the UNTILED leading dim
+            pltpu.VMEM((B_pad, Hkv, D) if batched else (Hkv, D),
                        jnp.int8),                  # k row(s)
-            pltpu.VMEM((B_pad, Hkv * D) if batched else (1, Hkv * D),
+            pltpu.VMEM((B_pad, Hkv, D) if batched else (Hkv, D),
                        jnp.int8),                  # v row(s)
             pltpu.VMEM((B_pad, 1, Hp) if batched else (1, Hp),
                        jnp.float32),               # k scale row(s)
@@ -1361,16 +1324,8 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad * Hq, Hkv * D), jnp.int8),      # qbd8
             pltpu.VMEM((B_pad * Hq, 1), jnp.float32),         # qsc
         ] if batched else [])
-        + [pltpu.SemaphoreType.DMA((10,))] + stream_scratch,
+        + [pltpu.SemaphoreType.DMA((8,))] + stream_scratch,
     )
-    # flatten the KV cache views to (..., S|block, Hkv*D): free for the
-    # row-major HBM arrays (trailing-dim collapse) and it removes every
-    # in-kernel (S, Hkv, D) -> (S, Hkv*D) relayout from the attention
-    # dots (measured ~2 us per 2 MB slab use at 7B — the post-int8
-    # residual batched attention cost)
-    k_shape, v_shape = k.shape, v.shape
-    k = k.reshape(k.shape[:-2] + (Hkv * D,))
-    v = v.reshape(v.shape[:-2] + (Hkv * D,))
     out, k2, v2, ks2, vs2 = pl.pallas_call(
         functools.partial(
             _layer_kernel, B=B, Hq=Hq, Hkv=Hkv, D=D, dim=dim, F=F, gs=gs,
@@ -1410,4 +1365,4 @@ def _fused_call(x, pos, cos, sin, li,
       bt_arr,
       x, attn_norm, ffn_norm, cos, sin,
       wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2, k, v, ks, vs)
-    return out[:B], k2.reshape(k_shape), v2.reshape(v_shape), ks2, vs2
+    return out[:B], k2, v2, ks2, vs2
