@@ -178,3 +178,120 @@ def yolov3_darknet21(num_classes=80, key=None):
     """Shallow Darknet-21 variant (reference Darknet depth=21 option) —
     same topology at CI-friendly size."""
     return YoloV3(num_classes, num_blocks=(1, 1, 2, 2, 1), key=key)
+
+
+# ---- CSP-scale family: CSPDarknet backbone (YOLOv4 regime) ----------------
+# Reference: coco2017/yolo_series/models/yolov4.py — CSP DownSample stages
+# (two-branch residual groups with Mish) + SPP; heads/neck reuse the FPN
+# embedding structure (the quantization-relevant surface: Mish + route
+# splits + concat merges + maxpool-SPP).
+
+
+class ConvBNMish(nn.Module):
+    def __init__(self, c_in, c_out, k=3, stride=1, key=None):
+        super().__init__()
+        self.conv = nn.Conv2d(
+            c_in, c_out, k, stride=stride, padding=k // 2, bias=False,
+            key=key)
+        self.bn = nn.BatchNorm2d(c_out)
+        self.act = nn.Mish()
+
+    def forward(self, x):
+        return self.act(self.bn(self.conv(x)))
+
+
+class CSPStage(nn.Module):
+    """CSP downsample stage (yolov4.py DownSample2..5 pattern): stride-2
+    conv, split into a shortcut 1x1 branch and a residual-block branch,
+    concat, 1x1 merge."""
+
+    def __init__(self, c_in, c_out, n_blocks, key=None):
+        super().__init__()
+        ks = jax.random.split(key if key is not None else jax.random.PRNGKey(0),
+                              4 + 2 * n_blocks)
+        ch = c_out // 2
+        self.down = ConvBNMish(c_in, c_out, stride=2, key=ks[0])
+        self.split1 = ConvBNMish(c_out, ch, k=1, key=ks[1])
+        self.split2 = ConvBNMish(c_out, ch, k=1, key=ks[2])
+        self.blocks = nn.ModuleList([
+            ResLayer(ch, key=ks[3 + i]) for i in range(n_blocks)
+        ])
+        self.merge = ConvBNMish(2 * ch, c_out, k=1, key=ks[-1])
+
+    def forward(self, x):
+        x = self.down(x)
+        s = self.split1(x)
+        y = self.split2(x)
+        for i in range(len(self.blocks)):
+            y = self.blocks[i](y)
+        return self.merge(F.concat([y, s], axis=-1))
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (yolov4.py Neck head): parallel maxpools
+    at 5/9/13, concat."""
+
+    def __init__(self):
+        super().__init__()
+        self.p5 = nn.MaxPool2d(5, stride=1, padding=2)
+        self.p9 = nn.MaxPool2d(9, stride=1, padding=4)
+        self.p13 = nn.MaxPool2d(13, stride=1, padding=6)
+
+    def forward(self, x):
+        return F.concat([self.p13(x), self.p9(x), self.p5(x), x], axis=-1)
+
+
+class YoloV4(nn.Module):
+    def __init__(self, num_classes=80, num_anchors=3,
+                 num_blocks=(1, 2, 8, 8, 4), nf=32, key=None):
+        super().__init__()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 9)
+        self.stem = ConvBNMish(3, nf, key=ks[0])
+        stages = []
+        ch = nf
+        for i, nb in enumerate(num_blocks):
+            stages.append(CSPStage(ch, ch * 2, nb, key=ks[1 + i]))
+            ch *= 2
+        self.stages = nn.ModuleList(stages)
+        c3, c4, c5 = nf * 8, nf * 16, nf * 32
+        out_ch = num_anchors * (5 + num_classes)
+        self.spp_pre = ConvBNMish(c5, c5 // 2, k=1, key=ks[6])
+        self.spp = SPP()
+        self.spp_post = ConvBNMish(2 * c5, c5 // 2, k=1, key=ks[7])
+        self.out0 = _Embedding(c5 // 2, (c5 // 2, c5), out_ch, key=ks[8])
+        self.out1_cbl = ConvBNLeaky(c5 // 2, c4 // 2, k=1, key=ks[2])
+        self.up1 = nn.Upsample(scale_factor=2, mode="nearest")
+        self.out1 = _Embedding(c4 + c4 // 2, (c4 // 2, c4), out_ch,
+                               key=ks[3])
+        self.out2_cbl = ConvBNLeaky(c4 // 2, c3 // 2, k=1, key=ks[4])
+        self.up2 = nn.Upsample(scale_factor=2, mode="nearest")
+        self.out2 = _Embedding(c3 + c3 // 2, (c3 // 2, c3), out_ch,
+                               key=ks[5])
+
+    def forward(self, x):
+        x = self.stem(x)
+        feats = []
+        for i in range(len(self.stages)):
+            x = self.stages[i](x)
+            feats.append(x)
+        x2, x1, x0 = feats[-3], feats[-2], feats[-1]
+        y0 = self.spp_post(self.spp(self.spp_pre(x0)))
+        p0, b0 = self.out0(y0)
+        y1 = F.concat([self.up1(self.out1_cbl(b0)), x1], axis=-1)
+        p1, b1 = self.out1(y1)
+        y2 = F.concat([self.up2(self.out2_cbl(b1)), x2], axis=-1)
+        p2, _ = self.out2(y2)
+        return p0, p1, p2
+
+
+@register_model
+def yolov4(num_classes=80, key=None):
+    """CSP-scale YOLOv4 (reference yolo_series/models/yolov4.py)."""
+    return YoloV4(num_classes, key=key)
+
+
+@register_model
+def yolov4_small(num_classes=80, key=None):
+    """Shallow CSP variant for CI-scale runs."""
+    return YoloV4(num_classes, num_blocks=(1, 1, 2, 2, 1), key=key)

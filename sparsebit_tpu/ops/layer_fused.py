@@ -909,11 +909,11 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None, wbits=4):
     Fp = f_pad or F
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     Nq = (Hq + 2 * Hkv) * D
-    # B cap 32: B=64 (8 attention group steps) reproducibly crashes the
-    # Mosaic compile subprocess on this toolchain (tpu_compile_helper
-    # exit 1); 64-row batches belong on the B-tiled per-matmul kernels
-    # or a tp mesh anyway.
-    if gs <= 0 or B > 32 or D % 128 or Fp < F:
+    # B cap 64 (8 int8 attention group steps; the round-3 bf16 kernel
+    # crashed the Mosaic compile subprocess at B=64 — the round-4 int8
+    # kernel is much smaller and compiles; B=64 needs a shrunken tile
+    # budget + raised VMEM cap, see experiments/exp27_b64.py).
+    if gs <= 0 or B > 64 or D % 128 or Fp < F:
         return False
     if B > 1:
         # batched int8 attention runs over full-S (gb, S, ...) slabs +
@@ -923,7 +923,7 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None, wbits=4):
         gb = B if B <= 8 else 8
         slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
         qbd_bytes = max(8, B) * Hq * Hkv * D
-        if gb * slab_bytes + qbd_bytes > 44 * 1024 * 1024:
+        if gb * slab_bytes + qbd_bytes > 48 * 1024 * 1024:
             return False
     if Hkv % 4:
         # the per-token KV row write DMAs a (Hkv, D) int8 slice; Mosaic
@@ -1055,7 +1055,7 @@ def _fused_call(x, pos, cos, sin, li,
         B > 1
         and n_groups == 1
         and _n_phases >= 2
-        and gb * slab_bytes + qbd_bytes <= 44 * 1024 * 1024
+        and gb * slab_bytes + qbd_bytes <= 48 * 1024 * 1024
     )
     slab_lead = (gb,) if batched else ()
 
