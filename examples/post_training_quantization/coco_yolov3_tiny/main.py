@@ -5,7 +5,8 @@ graph; box decode/NMS/mAP are downstream of the quantized network.
     python main.py --model yolov3 [--data coco_imgs.npz] [--ckpt yolo.npz]
 
 Models: yolov3 (full Darknet-53 + FPN, the reference yolo_series scale),
-yolov3_darknet21 (shallow variant), yolov3_tiny.
+yolov4 (CSPDarknet + SPP, Mish), yolov3_darknet21/yolov4_small (shallow
+variants), yolov3_tiny.
 """
 
 import os as _os
@@ -25,7 +26,8 @@ from sparsebit_tpu.models import create_model
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov3_tiny",
-                    choices=["yolov3", "yolov3_darknet21", "yolov3_tiny"])
+                    choices=["yolov3", "yolov3_darknet21", "yolov3_tiny",
+                             "yolov4", "yolov4_small"])
     ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig.yaml"))
     ap.add_argument("--data", default=None, help="npz x (N,H,W,3) float")
     ap.add_argument("--ckpt", default=None)

@@ -85,3 +85,18 @@ def test_bert_qa_span_heads_prune_ratchet():
     qa = dict(sm.smodules()).get("qa_outputs")
     if qa is not None and getattr(qa, "mask", None) is not None:
         assert float(jnp.mean(qa.mask)) == 1.0
+
+
+def test_yolov4_csp_three_scales_and_trace():
+    """CSP regime (reference yolo_series/models/yolov4.py): Mish CSP
+    stages with route splits + SPP maxpool pyramid trace through
+    QuantModel."""
+    m = create_model("yolov4_small", num_classes=4).eval()
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 64, 64, 3)), jnp.float32)
+    p0, p1, p2 = m(x)
+    assert (p0.shape, p1.shape, p2.shape) == (
+        (1, 2, 2, 27), (1, 4, 4, 27), (1, 8, 8, 27))
+    qm = QuantModel(m, _qcfg(), (x,))
+    for a, b in zip(qm(x), m(x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
