@@ -1119,7 +1119,13 @@ def _fused_call(x, pos, cos, sin, li,
     # so batched steps use Pallas' BlockSpec pipelining instead.
     stream = (
         rowpair
-        and B == 1
+        and (B == 1
+             # B<=8 opt-in, measured NEGATIVE (round-4 exp28: 1,129
+             # tok/s streamed vs 1,225 BlockSpec at B=8 even with the
+             # short int8 attention phase) — knob kept for hardware
+             # sweeps only
+             or (B <= 8
+                 and _os.environ.get("SBT_FUSED_STREAM_B8") == "1"))
         and _n_phases == 5
         and _os.environ.get("SBT_FUSED_STREAM", "1") == "1"
     )
