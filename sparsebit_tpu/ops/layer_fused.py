@@ -1213,6 +1213,11 @@ def _fused_call(x, pos, cos, sin, li,
         return w, sz
 
     wq_w, wq_sz = wq_maps()
+    # (measured, kept OFF: staggering w13/w2's switch points into the
+    # batched attention phase — so their first tiles stream under the
+    # attention compute — read as a win on paper but measured B=8 1,176
+    # vs 1,225 tok/s and B=32 2,144 vs 2,126: the stacked fetches gate
+    # the rope/group steps harder than they relieve the matmul phases.)
     wo_w, wo_sz = _prev_maps(S1, p3, k3_t, GB3, G83)
     w13_w, w13_sz = _prev_maps(S2, p4, k4_t, GB4, G84,
                                n_of=n4_of, last_n=n4_t - 1)
