@@ -68,6 +68,12 @@ def main():
     opt = optax.sgd(args.lr, momentum=0.9)
     opt_state = replicate(mesh, opt.init(params))
 
+    def freeze_masks(tree):
+        # masks ride the params pytree; zero their grads so pruned
+        # channels cannot resurrect during the finetune
+        return {n: {k: (jnp.zeros_like(v) if k.endswith("_mask") else v)
+                    for k, v in p.items()} for n, p in tree.items()}
+
     @jax.jit
     def step(params, opt_state, xb, yb):
         def loss_of(p):
@@ -76,7 +82,8 @@ def main():
             return -jnp.mean(jnp.take_along_axis(logp, yb[:, None], axis=-1))
 
         loss, grads = jax.value_and_grad(loss_of)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
+        updates, opt_state = opt.update(freeze_masks(grads), opt_state,
+                                        params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     for i in range(args.finetune_steps):
@@ -86,6 +93,7 @@ def main():
         params, opt_state, loss = step(params, opt_state, xb, yb)
     print("finetune done ({} steps), last loss {:.4f}".format(
         args.finetune_steps, float(loss)))
+    smodel.load_params(jax.device_get(params))  # commit before export
     smodel.eval()
     if args.export:
         smodel.export(args.export, jnp.asarray(x[: args.batch]))

@@ -84,6 +84,12 @@ def main():
     opt_state = opt.init(params)
     smodel.train()
 
+    def freeze_masks(tree):
+        # masks are part of the params pytree (smodel.apply reads them
+        # from there) but must NOT train: zero their gradient entries
+        return {n: {k: (jnp.zeros_like(v) if k.endswith("_mask") else v)
+                    for k, v in p.items()} for n, p in tree.items()}
+
     @jax.jit
     def step(params, opt_state, xb, sb, eb):
         def loss_of(p):
@@ -94,7 +100,8 @@ def main():
             return 0.5 * (ce(start_logits, sb) + ce(end_logits, eb))
 
         loss, grads = jax.value_and_grad(loss_of)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
+        updates, opt_state = opt.update(freeze_masks(grads), opt_state,
+                                        params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     ratios = [float(r) for r in args.ratios.split(",")]
@@ -109,6 +116,11 @@ def main():
                 if getattr(op, "sparser", None) is not None:
                     op.sparser.ratio = ratios[ri]
             smodel.calc_params()
+            # the training step reads masks from the PARAMS pytree —
+            # refresh the mask leaves from the freshly computed buffers
+            # (without this the whole finetune runs dense)
+            params = smodel.params()
+            opt_state = opt.init(params)
             print("step {}: mask ratio -> {} (global sparsity {:.3f})".format(
                 i, ratios[ri], smodel.sparsity()))
         j = (i * args.batch) % (len(x) - args.batch + 1)

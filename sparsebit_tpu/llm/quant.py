@@ -359,6 +359,10 @@ class QuantLinear:
         codes = unpack_columns(self.packed, self.bits, self.n_padded)
         packed = {} if drop_fold else dict(self.packed)
         packed["pl"] = pack_planes_serving(codes, self.bits)
+        if self.bits == 2:
+            # the 2-bit plane array IS the fold container — alias it so
+            # every per-matmul dispatcher keeps its fast path (no copy)
+            packed.setdefault("w", packed["pl"])
         return QuantLinear(
             packed, self.scales, self.zeros, self.bits, self.groupsize,
             self.out_features, self.bias, self.impl, self.perm,

@@ -641,8 +641,8 @@ class PagedDecodeEngine(DecodeEngine):
             ), (
                 "PagedDecodeEngine: model shape unsupported by the decode "
                 "megakernel (need head_dim % 128 == 0, n_kv_heads % 4 == 0, "
-                "max_batch <= 32 with 8-row-group KV slabs <= 40 MB at "
-                "max_len, groupsize-aligned dims; cfg dim={} heads={}"
+                "max_batch <= 64 with 8-row-group KV slabs + q8 scratch "
+                "<= 48 MB at max_len, groupsize-aligned dims; cfg dim={} heads={}"
                 "/{} head_dim={} gs={} B={} max_len={})".format(
                     cfg.dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, gs,
                     max_batch, max_len)

@@ -237,8 +237,8 @@ def _layer_kernel(
     @pl.when((l == 0) & (s == 0))
     def _():
         xcur[...] = x_ref[...].astype(jnp.float32)
-    # batched chunk buffers are (2, gb, sc, ...) — the real cache length
-    # rides the s_full kwarg; unbatched slabs still carry it directly
+    # the cache length; identical to kslab.shape[-3] in both modes today
+    # (kept as a kwarg so slab shapes can diverge from S again)
     S = s_full if batched else kslab.shape[-3]
     Hp = ks_slab.shape[-1]
     HD = Hq * D
@@ -370,7 +370,7 @@ def _layer_kernel(
 
     def _slab_copies(b):
         """Chunked loads of row ``b``'s cache into the slab scratch
-        (unbatched path; the batched path uses _chunk_copies)."""
+        (unbatched path; the batched path uses _group_copies)."""
         length = len_ref[b]
         out = []
         for c in range(n_sc):
@@ -922,7 +922,7 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None, wbits=4):
         Hp = 128 if Hkv < 128 else Hkv
         gb = B if B <= 8 else 8
         slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
-        qbd_bytes = max(8, B) * Hq * Hkv * D
+        qbd_bytes = max(8, -(-B // 8) * 8) * Hq * Hkv * D  # B_pad rows
         if gb * slab_bytes + qbd_bytes > 48 * 1024 * 1024:
             return False
     if Hkv % 4:
@@ -1039,18 +1039,17 @@ def _fused_call(x, pos, cos, sin, li,
     n_groups = 1
 
     # batched attention: rope/quant (B*H, D)-vectorized at one step, then
-    # FLASH-CHUNKED (group, chunk) grid steps — rows in GROUPS of gb <= 8,
-    # each group's KV walked in SC-row chunks through ping-pong
-    # (2, gb, SC, ...) buffers (loads double-buffered across steps,
-    # compute skipped outright past the group's longest row). B up to 32
-    # rides the same megakernel instead of falling to per-matmul kernels
-    # (which re-stream weights per launch: 885 tok/s at B=32 vs the
-    # megakernel's single weight stream per step).
+    # ONE grid step per 8-row group over full-S (gb, S, ...) slabs with
+    # INT8 dots end-to-end (the flash-chunked variant was measured and
+    # reverted — exp24: branch-skipped heavy regions still cost ~70% of
+    # their body per grid step on this toolchain). B up to 64 rides the
+    # same megakernel instead of falling to per-matmul kernels (which
+    # re-stream weights per launch: 885 tok/s at B=32).
     # gb must be 8 (sublane-aligned group offsets) or the whole batch
     gb = B if B <= 8 else 8
     n_bgroups = -(-B // gb)
     slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
-    qbd_bytes = max(8, B) * Hq * Hkv * D  # int8
+    qbd_bytes = max(8, -(-B // 8) * 8) * Hq * Hkv * D  # int8, B_pad rows
     batched = (
         B > 1
         and n_groups == 1

@@ -287,7 +287,13 @@ def _qmm3_kernel(x_ref, lo_ref, hi_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
 
 def _quant_matmul_pallas_3bit(x, packed, scales, zeros, gs, N, a8=False):
-    """x (B, K) f32 (or int8 when a8); packed {"low2","high1"}."""
+    """x (B, K) f32 (or int8 when a8); packed {"low2","high1"} — or the
+    plane-concat serving container {"pl"} (pack_planes_serving), whose
+    low2/high1 are column slices of the same array."""
+    if "low2" not in packed and "pl" in packed:
+        NP8 = N // 8
+        packed = {"low2": packed["pl"][..., : 2 * NP8],
+                  "high1": packed["pl"][..., 2 * NP8:]}
     B, K = x.shape
     NP = N // 8  # output column planes of the p=8 view
     G = scales.shape[0]

@@ -190,9 +190,9 @@ def test_fused_decoder_layers_matches_sequential(layout):
      # B=12: MULTI-GROUP batched attention (two 8-row group steps with
      # clamped pad rows in the second — the B>8 megakernel regime)
      (12, None, False, 64),
-     # S=256: MULTI-CHUNK flash attention (2 chunk steps/group, running
-     # softmax accumulators, double-buffered chunk loads) — the round-4
-     # batched regime; S=64 is a single chunk and never exercises it
+     # S=256: multi-chunk slab IO (2 length-gated 128-row load chunks
+     # per row) — S=64 is a single chunk and never exercises the chunked
+     # DMA gating
      (2, None, False, 256), (12, None, False, 256)],
 )
 def test_fused_decoder_layer_matches_oracle(B, k_pad, sz_bf16, S):

@@ -81,10 +81,12 @@ def test_bert_qa_span_heads_prune_ratchet():
     assert s2 > s1 and 0.4 < s2 < 0.6, (s1, s2)
     out = sm(x)
     assert all(bool(jnp.all(jnp.isfinite(o))) for o in out)
-    # dense overrides held: qa head weights unmasked
+    # dense overrides held: qa head weights unmasked (mask lives in the
+    # module buffers as "w_mask")
     qa = dict(sm.smodules()).get("qa_outputs")
-    if qa is not None and getattr(qa, "mask", None) is not None:
-        assert float(jnp.mean(qa.mask)) == 1.0
+    assert qa is not None, list(dict(sm.smodules()))
+    wmask = qa._buffers.get("w_mask")
+    assert wmask is not None and float(jnp.mean(wmask)) == 1.0
 
 
 def test_yolov4_csp_three_scales_and_trace():
