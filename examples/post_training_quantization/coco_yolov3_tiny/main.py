@@ -5,8 +5,8 @@ graph; box decode/NMS/mAP are downstream of the quantized network.
     python main.py --model yolov3 [--data coco_imgs.npz] [--ckpt yolo.npz]
 
 Models: yolov3 (full Darknet-53 + FPN, the reference yolo_series scale),
-yolov4 (CSPDarknet + SPP, Mish), yolov3_darknet21/yolov4_small (shallow
-variants), yolov3_tiny.
+yolov4 (CSPDarknet + SPP, Mish), yolov5s (C3/SPPF + PAN, SiLU),
+yolov3_darknet21/yolov4_small/yolov5n (shallow variants), yolov3_tiny.
 """
 
 import os as _os
@@ -27,7 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov3_tiny",
                     choices=["yolov3", "yolov3_darknet21", "yolov3_tiny",
-                             "yolov4", "yolov4_small"])
+                             "yolov4", "yolov4_small", "yolov5s",
+                             "yolov5n"])
     ap.add_argument("--qconfig", default=_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "qconfig.yaml"))
     ap.add_argument("--data", default=None, help="npz x (N,H,W,3) float")
     ap.add_argument("--ckpt", default=None)

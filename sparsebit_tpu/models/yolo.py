@@ -295,3 +295,144 @@ def yolov4(num_classes=80, key=None):
 def yolov4_small(num_classes=80, key=None):
     """Shallow CSP variant for CI-scale runs."""
     return YoloV4(num_classes, num_blocks=(1, 1, 2, 2, 1), key=key)
+
+
+# ---- YOLOv5 family: C3/SPPF backbone + PAN neck ---------------------------
+# Reference: coco2017/yolov5/models.py — Conv(SiLU), Bottleneck, C3, SPPF,
+# upsample/concat PAN; raw per-scale prediction maps out (the reference's
+# Detect grid/anchor decode is post-processing).
+
+
+class ConvBNSiLU(nn.Module):
+    def __init__(self, c_in, c_out, k=1, stride=1, key=None):
+        super().__init__()
+        self.conv = nn.Conv2d(
+            c_in, c_out, k, stride=stride, padding=k // 2, bias=False,
+            key=key)
+        self.bn = nn.BatchNorm2d(c_out)
+        self.act = nn.SiLU()
+
+    def forward(self, x):
+        return self.act(self.bn(self.conv(x)))
+
+
+class Bottleneck5(nn.Module):
+    def __init__(self, ch, shortcut=True, key=None):
+        super().__init__()
+        ks = jax.random.split(key if key is not None else jax.random.PRNGKey(0), 2)
+        self.cv1 = ConvBNSiLU(ch, ch, 1, key=ks[0])
+        self.cv2 = ConvBNSiLU(ch, ch, 3, key=ks[1])
+        self.add = shortcut
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convolutions (yolov5/models.py:75)."""
+
+    def __init__(self, c_in, c_out, n=1, shortcut=True, key=None):
+        super().__init__()
+        ks = jax.random.split(key if key is not None else jax.random.PRNGKey(0), 3 + n)
+        c_ = c_out // 2
+        self.cv1 = ConvBNSiLU(c_in, c_, 1, key=ks[0])
+        self.cv2 = ConvBNSiLU(c_in, c_, 1, key=ks[1])
+        self.m = nn.Sequential(
+            *[Bottleneck5(c_, shortcut, key=ks[3 + i]) for i in range(n)])
+        self.cv3 = ConvBNSiLU(2 * c_, c_out, 1, key=ks[2])
+
+    def forward(self, x):
+        return self.cv3(F.concat([self.m(self.cv1(x)), self.cv2(x)],
+                                 axis=-1))
+
+
+class SPPF(nn.Module):
+    """SPP-Fast: three CHAINED k=5 maxpools (yolov5/models.py:93)."""
+
+    def __init__(self, ch, key=None):
+        super().__init__()
+        ks = jax.random.split(key if key is not None else jax.random.PRNGKey(0), 2)
+        c_ = ch // 2
+        self.cv1 = ConvBNSiLU(ch, c_, 1, key=ks[0])
+        self.p1 = nn.MaxPool2d(5, stride=1, padding=2)
+        self.p2 = nn.MaxPool2d(5, stride=1, padding=2)
+        self.p3 = nn.MaxPool2d(5, stride=1, padding=2)
+        self.cv2 = ConvBNSiLU(4 * c_, ch, 1, key=ks[1])
+
+    def forward(self, x):
+        x = self.cv1(x)
+        y1 = self.p1(x)
+        y2 = self.p2(y1)
+        y3 = self.p3(y2)
+        return self.cv2(F.concat([x, y1, y2, y3], axis=-1))
+
+
+class YoloV5(nn.Module):
+    """YOLOv5-style CSP detector (depth/width-scaled): stride-2 Conv
+    stem, C3 stages, SPPF, PAN neck (top-down upsample+concat then
+    bottom-up downsample+concat), three 1x1 heads."""
+
+    def __init__(self, num_classes=80, num_anchors=3, depths=(1, 2, 3, 1),
+                 nf=16, key=None):
+        super().__init__()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 24)
+        c1, c2, c3, c4 = nf * 2, nf * 4, nf * 8, nf * 16
+        out_ch = num_anchors * (5 + num_classes)
+        # stem: k=6 s=2 p=2 (the reference's Conv(3, c, 6, 2, 2) —
+        # k//2 padding would give odd spatial dims)
+        self.stem = nn.Conv2d(3, nf, 6, stride=2, padding=2, bias=False,
+                              key=ks[0])
+        self.stem_bn = nn.BatchNorm2d(nf)
+        self.stem_act = nn.SiLU()
+        self.d1 = ConvBNSiLU(nf, c1, 3, stride=2, key=ks[1])   # /4
+        self.c3_1 = C3(c1, c1, depths[0], key=ks[2])
+        self.d2 = ConvBNSiLU(c1, c2, 3, stride=2, key=ks[3])   # /8
+        self.c3_2 = C3(c2, c2, depths[1], key=ks[4])
+        self.d3 = ConvBNSiLU(c2, c3, 3, stride=2, key=ks[5])   # /16
+        self.c3_3 = C3(c3, c3, depths[2], key=ks[6])
+        self.d4 = ConvBNSiLU(c3, c4, 3, stride=2, key=ks[7])   # /32
+        self.c3_4 = C3(c4, c4, depths[3], key=ks[8])
+        self.sppf = SPPF(c4, key=ks[9])
+        # PAN top-down
+        self.up_cv1 = ConvBNSiLU(c4, c3, 1, key=ks[10])
+        self.up1 = nn.Upsample(scale_factor=2, mode="nearest")
+        self.c3_td1 = C3(2 * c3, c3, 1, shortcut=False, key=ks[11])
+        self.up_cv2 = ConvBNSiLU(c3, c2, 1, key=ks[12])
+        self.up2 = nn.Upsample(scale_factor=2, mode="nearest")
+        self.c3_td2 = C3(2 * c2, c2, 1, shortcut=False, key=ks[13])
+        # PAN bottom-up
+        self.dn1 = ConvBNSiLU(c2, c2, 3, stride=2, key=ks[14])
+        self.c3_bu1 = C3(2 * c2, c3, 1, shortcut=False, key=ks[15])
+        self.dn2 = ConvBNSiLU(c3, c3, 3, stride=2, key=ks[16])
+        self.c3_bu2 = C3(2 * c3, c4, 1, shortcut=False, key=ks[17])
+        self.head_s = nn.Conv2d(c2, out_ch, 1, key=ks[18])
+        self.head_m = nn.Conv2d(c3, out_ch, 1, key=ks[19])
+        self.head_l = nn.Conv2d(c4, out_ch, 1, key=ks[20])
+
+    def forward(self, x):
+        x = self.stem_act(self.stem_bn(self.stem(x)))
+        x = self.c3_1(self.d1(x))
+        p3 = self.c3_2(self.d2(x))          # /8
+        p4 = self.c3_3(self.d3(p3))         # /16
+        p5 = self.sppf(self.c3_4(self.d4(p4)))  # /32
+        t1 = self.up_cv1(p5)
+        y4 = self.c3_td1(F.concat([self.up1(t1), p4], axis=-1))
+        t2 = self.up_cv2(y4)
+        y3 = self.c3_td2(F.concat([self.up2(t2), p3], axis=-1))
+        z4 = self.c3_bu1(F.concat([self.dn1(y3), t2], axis=-1))
+        z5 = self.c3_bu2(F.concat([self.dn2(z4), t1], axis=-1))
+        return self.head_l(z5), self.head_m(z4), self.head_s(y3)
+
+
+@register_model
+def yolov5s(num_classes=80, key=None):
+    """YOLOv5-small scale (reference coco2017/yolov5/models.py)."""
+    return YoloV5(num_classes, depths=(1, 2, 3, 1), nf=32, key=key)
+
+
+@register_model
+def yolov5n(num_classes=80, key=None):
+    """YOLOv5-nano scale (CI-friendly)."""
+    return YoloV5(num_classes, depths=(1, 1, 1, 1), nf=16, key=key)

@@ -102,3 +102,17 @@ def test_yolov4_csp_three_scales_and_trace():
     qm = QuantModel(m, _qcfg(), (x,))
     for a, b in zip(qm(x), m(x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_yolov5_c3_sppf_pan_trace():
+    """YOLOv5 regime (reference coco2017/yolov5/models.py): C3 blocks,
+    chained-maxpool SPPF, PAN top-down + bottom-up concats, SiLU."""
+    m = create_model("yolov5n", num_classes=4).eval()
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 64, 64, 3)), jnp.float32)
+    pl_, pm_, ps_ = m(x)
+    assert (pl_.shape, pm_.shape, ps_.shape) == (
+        (1, 2, 2, 27), (1, 4, 4, 27), (1, 8, 8, 27))
+    qm = QuantModel(m, _qcfg(), (x,))
+    for a, b in zip(qm(x), m(x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
