@@ -673,3 +673,65 @@ def test_uniform_int3_planes_scanned_decode_matches_nibble():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     finally:
         Dmod.FORCE_LAYER_KERNEL = old
+
+
+def test_b1_and_batched_int8_attention_row_exact():
+    """The serving engines' cross-path contract (round 4): decoding a
+    request at B=1 and decoding it as row 0 of a padded batched step must
+    produce BIT-IDENTICAL outputs — the int8 attention formulations
+    (_group_attention_t_int8 vs _group_attention_rows_int8) and the
+    B_pad-invariant matmul phases guarantee it. Guards against any future
+    divergence between the two phase-2 implementations."""
+    from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
+
+    cfg = _mk_cfg()
+    gs = 64
+    D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    S, Lx = 64, 2
+    keys = jax.random.split(jax.random.PRNGKey(31), Lx)
+    built = [_build(cfg, gs, k) for k in keys]
+    from sparsebit_tpu.ops.packing import pack_s4_rows, unpack_columns
+
+    names = ("wqkv", "wo", "w13", "w2")
+    s4 = {n: jnp.stack([
+        pack_s4_rows(unpack_columns(b[0][n].packed, 4, b[0][n].n_padded))
+        for b in built]) for n in names}
+    scs = {n: jnp.stack([b[0][n].scales for b in built]) for n in names}
+    zrs = {n: jnp.stack([b[0][n].zeros for b in built]) for n in names}
+    ans = jnp.stack([b[1] for b in built])
+    fns = jnp.stack([b[2] for b in built])
+    args = (s4["wqkv"], scs["wqkv"], zrs["wqkv"],
+            s4["wo"], scs["wo"], zrs["wo"],
+            s4["w13"], scs["w13"], zrs["w13"],
+            s4["w2"], scs["w2"], zrs["w2"], ans, fns)
+
+    Hp = 128
+    kk, kv, kx = jax.random.split(jax.random.PRNGKey(32), 3)
+    B = 3
+    k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                            jnp.int32).astype(jnp.int8)
+    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
+    pos = jnp.asarray([7, 21, 40], jnp.int32)
+    inv_freq = L.rope_frequencies(cfg)
+
+    def run(xx, pp, kc, vc, ksc, vsc):
+        angles = pp[:, None].astype(jnp.float32) * inv_freq
+        cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)
+        sinf = jnp.concatenate([jnp.sin(angles)] * 2, axis=1)
+        return fused_decoder_layers(
+            xx, pp, cosf, sinf, *args, kc, vc, ksc, vsc, cfg, gs,
+            interpret=True, signed=True)
+
+    out_b, kb, vb, ksb, vsb = run(x, pos, k8, v8, kssc, vssc)
+    out_1, k1, v1, ks1, vs1 = run(
+        x[:1], pos[:1], k8[:, :1], v8[:, :1], kssc[:, :1], vssc[:, :1])
+    np.testing.assert_array_equal(np.asarray(out_1[0]),
+                                  np.asarray(out_b[0]))
+    np.testing.assert_array_equal(np.asarray(k1[:, 0]),
+                                  np.asarray(kb[:, 0]))
+    np.testing.assert_array_equal(np.asarray(ks1[:, 0]),
+                                  np.asarray(ksb[:, 0]))
