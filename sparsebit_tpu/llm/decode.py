@@ -671,6 +671,27 @@ def prepare_params_host(params, drop_fold=True, sz_dtype=jnp.bfloat16,
     parity and the bench headline."""
     from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
 
+    layers_in = params["layers"]
+    if sub4 == "planes":
+        # plane serving is a per-launch layout: every layer in the stack
+        # must pack the same bit width or stack_layers produces
+        # heterogeneous containers ('s4r' 4-bit vs 'pl' 2/3-bit with
+        # different packed shapes) that only fail later as an obscure
+        # pytree/shape error. Mixed-bit checkpoints either segment at the
+        # kernel level (fused_decoder_layers li_cache, uniform bits per
+        # segment) or serve via the homogeneous nibble container.
+        lyrs = layers_in.values() if isinstance(layers_in, dict) \
+            else (lv for lyr in layers_in for lv in lyr.values())
+        bit_set = {ln.bits for ln in lyrs if isinstance(ln, QuantLinear)}
+        if len(bit_set) > 1:
+            raise ValueError(
+                f"prepare_params_host(sub4='planes') needs uniform "
+                f"bit-widths across layers, got {sorted(bit_set)}; use "
+                f"sub4='nibble' for mixed checkpoints, or split into "
+                f"uniform-bit segments served with fused_decoder_layers"
+                f"(li_cache=...)"
+            )
+
     def conv(lin):
         if isinstance(lin, QuantLinear):
             if lin.bits == 4:

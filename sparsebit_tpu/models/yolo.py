@@ -246,7 +246,7 @@ class YoloV4(nn.Module):
                  num_blocks=(1, 2, 8, 8, 4), nf=32, key=None):
         super().__init__()
         key = key if key is not None else jax.random.PRNGKey(0)
-        ks = jax.random.split(key, 9)
+        ks = jax.random.split(key, 13)
         self.stem = ConvBNMish(3, nf, key=ks[0])
         stages = []
         ch = nf
@@ -260,14 +260,14 @@ class YoloV4(nn.Module):
         self.spp = SPP()
         self.spp_post = ConvBNMish(2 * c5, c5 // 2, k=1, key=ks[7])
         self.out0 = _Embedding(c5 // 2, (c5 // 2, c5), out_ch, key=ks[8])
-        self.out1_cbl = ConvBNLeaky(c5 // 2, c4 // 2, k=1, key=ks[2])
+        self.out1_cbl = ConvBNLeaky(c5 // 2, c4 // 2, k=1, key=ks[9])
         self.up1 = nn.Upsample(scale_factor=2, mode="nearest")
         self.out1 = _Embedding(c4 + c4 // 2, (c4 // 2, c4), out_ch,
-                               key=ks[3])
-        self.out2_cbl = ConvBNLeaky(c4 // 2, c3 // 2, k=1, key=ks[4])
+                               key=ks[10])
+        self.out2_cbl = ConvBNLeaky(c4 // 2, c3 // 2, k=1, key=ks[11])
         self.up2 = nn.Upsample(scale_factor=2, mode="nearest")
         self.out2 = _Embedding(c3 + c3 // 2, (c3 // 2, c3), out_ch,
-                               key=ks[5])
+                               key=ks[12])
 
     def forward(self, x):
         x = self.stem(x)

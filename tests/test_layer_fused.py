@@ -297,10 +297,12 @@ def test_fused_decoder_layer_matches_oracle(B, k_pad, sz_bf16, S):
     np.testing.assert_allclose(
         np.asarray(ks2[0][..., :Hkv]), np.asarray(ks_u), rtol=1e-5
     )
-    # output: attention runs in bf16 (f32 accumulate) inside the kernel
-    # vs the f32 oracle; at dim=512 the accumulated bf16 noise on O(1-3)
-    # activations reaches ~0.05 abs on a few elements, ~0.08 when a KV
-    # code sits on a rounding tie (the B=12 case above)
+    # output: attention runs INT8 end-to-end inside the kernel (per-row
+    # q quantization + 7-bit scale-folded probability mix, round 4) vs
+    # the f32 oracle; the tolerance absorbs that int8 formulation noise
+    # (~1/254 relative per dot, compounded over the two attention dots on
+    # O(1-3) activations -> ~0.05 abs on a few elements at dim=512, ~0.08
+    # when a KV code sits on a rounding tie — the B=12 case above)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), rtol=2e-2, atol=9e-2
     )
