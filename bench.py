@@ -310,9 +310,10 @@ def main():
         except Exception:
             pass
         # KV read bytes/step: 2 (K+V) x layers x mean-length x kv_width,
-        # int8 rows (+f32 scale per row, ~1/64 of that — folded in)
+        # int8 rows + bf16 tight-head scale per row (2/head_dim of the
+        # row bytes — the round-5 flat layout; was f32 Hp=128-padded)
         mean_len = 2 * n_iters + n_iters // 2
-        kv_row = cfg.n_kv_heads * cfg.head_dim * 1.03
+        kv_row = cfg.n_kv_heads * cfg.head_dim * (1.0 + 2.0 / cfg.head_dim)
         step_bytes = bytes_per_tok + 2 * cfg.n_layers * mean_len * kv_row * b
         _free(c, tk)
         return dev_rate, wall, bw * 1e9 / step_bytes * b

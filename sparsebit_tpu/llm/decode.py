@@ -199,15 +199,33 @@ def stack_layers(params):
     return out
 
 
-def _scan_cache(cache, pad_scales=False):
-    """Stack the per-layer cache on a leading L axis. pad_scales=True
-    lane-pads the (L, B, S, Hkv) scale stacks to a 128 multiple — the
-    fused attention kernel's in-place row DMA cannot target sub-128-lane
-    slices (ops/attention.decode_attention_update)."""
+def _scan_cache(cache, pad_scales=False, flat=False):
+    """Stack the per-layer cache on a leading L axis.
+
+    pad_scales=True lane-pads the (L, B, S, Hkv) scale stacks to a 128
+    multiple — the fused attention kernel's in-place row DMA cannot
+    target sub-128-lane slices (ops/attention.decode_attention_update).
+
+    flat=True produces the decode MEGAKERNEL's serving layout (round 5):
+    k/v reshaped (L, B, S, Hkv*D) (free — trailing-dim collapse of a
+    row-major HBM array) and scales cast to bf16 with tight heads
+    (LOSSLESS: _quant_heads already rounds int8-cache scales to bf16).
+    The flat slabs feed the kernel's attention dots directly — no
+    (S, Hkv, D) -> (S, Hkv*D) relayout per slab use — and the bf16
+    tight-head scale slabs stream 8x fewer bytes than the old f32
+    Hp=128 layout."""
     k = jnp.stack(cache.k)
     v = jnp.stack(cache.v)
     ks = jnp.stack(cache.k_scale) if cache.quantized else jnp.zeros((len(cache.k),))
     vs = jnp.stack(cache.v_scale) if cache.quantized else jnp.zeros((len(cache.k),))
+    if flat:
+        assert cache.quantized == "int8", "flat layout is int8-KV only"
+        Lx, B, S, Hkv, D = k.shape
+        k = k.reshape(Lx, B, S, Hkv * D)
+        v = v.reshape(Lx, B, S, Hkv * D)
+        ks = ks.astype(jnp.bfloat16)
+        vs = vs.astype(jnp.bfloat16)
+        return k, v, ks, vs
     if pad_scales and cache.quantized:
         Hkv = ks.shape[-1]
         Hp = ((Hkv + 127) // 128) * 128
@@ -218,9 +236,15 @@ def _scan_cache(cache, pad_scales=False):
     return k, v, ks, vs
 
 
-def _unscan_cache(cache, stacked):
+def _unscan_cache(cache, stacked, flat=False):
     k, v, ks, vs = stacked
     n = k.shape[0]
+    if flat:
+        Hkv = cache.k[0].shape[2]
+        k = k.reshape(k.shape[:3] + (Hkv, -1))
+        v = v.reshape(v.shape[:3] + (Hkv, -1))
+        ks = ks.astype(jnp.float32)  # lossless (bf16-rounded values)
+        vs = vs.astype(jnp.float32)
     if cache.quantized:
         Hkv = k.shape[3]
         ks = ks[..., :Hkv]  # drop scale lane padding, if any
@@ -533,12 +557,19 @@ def _forward_with_cache_scanned(params, tokens, positions, mask, cache, cfg):
     the boundary — decode_tokens_scanned keeps the cache stacked across
     the whole token loop instead, avoiding 4x ~64 MB of restacking per
     token)."""
-    pad = _scan_uses_update_kernel(tokens.shape[1], cache.quantized, cfg)
+    B0, S0 = tokens.shape
+    flat = _scan_uses_layer_kernel(
+        S0, params["layers"], cache.quantized, cfg, B0,
+        s_max=cache.k[0].shape[1],
+    )
+    pad = (not flat) and _scan_uses_update_kernel(
+        S0, cache.quantized, cfg)
     logits, kvs = _forward_scanned_kvs(
-        params, tokens, positions, mask, _scan_cache(cache, pad_scales=pad),
+        params, tokens, positions, mask,
+        _scan_cache(cache, pad_scales=pad, flat=flat),
         cache.quantized, cfg,
     )
-    return logits, _unscan_cache(cache, kvs)
+    return logits, _unscan_cache(cache, kvs, flat=flat)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -779,18 +810,17 @@ def decode_tokens_scanned(params_stacked, tok0, cache, cfg, n_tokens):
         tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         return (tok, kvs, length + 1), tok
 
-    pad = _scan_uses_update_kernel(1, quantized, cfg) or (
-        _scan_uses_layer_kernel(
-            1, params_stacked["layers"], quantized, cfg, tok0.shape[0],
-            s_max=cache.k[0].shape[1],
-        )
+    flat = _scan_uses_layer_kernel(
+        1, params_stacked["layers"], quantized, cfg, tok0.shape[0],
+        s_max=cache.k[0].shape[1],
     )
+    pad = (not flat) and _scan_uses_update_kernel(1, quantized, cfg)
     (tok, kvs, length), toks = jax.lax.scan(
         body,
-        (tok0, _scan_cache(cache, pad_scales=pad), cache.length),
+        (tok0, _scan_cache(cache, pad_scales=pad, flat=flat), cache.length),
         None, length=n_tokens,
     )
-    cache = _unscan_cache(cache, kvs)
+    cache = _unscan_cache(cache, kvs, flat=flat)
     cache = KVCache(
         cache.k, cache.v, cache.k_scale, cache.v_scale, length,
         cache.quantized,
@@ -881,6 +911,50 @@ def decode_chunk_paged(params_stacked, tok0, pcache, temps, key, cfg,
     )
     pcache = pcache.__class__(kp, vp, ksp, vsp, bt, length)
     return jnp.swapaxes(toks, 0, 1), pcache
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def decode_chunk_scanned(params_stacked, tok0, cache, temps, key, cfg,
+                         n_tokens):
+    """Serving inner loop over STACKED params (decode.stack_layers): the
+    whole backbone rides the decode megakernel (one Pallas launch per
+    token, flat KV cache kept stacked across the chunk) with per-slot
+    temperature sampling — the fixed-slot engine's fast path. Semantics
+    == decode_chunk; the int8-attention formulation is row-exact with
+    the paged/batched engines (serving cross-path token parity)."""
+    params_stacked = prepare_stacked_params_for_decode(params_stacked)
+    S_max = cache.k[0].shape[1]
+    quantized = cache.quantized
+
+    def body(carry, k_):
+        tok, kvs, length = carry
+        positions = length[:, None]
+        valid = jnp.arange(S_max, dtype=jnp.int32)[None, :] <= positions
+        mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+        logits, kvs = _forward_scanned_kvs(
+            params_stacked, tok[:, None], positions, mask, kvs, quantized,
+            cfg,
+        )
+        tok = sample_logits_vec(logits[:, 0], k_, temps)
+        return (tok, kvs, length + 1), tok
+
+    flat = _scan_uses_layer_kernel(
+        1, params_stacked["layers"], quantized, cfg, tok0.shape[0],
+        s_max=S_max,
+    )
+    pad = (not flat) and _scan_uses_update_kernel(1, quantized, cfg)
+    keys = jax.random.split(key, n_tokens)
+    (tok, kvs, length), toks = jax.lax.scan(
+        body,
+        (tok0, _scan_cache(cache, pad_scales=pad, flat=flat), cache.length),
+        keys,
+    )
+    cache = _unscan_cache(cache, kvs, flat=flat)
+    cache = KVCache(
+        cache.k, cache.v, cache.k_scale, cache.v_scale, length,
+        cache.quantized,
+    )
+    return jnp.swapaxes(toks, 0, 1), cache
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"))

@@ -62,8 +62,14 @@ def init_kv_cache(cfg, batch, max_len=None, quantized=True):
 
 
 def _quant_heads(x, mode="int8"):
-    """(B, S, H, hd) -> codes + (B, S, H) scales. int8: symmetric s8;
-    int4: symmetric 4-bit pairs packed into uint8 along head_dim."""
+    """(B, S, H, hd) -> codes + (B, S, H) scales. int8: symmetric s8 with
+    bf16-ROUNDED scales — the flat serving cache stores scales bf16
+    (halves/eighths the scale-slab stream, VERDICT r4 #2), and quantizing
+    the codes against the ROUNDED value keeps codes/scales
+    self-consistent across every path (the f32<->bf16 scale casts at the
+    cache-format boundary are then lossless). int4: symmetric 4-bit pairs
+    packed into uint8 along head_dim (XLA paths only; scales stay f32).
+    """
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     if mode == "int4":
         scale = jnp.maximum(absmax, 1e-8) / 7.0
@@ -73,7 +79,8 @@ def _quant_heads(x, mode="int8"):
         lo = q[..., 0::2]
         hi = q[..., 1::2]
         return (lo | (hi << 4)).astype(jnp.uint8), scale
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    scale = (jnp.maximum(absmax, 1e-8) / 127.0).astype(
+        jnp.bfloat16).astype(jnp.float32)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -128, 127)
     return q.astype(jnp.int8), scale
 
@@ -155,10 +162,10 @@ def cache_read(cache, layer_idx, dtype):
          meta_fields=[])
 @dataclass
 class PagedKVCache:
-    k: jnp.ndarray        # (L, n_blocks, block, n_kv, hd) int8
-    v: jnp.ndarray        # (L, n_blocks, block, n_kv, hd) int8
-    k_scale: jnp.ndarray  # (L, n_blocks, block, Hp) f32, lane-padded heads
-    v_scale: jnp.ndarray  # (L, n_blocks, block, Hp) f32
+    k: jnp.ndarray        # (L, n_blocks, block, n_kv * hd) int8, FLAT
+    v: jnp.ndarray        # (L, n_blocks, block, n_kv * hd) int8
+    k_scale: jnp.ndarray  # (L, n_blocks, block, n_kv) bf16, tight heads
+    v_scale: jnp.ndarray  # (L, n_blocks, block, n_kv) bf16
     block_table: jnp.ndarray  # (B, max_chunks) int32 physical block ids
     length: jnp.ndarray   # (B,) int32 tokens filled per slot
 
@@ -172,18 +179,20 @@ class PagedKVCache:
 
 
 def init_paged_kv_cache(cfg, batch, n_blocks, block=128, max_chunks=None):
-    """INT8 pools (the decode megakernel's cache format) + an all-zeros
-    block table. max_chunks defaults to ceil(max_seq_len / block)."""
+    """INT8 pools in the decode megakernel's FLAT serving layout (rows
+    (n_kv*hd,) int8, scales (n_kv,) bf16 — round 5) + an all-zeros block
+    table. max_chunks defaults to ceil(max_seq_len / block)."""
     if max_chunks is None:
         max_chunks = -(-cfg.max_seq_len // block)
-    Hp = max(128, cfg.n_kv_heads)
     Lx = cfg.n_layers
-    shape = (Lx, n_blocks, block, cfg.n_kv_heads, cfg.head_dim)
+    shape = (Lx, n_blocks, block, cfg.n_kv_heads * cfg.head_dim)
     return PagedKVCache(
         k=jnp.zeros(shape, jnp.int8),
         v=jnp.zeros(shape, jnp.int8),
-        k_scale=jnp.zeros((Lx, n_blocks, block, Hp), jnp.float32),
-        v_scale=jnp.zeros((Lx, n_blocks, block, Hp), jnp.float32),
+        k_scale=jnp.zeros((Lx, n_blocks, block, cfg.n_kv_heads),
+                          jnp.bfloat16),
+        v_scale=jnp.zeros((Lx, n_blocks, block, cfg.n_kv_heads),
+                          jnp.bfloat16),
         block_table=jnp.zeros((batch, max_chunks), jnp.int32),
         length=jnp.zeros((batch,), jnp.int32),
     )
@@ -195,10 +204,11 @@ def paged_write_rows(pcache, slot_blocks, rows_k, rows_v, rows_ks, rows_vs,
     """Scatter ``n_rows`` contiguous logical rows (from a prefill) into one
     slot's blocks starting at logical row ``offset``.
 
-    slot_blocks (max_chunks,) int32; rows_k/v (L, S_buf, n_kv, hd) int8;
-    rows_ks/vs (L, S_buf, Hp) f32; n_rows/offset scalars (S_buf static).
-    Rows land at pool[blk[(offset+i)//block], (offset+i) % block]; rows
-    >= n_rows are masked out (scatter drops out-of-range indices)."""
+    slot_blocks (max_chunks,) int32; rows_k/v (L, S_buf, n_kv*hd) int8
+    FLAT; rows_ks/vs (L, S_buf, n_kv) bf16; n_rows/offset scalars (S_buf
+    static). Rows land at pool[blk[(offset+i)//block], (offset+i) %
+    block]; rows >= n_rows are masked out (scatter drops out-of-range
+    indices)."""
     block = pcache.block
     S_buf = rows_k.shape[1]
     i = jnp.arange(S_buf, dtype=jnp.int32)

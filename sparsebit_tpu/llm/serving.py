@@ -101,14 +101,17 @@ def _seed_from_pool_jit(scratch, pk, pv, pks, pvs, bids, row):
     """Paged prefix seeding: gather the shared pool blocks (bids,
     (n_full,) int32) and write P = n_full*block rows into scratch row
     ``row`` — one dispatch per hit (compiled per n_full, which is
-    block-quantized by construction)."""
+    block-quantized by construction). Pools are in the FLAT serving
+    layout (rows (Hkv*D,) int8, scales (Hkv,) bf16); the scratch is the
+    head-structured KVCache — reshape/cast here are free/lossless."""
     Lx = pk.shape[0]
     P = bids.shape[0] * pk.shape[2]
     Hkv = scratch.k[0].shape[2]
-    kk = pk[:, bids].reshape((Lx, P) + pk.shape[3:])
-    vv = pv[:, bids].reshape((Lx, P) + pv.shape[3:])
-    kss = pks[:, bids].reshape(Lx, P, -1)[..., :Hkv]
-    vss = pvs[:, bids].reshape(Lx, P, -1)[..., :Hkv]
+    hd = scratch.k[0].shape[3]
+    kk = pk[:, bids].reshape(Lx, P, Hkv, hd)
+    vv = pv[:, bids].reshape(Lx, P, Hkv, hd)
+    kss = pks[:, bids].reshape(Lx, P, Hkv).astype(jnp.float32)
+    vss = pvs[:, bids].reshape(Lx, P, Hkv).astype(jnp.float32)
     k, v = list(scratch.k), list(scratch.v)
     ks, vs = list(scratch.k_scale), list(scratch.v_scale)
     for li in range(Lx):
@@ -122,17 +125,21 @@ def _seed_from_pool_jit(scratch, pk, pv, pks, pvs, bids, row):
 @partial(jax.jit, donate_argnums=(0,))
 def _paged_scatter_row_jit(pcache, scratch, row, slot_blocks, total_len):
     """Scatter one admitted scratch row's [0, total_len) KV rows into the
-    slot's pool blocks: row gather, scale head-padding, and the
+    slot's pool blocks: row gather, the FLAT-layout flatten/bf16 cast
+    (free/lossless — _quant_heads scales are bf16-rounded), and the
     paged_write_rows scatter fused into ONE dispatch (VERDICT r2 #7)."""
     from sparsebit_tpu.llm.kv_cache import paged_write_rows
 
-    Hp = pcache.k_scale.shape[-1]
-    Hkv = scratch.k[0].shape[2]
-    rows_k = jnp.stack([kl[row] for kl in scratch.k])  # (L, S_buf, ...)
-    rows_v = jnp.stack([vl[row] for vl in scratch.v])
-    pad = ((0, 0), (0, 0), (0, Hp - Hkv))
-    rows_ks = jnp.pad(jnp.stack([s[row] for s in scratch.k_scale]), pad)
-    rows_vs = jnp.pad(jnp.stack([s[row] for s in scratch.v_scale]), pad)
+    Lx = len(scratch.k)
+    S_buf = scratch.k[0].shape[1]
+    rows_k = jnp.stack([kl[row] for kl in scratch.k]).reshape(
+        Lx, S_buf, -1)  # (L, S_buf, Hkv*hd) flat
+    rows_v = jnp.stack([vl[row] for vl in scratch.v]).reshape(
+        Lx, S_buf, -1)
+    rows_ks = jnp.stack(
+        [s[row] for s in scratch.k_scale]).astype(jnp.bfloat16)
+    rows_vs = jnp.stack(
+        [s[row] for s in scratch.v_scale]).astype(jnp.bfloat16)
     return paged_write_rows(
         pcache, slot_blocks, rows_k, rows_v, rows_ks, rows_vs,
         total_len, jnp.int32(0),
@@ -224,6 +231,26 @@ class DecodeEngine:
             None if getattr(self, "_skip_slot_cache", False)
             else self._init_cache(max_batch, self.max_len)
         )
+        # megakernel-backed chunks: when the model serves through the
+        # whole-backbone decode megakernel (fused wqkv/w13 4-bit packed
+        # weights, int8 KV), decode chunks run ONE Pallas launch per
+        # token (decode.decode_chunk_scanned) instead of per-matmul
+        # kernels — and the fixed-slot, paged and TP engines then share
+        # one row-exact int8-attention formulation (cross-path token
+        # parity). TPLinear/float/unfused models keep the generic path.
+        self._stacked_chunks = False
+        if not getattr(self, "_skip_slot_cache", False):
+            from sparsebit_tpu.llm.decode import (
+                _scan_uses_layer_kernel, stack_layers)
+
+            lyrs = self.params.get("layers") or []
+            if (self.kv_quantized in (True, "int8") and lyrs
+                    and isinstance(lyrs[0], dict)
+                    and _scan_uses_layer_kernel(
+                        1, lyrs[0], "int8", cfg, max_batch,
+                        s_max=self.max_len)):
+                self.params_stacked = stack_layers(self.params)
+                self._stacked_chunks = True
         self.slots = [None] * max_batch  # _Request or None
         self.queue = []
         self.next_tok = jnp.zeros((max_batch,), jnp.int32)
@@ -272,6 +299,13 @@ class DecodeEngine:
                           offsets)
 
     def _decode_chunk_call(self, temps, key, n):
+        if self._stacked_chunks:
+            from sparsebit_tpu.llm.decode import decode_chunk_scanned
+
+            return decode_chunk_scanned(
+                self.params_stacked, self.next_tok, self.cache, temps,
+                key, self.cfg, n,
+            )
         return decode_chunk(
             self.params, self.next_tok, self.cache, temps, key, self.cfg, n
         )

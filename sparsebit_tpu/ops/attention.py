@@ -294,6 +294,144 @@ def _group_attention_rows_int8(kslab, vslab, q8_rows, qsc, ks_slab,
     return (out / denom).reshape(B, hgq, D)
 
 
+def _flat_attention_rows_int8(kslabs, vslabs, q8_rows, qsc, ks_slabs,
+                              vs_slabs, len_vec, n_rep, selT, kf_all,
+                              vf_all, ksf_all, vsf_all, sel_fresh):
+    """INT8 attention over FLAT (S, Hkv*D) slabs — the round-5 batched
+    megakernel formulation. The flat cache layout kills the
+    (S, Hkv, D) -> (S, Hkv*D) sublane->lane relayout that dominated the
+    batched phase (exp23/exp30: ~209 us/layer at B=32), but the slab can
+    no longer be PATCHED with the current token's row in VMEM (1-row
+    dynamic-sublane stores are rejected — probe_toolchain
+    vmem_row_store_dyn/vmem_row_dma_dyn), so each row's ``length`` column
+    is CORRECTED instead: the score at that column is recomputed against
+    the fresh rows buffer, the scale columns are overwritten with the
+    fresh scales, and the value mix splits into (stale-slab dot with the
+    fresh column's probability zeroed) + (that probability times the
+    fresh V row). All int32 arithmetic is identical to a patched-slab
+    formulation, so results are BIT-EXACT to one — and the B=1 path calls
+    this same function with B == 1, preserving the kernel-level
+    B=1-vs-batched row-exactness contract (round 4).
+
+    kslabs/vslabs: length-B sequence of (S, KVD) int8 slabs (values or
+    refs indexable per row) — STALE at each row's length column;
+    q8_rows (B*hgq, KVD) int8 block-diagonal; qsc (B*hgq, 1) f32 per-row
+    q scales; ks_slabs/vs_slabs: length-B sequence of (S, Hkv) bf16
+    scale slabs (tight heads — the f32 Hp=128 lane-padded slabs were 8x
+    the bytes, VERDICT r4 #2); len_vec (B,) int32; selT (hgq, Hkv)
+    one-hot head gather; kf_all/vf_all (B_pad, KVD) int8 fresh rows;
+    ksf_all/vsf_all (B_pad, Hkv) f32 fresh scale rows; sel_fresh
+    (B*hgq, B_pad) {0,1} mapping each q row to its fresh-rows index.
+    Returns (B, hgq, D) f32.
+    """
+    B = len(kslabs)
+    S, KVD = kslabs[0].shape[-2], kslabs[0].shape[-1]
+    hgq = q8_rows.shape[0] // B
+    Hkv = ks_slabs[0].shape[-1]
+    D = KVD // Hkv
+    R = B * hgq
+    selT_b = selT.astype(jnp.bfloat16)  # exact one-hot in bf16
+
+    scores_parts, ks_parts, vs_parts = [], [], []
+    for b in range(B):
+        K2 = kslabs[b][...]  # (S, KVD) int8 — already flat, no relayout
+        scores_parts.append(jax.lax.dot_general(
+            q8_rows[b * hgq:(b + 1) * hgq], K2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ))  # (hgq, S) int32 — exact
+        ks_parts.append(jax.lax.dot_general(
+            selT_b, ks_slabs[b][...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))  # (hgq, S)
+        vs_parts.append(jax.lax.dot_general(
+            selT_b, vs_slabs[b][...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    scoresT_i = jnp.concatenate(scores_parts, axis=0)  # (R, S) int32
+    ksT = jnp.concatenate(ks_parts, axis=0)
+    vsT = jnp.concatenate(vs_parts, axis=0)
+
+    # fresh-row corrections: raw scores vs ALL fresh rows, own col picked
+    # by sel_fresh (int arithmetic == a patched slab's column exactly)
+    fresh_all = jax.lax.dot_general(
+        q8_rows, kf_all, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (R, B_pad)
+    sel_i = sel_fresh.astype(jnp.int32)
+    fresh_own = jnp.sum(
+        jnp.where(sel_i > 0, fresh_all, 0), axis=1, keepdims=True)
+    # fresh scale per q row: its fresh row's scales, own head extracted
+    sel_f = sel_fresh.astype(jnp.float32)
+    ks_rows_f = jnp.dot(sel_f, ksf_all,
+                        preferred_element_type=jnp.float32)  # (R, Hkv)
+    vs_rows_f = jnp.dot(sel_f, vsf_all,
+                        preferred_element_type=jnp.float32)
+    head_own = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, Hkv), 1)
+        == (jax.lax.broadcasted_iota(jnp.int32, (R, Hkv), 0) % hgq)
+        // n_rep
+    )
+    ks_fresh = jnp.sum(jnp.where(head_own, ks_rows_f, 0.0), axis=1,
+                       keepdims=True)  # (R, 1)
+    vs_fresh = jnp.sum(jnp.where(head_own, vs_rows_f, 0.0), axis=1,
+                       keepdims=True)
+
+    # per-row lengths via a one-hot f32 dot (jnp.repeat lowers to scatter
+    # and a (B, hgq)->(B*hgq, 1) reshape is an unsupported Mosaic shape
+    # cast — neither compiles on TC)
+    sel_b = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (R, B), 0) // hgq
+    ).astype(jnp.float32)
+    len_rows = jnp.dot(sel_b, len_vec.astype(jnp.float32)[:, None],
+                       preferred_element_type=jnp.float32)  # (R, 1)
+    s_cols = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1).astype(
+        jnp.float32)
+    is_new = s_cols == len_rows
+    scoresT = jnp.where(is_new, fresh_own, scoresT_i).astype(
+        jnp.float32) * qsc  # fold the per-row q quantization scale back
+    ksT = jnp.where(is_new, ks_fresh, ksT)
+    vsT = jnp.where(is_new, vs_fresh, vsT)
+    valid = s_cols <= len_rows
+    scoresT = jnp.where(
+        valid, scoresT * ksT * (1.0 / (D ** 0.5)), -1e30)
+    m = jnp.max(scoresT, axis=1, keepdims=True)
+    p = jnp.exp(scoresT - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    p2 = p * jnp.where(valid, vsT, 0.0)  # f32, >= 0
+    psc = jnp.maximum(jnp.max(p2, axis=1, keepdims=True), 1e-30) / 127.0
+    p8 = jnp.clip(jnp.round(p2 / psc), 0, 127).astype(jnp.int8)
+    p8_i = p8.astype(jnp.int32)
+    pval = jnp.sum(jnp.where(is_new, p8_i, 0), axis=1,
+                   keepdims=True)  # (R, 1) int32
+    p8m = jnp.where(is_new, jnp.int8(0), p8)
+
+    out_parts = []
+    for b in range(B):
+        V2 = vslabs[b][...]  # (S, KVD) int8, flat
+        out_parts.append(jax.lax.dot_general(
+            p8m[b * hgq:(b + 1) * hgq], V2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ))  # (hgq, KVD) int32
+    outs_i = jnp.concatenate(out_parts, axis=0)
+    # rank-1 fresh-V term: pval * own fresh row (int32, exact — max
+    # magnitude 127*127 per element)
+    v_fresh_rows = jax.lax.dot_general(
+        sel_fresh.astype(jnp.int8), vf_all,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (R, KVD)
+    outs = (outs_i + pval * v_fresh_rows).astype(jnp.float32) * psc
+    o3 = outs.reshape(R, Hkv, D)
+    own = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, Hkv, 1), 1)
+        == (jax.lax.broadcasted_iota(jnp.int32, (R, Hkv, 1), 0) % hgq)
+        // n_rep
+    )
+    out = jnp.sum(jnp.where(own, o3, 0.0), axis=1)  # (R, D)
+    return (out / denom).reshape(B, hgq, D)
+
+
 def _group_attention_t_int8(k8g, v8g, qg, ks_colsT, vs_colsT, length,
                             n_rep):
     """Single-row INT8 variant of _group_attention_t (the B=1 megakernel
@@ -539,8 +677,13 @@ def _attn_update_kernel(li_ref, len_ref, q_ref, kn_ref, vn_ref,
         vn = vn_ref[0].astype(jnp.float32)
         kmax = jnp.max(jnp.abs(kn), axis=1, keepdims=True)  # (Hkv, 1)
         vmax = jnp.max(jnp.abs(vn), axis=1, keepdims=True)
-        ksc = jnp.maximum(kmax, 1e-8) / 127.0
-        vsc = jnp.maximum(vmax, 1e-8) / 127.0
+        # bf16-ROUNDED scales — matches kv_cache._quant_heads (the flat
+        # serving cache stores scales bf16; rounding here keeps every
+        # int8-KV path on identical codes/scales)
+        ksc = (jnp.maximum(kmax, 1e-8) / 127.0).astype(
+            jnp.bfloat16).astype(jnp.float32)
+        vsc = (jnp.maximum(vmax, 1e-8) / 127.0).astype(
+            jnp.bfloat16).astype(jnp.float32)
         # clip range matches kv_cache._quant_heads exactly
         krow[...] = jnp.clip(jnp.round(kn / ksc), -128, 127).astype(jnp.int8)
         vrow[...] = jnp.clip(jnp.round(vn / vsc), -128, 127).astype(jnp.int8)

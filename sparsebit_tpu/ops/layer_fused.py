@@ -7,7 +7,20 @@ once per token instead of once per layer).
     x' = x + Wo(attn(rope(Wqkv(rms_norm(x))), cache))          (attn half)
     out = x' + W2(glu(W13(rms_norm(x'))))                      (ffn half)
 
-with the INT8 KV-cache row update done in place (aliased HBM outputs).
+with the INT8 KV cache in the FLAT serving layout (round 5): k/v are
+(L, B, S, Hkv*D) int8 (paged: (L, n_blocks, block, Hkv*D)) and the scale
+slabs are (L, B, S, Hkv) bf16 tight-head (the f32 Hp=128 lane-padded
+slabs were 8x the bytes and capped single-chip batch at 32 — VERDICT r4
+#2/#3). The kernel READS the cache; the current token's K/V rows are
+emitted as outputs and committed OUTSIDE the kernel by the wrapper with
+pure-XLA per-row dynamic_update_slice (in place on the scan carry —
+measured free, experiments/exp31_commit_cost.py). In-kernel commits are
+impossible in this layout: 1-row dynamic-sublane stores/DMA are rejected
+by TC tiling rules (probe_toolchain vmem_row_store_dyn /
+hbm_row_dma_dyn), which is also why the attention corrects each row's
+``length`` column from the fresh-rows buffer instead of patching the
+VMEM slab (ops/attention._flat_attention_rows_int8 — bit-exact to a
+patched formulation).
 
 Why one launch: decode on this fabric pays a fixed per-dispatch turnaround
 (~30 us measured — docs/perf_notes.md) and on real TPUs every kernel
@@ -25,14 +38,14 @@ tiles (the speed-of-light term), the K/V slabs, and one (B, dim) row in
 and out.
 
 The W4A8 math matches quant_matmul_a8 / ffn_fused exactly; the KV row
-update (per-head INT8 quantization + in-place row DMA) matches
-ops/attention.decode_attention_update. Attention itself runs INT8
-end-to-end (round 4): a per-row-quantized block-diagonal q8 dots the int8
-K slab directly and the scale-folded probabilities are int8-quantized for
-the value mix (_group_attention_t_int8 / _group_attention_rows_int8) —
-the bf16 formulation's int8->bf16 slab casts were the dominant batched
-attention cost (exp22/exp23), and the B=1 and batched paths are row-exact
-against each other (cross-engine token parity). Scale/zero and norm operands
+quantization (per-head INT8, bf16-rounded scales) matches
+kv_cache._quant_heads. Attention itself runs INT8 end-to-end (round 4):
+a per-row-quantized block-diagonal q8 dots the int8 K slab directly and
+the scale-folded probabilities are int8-quantized for the value mix
+(ops/attention._flat_attention_rows_int8) — the bf16 formulation's
+int8->bf16 slab casts were the dominant batched attention cost
+(exp22/exp23), and the B=1 and batched paths are row-exact against each
+other (cross-engine token parity). Scale/zero and norm operands
 use the default-tiled window layout of quant_matmul._sz_layout — unit-
 sublane blocks would retile the whole arrays inside the decode loop.
 
@@ -49,8 +62,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sparsebit_tpu.ops.attention import (
-    _group_attention_rows_int8,
-    _group_attention_t_int8,
+    _flat_attention_rows_int8,
     _head_sel,
 )
 from sparsebit_tpu.ops.quant_matmul import (
@@ -190,10 +202,10 @@ def _layer_kernel(
     wq_ref, sq_ref, zq_ref, wo_ref, so_ref, zo_ref,
     w13_ref, s13_ref, z13_ref, w2_ref, s2_ref, z2_ref,
     k_hbm, v_hbm, ks_hbm, vs_hbm,
-    o_ref, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
+    o_ref, krows_ref, vrows_ref, ksrows_ref, vsrows_ref,
     xcur, xq8, xs, qkv, aout, a8, as_, xmid, h1, g8buf, gs8,
     accq, acco, acc13, acc2,
-    kslab, vslab, ks_slab, vs_slab, krow, vrow, ksrow, vsrow,
+    kslab, vslab, ks_slab, vs_slab,
     *tail, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False, paged=False, sc=128,
@@ -237,10 +249,9 @@ def _layer_kernel(
     @pl.when((l == 0) & (s == 0))
     def _():
         xcur[...] = x_ref[...].astype(jnp.float32)
-    # the cache length; identical to kslab.shape[-3] in both modes today
+    # the cache length; identical to kslab.shape[-2] in both modes today
     # (kept as a kwarg so slab shapes can diverge from S again)
-    S = s_full if batched else kslab.shape[-3]
-    Hp = ks_slab.shape[-1]
+    S = s_full if batched else kslab.shape[-2]
     HD = Hq * D
     KVD = Hkv * D
     T1 = n1_t * k1_t
@@ -357,20 +368,22 @@ def _layer_kernel(
                 accq[...] * xs[...]
             )
 
-    # ---- phase 2: rope + KV row quant/update + attention --------------------
+    # ---- phase 2: rope + KV row quant + attention ---------------------------
     # Length-chunked slab loads (flash-decode IO): only 128-row chunks up
     # to the current context length stream from HBM, so attention traffic
     # scales with the REAL sequence, not max_seq_len (4.5 -> 1.1 MB/layer
     # at 7B with short contexts). Rows beyond the loaded chunks hold
-    # stale/garbage VMEM; scores are length-masked inside
-    # _group_attention and the scale columns are zeroed below (a NaN in
-    # an unloaded f32 scale row would otherwise ride 0*NaN into the
-    # value mix).
+    # stale/garbage VMEM; scores and scale columns are length-masked
+    # inside _flat_attention_rows_int8, and each row's ``length`` column
+    # (stale in the slab — commits happen outside the kernel) is
+    # corrected there from the fresh-rows outputs.
     n_sc = S // sc
 
     def _slab_copies(b):
         """Chunked loads of row ``b``'s cache into the slab scratch
-        (unbatched path; the batched path uses _group_copies)."""
+        (unbatched path; the batched path uses _group_copies). Flat
+        layout: (sc, Hkv*D) int8 and (sc, Hkv) bf16 chunks — whole-tile
+        slices at 128-aligned sublane offsets, no relayout anywhere."""
         length = len_ref[b]
         out = []
         for c in range(n_sc):
@@ -391,7 +404,7 @@ def _layer_kernel(
                     ks_slab.at[sl], vs_slab.at[sl])
             for i, (src, dst) in enumerate(zip(srcs, dsts)):
                 out.append((cond, pltpu.make_async_copy(
-                    src, dst, sems.at[4 + i])))
+                    src, dst, sems.at[i])))
         return out
 
     def _start_copies(copies):
@@ -419,25 +432,25 @@ def _layer_kernel(
             _start_copies(_slab_copies(0))
 
     # ---- batched attention (B > 1): INT8 group steps ----------------------
-    # One grid step per 8-row group over full-S (gb, S, ...) slabs, with
-    # the attention dots INT8 end-to-end (_group_attention_rows_int8):
-    # round 3's bf16 formulation paid ~2.2 us per (512, 4096) int8->bf16
-    # slab cast (x2 slabs x rows — the dominant phase cost, exp22/exp23);
-    # the round-4 flash-chunked rework died on a toolchain property
-    # (branch-skipped heavy regions still cost ~70% of their body per
-    # grid step — experiments/exp24_when_branch.py), so the win comes
-    # from making the per-row compute cheap UNCONDITIONALLY: the score
-    # dot consumes the int8 K slab directly against a per-row-quantized
-    # block-diagonal q8 (built once at the rope step), and the value mix
-    # quantizes the scale-folded probabilities to int8. Slab loads stay
+    # One grid step per 8-row group over full-S (gb, S, Hkv*D) FLAT
+    # slabs, attention dots INT8 end-to-end
+    # (_flat_attention_rows_int8): round 3's bf16 formulation paid
+    # ~2.2 us per (512, 4096) int8->bf16 slab cast, and round 4's
+    # head-structured slabs paid a (S, Hkv, D) -> (S, Hkv*D)
+    # sublane->lane relayout per slab use (~209 us/layer at B=32,
+    # exp23/exp30) — flat slabs feed the dots directly. The round-4
+    # flash-chunked rework died on a toolchain property (branch-skipped
+    # heavy regions still cost ~70% of their body per grid step —
+    # experiments/exp24_when_branch.py), so the win comes from making
+    # the per-row compute cheap UNCONDITIONALLY. Slab loads stay
     # length-chunk-gated (IO scales with the real context); group 0
     # prefetches at each layer's first grid step.
     if batched:
-        selT_b = _head_sel(Hp, hg * n_rep, 0, n_rep).T  # (hgq, Hp)
+        selT_b = _head_sel(Hkv, hg * n_rep, 0, n_rep).T  # (hgq, Hkv)
 
         def _group_copies(g):
             """Length-gated chunked loads of group g's rows' caches into
-            the (gb, S, ...) slabs; g may be a traced scalar."""
+            the (gb, S, ...) flat slabs; g may be a traced scalar."""
             out = []
             for jr in range(gb):
                 b_idx = jnp.minimum(g * gb + jr, B - 1)
@@ -459,12 +472,13 @@ def _layer_kernel(
                             ks_slab.at[jr, dsl], vs_slab.at[jr, dsl])
                     for i, (src, dst) in enumerate(zip(srcs, dsts)):
                         out.append((cond, pltpu.make_async_copy(
-                            src, dst, sems.at[4 + i])))
+                            src, dst, sems.at[i])))
             return out
 
         # group 0's loads depend only on scalar-prefetched lengths: start
         # them at each layer's first grid step so the whole Wqkv phase
-        # covers them (the new-row HBM race is patched in VMEM)
+        # covers them (no write race — the cache is read-only here; the
+        # stale length column is corrected from the fresh-rows outputs)
         if "ropeq" not in _ablate:
             @pl.when(s == 0)
             def _():
@@ -517,53 +531,25 @@ def _layer_kernel(
                 qkvA[:, HD:HD + KVD].reshape(Bp * Hkv, D),
                 expand_rows(cosA, Hkv), expand_rows(sinA, Hkv))
             vr = qkvA[:, HD + KVD:HD + 2 * KVD].reshape(Bp * Hkv, D)
-            ksc = jnp.maximum(
-                jnp.max(jnp.abs(kr), axis=1, keepdims=True), 1e-8) / 127.0
-            vsc = jnp.maximum(
-                jnp.max(jnp.abs(vr), axis=1, keepdims=True), 1e-8) / 127.0
-            # rows live 3-D (B_pad, H, D): per-row DMA srcs slice the
-            # UNTILED leading dim (sublane slices must be 8-aligned)
-            krow[...] = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(
-                jnp.int8).reshape(Bp, Hkv, D)
-            vrow[...] = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(
-                jnp.int8).reshape(Bp, Hkv, D)
-            ks2 = ksc.reshape(Bp, Hkv)  # (B_pad, Hkv) scale rows
-            vs2 = vsc.reshape(Bp, Hkv)
-            if Hp != Hkv:
-                zpad = jnp.zeros((Bp, Hp - Hkv), jnp.float32)
-                ks2 = jnp.concatenate([ks2, zpad], axis=1)
-                vs2 = jnp.concatenate([vs2, zpad], axis=1)
-            ksrow[...] = ks2.reshape(Bp, 1, Hp)
-            vsrow[...] = vs2.reshape(Bp, 1, Hp)
-
-            writes = []
-            for b in range(B):
-                length = len_ref[b]
-                if paged:
-                    blk_w = bt_ref[b, length // sc]
-                    row_w = length % sc
-                writes += [
-                    pltpu.make_async_copy(
-                        krow.at[b],
-                        (ko_hbm.at[lic, blk_w, row_w] if paged
-                         else ko_hbm.at[lic, b, length]), sems.at[0]),
-                    pltpu.make_async_copy(
-                        vrow.at[b],
-                        (vo_hbm.at[lic, blk_w, row_w] if paged
-                         else vo_hbm.at[lic, b, length]), sems.at[1]),
-                    pltpu.make_async_copy(
-                        ksrow.at[b],
-                        (kso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
-                         else kso_hbm.at[lic, b, pl.ds(length, 1)]),
-                        sems.at[2]),
-                    pltpu.make_async_copy(
-                        vsrow.at[b],
-                        (vso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
-                         else vso_hbm.at[lic, b, pl.ds(length, 1)]),
-                        sems.at[3]),
-                ]
-            for cp in writes:
-                cp.start()
+            # bf16-ROUNDED scales: the cache stores scales bf16, and
+            # quantizing the codes against the ROUNDED value keeps
+            # codes/scales self-consistent (kv_cache._quant_heads uses
+            # the same rounding, so the oracle paths match exactly)
+            ksc = (jnp.maximum(
+                jnp.max(jnp.abs(kr), axis=1, keepdims=True), 1e-8)
+                / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
+            vsc = (jnp.maximum(
+                jnp.max(jnp.abs(vr), axis=1, keepdims=True), 1e-8)
+                / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
+            # fresh rows are emitted FLAT as kernel outputs — the wrapper
+            # commits them outside (pure-XLA per-row DUS); group steps
+            # read them back for the length-column corrections
+            kq = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(jnp.int8)
+            vq = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(jnp.int8)
+            krows_ref[0] = kq.reshape(Bp, KVD)
+            vrows_ref[0] = vq.reshape(Bp, KVD)
+            ksrows_ref[0] = ksc.reshape(Bp, Hkv).astype(jnp.bfloat16)
+            vsrows_ref[0] = vsc.reshape(Bp, Hkv).astype(jnp.bfloat16)
 
         # ---- attention group steps: rows [g*gb, (g+1)*gb) per step -------
         in_p2b = (s >= T1 + 1) & (s < T1 + T2)
@@ -581,13 +567,6 @@ def _layer_kernel(
             def _():
                 _start_copies(copies)
             _wait_copies(copies)
-            if "patch" not in _ablate:  # timing-only ablation (exp22)
-                for jr, b_idx in enumerate(rows):
-                    length = len_ref[b_idx]
-                    kslab[jr, length] = krow[b_idx]
-                    vslab[jr, length] = vrow[b_idx]
-                    ks_slab[jr, pl.ds(length, 1)] = ksrow[b_idx]
-                    vs_slab[jr, pl.ds(length, 1)] = vsrow[b_idx]
             if "attn" not in _ablate:
                 len_vec = jnp.stack([len_ref[b] for b in rows])
                 if n_bgroups == 1:
@@ -597,51 +576,32 @@ def _layer_kernel(
                     off = pl.multiple_of(g * gb * hgq, gb * hgq)
                     Qg8 = qbd8[pl.ds(off, gb * hgq), :]
                     qs_g = qsc[pl.ds(off, gb * hgq), :]
-                out_rows = _group_attention_rows_int8(
-                    kslab, vslab, Qg8, qs_g, ks_slab, vs_slab, len_vec,
-                    n_rep, selT_b)
+                # each q row's fresh-rows index (clamped like ``rows``);
+                # the slabs are stale at each row's length column — the
+                # helper corrects from the fresh-rows outputs
+                Bp = krows_ref.shape[1]
+                Rg = gb * hgq
+                row_jr = jax.lax.broadcasted_iota(
+                    jnp.int32, (Rg, Bp), 0) // hgq
+                sel_fresh = (
+                    jax.lax.broadcasted_iota(jnp.int32, (Rg, Bp), 1)
+                    == jnp.minimum(g * gb + row_jr, B - 1)
+                )
+                out_rows = _flat_attention_rows_int8(
+                    [kslab.at[jr] for jr in range(gb)],
+                    [vslab.at[jr] for jr in range(gb)],
+                    Qg8, qs_g,
+                    [ks_slab.at[jr] for jr in range(gb)],
+                    [vs_slab.at[jr] for jr in range(gb)],
+                    len_vec, n_rep, selT_b,
+                    krows_ref[0], vrows_ref[0],
+                    ksrows_ref[0].astype(jnp.float32),
+                    vsrows_ref[0].astype(jnp.float32), sel_fresh)
                 if n_bgroups == 1:
                     aout[pl.ds(0, gb), :] = out_rows.reshape(gb, HD)
                 else:
                     goff = pl.multiple_of(g * gb, gb)
                     aout[pl.ds(goff, gb), :] = out_rows.reshape(gb, HD)
-
-            @pl.when(s == T1 + T2 - 1)
-            def _():
-                # the KV row writes started at the rope/quant step; all
-                # attention reads went through the patched slabs, so the
-                # only ordering requirement is completion before the
-                # buffers are reused next layer
-                for b in range(B):
-                    length = len_ref[b]
-                    if paged:
-                        blk_w = bt_ref[b, length // sc]
-                        row_w = length % sc
-                    wr = [
-                        pltpu.make_async_copy(
-                            krow.at[b],
-                            (ko_hbm.at[lic, blk_w, row_w] if paged
-                             else ko_hbm.at[lic, b, length]), sems.at[0]),
-                        pltpu.make_async_copy(
-                            vrow.at[b],
-                            (vo_hbm.at[lic, blk_w, row_w] if paged
-                             else vo_hbm.at[lic, b, length]), sems.at[1]),
-                        pltpu.make_async_copy(
-                            ksrow.at[b],
-                            (kso_hbm.at[lic, blk_w, pl.ds(row_w, 1)]
-                             if paged
-                             else kso_hbm.at[lic, b, pl.ds(length, 1)]),
-                            sems.at[2]),
-                        pltpu.make_async_copy(
-                            vsrow.at[b],
-                            (vso_hbm.at[lic, blk_w, pl.ds(row_w, 1)]
-                             if paged
-                             else vso_hbm.at[lic, b, pl.ds(length, 1)]),
-                            sems.at[3]),
-                    ]
-                    for cp in wr:
-                        cp.wait()
-
 
     in_p2 = (s >= T1) & (s < T1 + T2) & jnp.bool_(not batched)
 
@@ -650,142 +610,104 @@ def _layer_kernel(
         if batched:
             return  # batched block above owns phase 2 (and slab shapes)
         t = s - T1
-        b = t // n_groups
-        g = t % n_groups
+        b = t  # one step per batch row (whole-KV group, n_groups == 1)
         length = len_ref[b]
+        Bp = qkv.shape[0]
         bsel = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, qkv.shape[0]), 1) == b
-        ).astype(jnp.float32)  # batch-row one-hot (B is traced here)
-
-        @pl.when(g == 0)
-        def _rows_and_slabs():
-            qkvb = jnp.dot(bsel, qkv[...],
-                           preferred_element_type=jnp.float32)  # (1, Nq)
-            cosb = jnp.dot(bsel, cosf_ref[...],
-                           preferred_element_type=jnp.float32)  # (1, D)
-            sinb = jnp.dot(bsel, sinf_ref[...],
-                           preferred_element_type=jnp.float32)
-            # rope + per-head INT8 quant BATCHED over heads: two 16 KB
-            # relayouts ((1, H*D) <-> (H, D)) replace ~2*(Hq+Hkv) serial
-            # (1, D) ops — the round-2 phase profile put this section at
-            # ~20 us/layer at 7B (comparable to the whole attention DMA)
-            def rope_rows(rows, cosb, sinb):
-                # rotate-half on (H, D) rows, cos/sin broadcast over rows
-                h1_, h2_ = rows[:, : D // 2], rows[:, D // 2:]
-                rot = jnp.concatenate([-h2_, h1_], axis=1)
-                return rows * cosb + rot * sinb
-
-            q_roped = rope_rows(qkvb[:, :HD].reshape(Hq, D), cosb, sinb)
-            qkv[:, :HD] = jnp.where(
-                bsel.T > 0, q_roped.reshape(1, HD), qkv[:, :HD]
-            )
-            kr = rope_rows(
-                qkvb[:, HD:HD + KVD].reshape(Hkv, D), cosb, sinb
-            )  # (Hkv, D)
-            vr = qkvb[:, HD + KVD:HD + 2 * KVD].reshape(Hkv, D)
-            ksc = jnp.maximum(
-                jnp.max(jnp.abs(kr), axis=1, keepdims=True), 1e-8
-            ) / 127.0  # (Hkv, 1)
-            vsc = jnp.maximum(
-                jnp.max(jnp.abs(vr), axis=1, keepdims=True), 1e-8
-            ) / 127.0
-            krow[...] = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(
-                jnp.int8)
-            vrow[...] = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(
-                jnp.int8)
-            ksc_t = jnp.transpose(ksc)  # (1, Hkv)
-            vsc_t = jnp.transpose(vsc)
-            if Hp == Hkv:
-                ksrow[...] = ksc_t
-                vsrow[...] = vsc_t
-            else:
-                zpad = jnp.zeros((1, Hp - Hkv), jnp.float32)
-                ksrow[...] = jnp.concatenate([ksc_t, zpad], axis=1)
-                vsrow[...] = jnp.concatenate([vsc_t, zpad], axis=1)
-
-            # the row writes and the (possibly prefetched) slab loads race
-            # on the cache row in HBM — harmless, the VMEM slab is patched
-            # with the fresh row below either way
-            if paged:
-                blk_w = bt_ref[b, length // sc]
-                row_w = length % sc
-            else:
-                blk_w, row_w = b, length
-            row_writes = [
-                pltpu.make_async_copy(
-                    krow,
-                    (ko_hbm.at[lic, blk_w, row_w] if paged
-                     else ko_hbm.at[lic, b, length]), sems.at[0]),
-                pltpu.make_async_copy(
-                    vrow,
-                    (vo_hbm.at[lic, blk_w, row_w] if paged
-                     else vo_hbm.at[lic, b, length]), sems.at[1]),
-                pltpu.make_async_copy(
-                    ksrow,
-                    (kso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
-                     else kso_hbm.at[lic, b, pl.ds(length, 1)]),
-                    sems.at[2]),
-                pltpu.make_async_copy(
-                    vsrow,
-                    (vso_hbm.at[lic, blk_w, pl.ds(row_w, 1)] if paged
-                     else vso_hbm.at[lic, b, pl.ds(length, 1)]),
-                    sems.at[3]),
-            ]
-            loads = _slab_copies(b)
-            for c in row_writes:
-                c.start()
-            if not prefetch_slabs:  # else started at s == 0
-                _start_copies(loads)
-            for c in row_writes:
-                c.wait()
-            _wait_copies(loads)
-            kslab[length, :, :] = krow[...]
-            vslab[length, :, :] = vrow[...]
-
-        base_kv = pl.multiple_of(g * hg, hg) if n_groups > 1 else 0
+            jax.lax.broadcasted_iota(jnp.int32, (1, Bp), 1) == b
+        ).astype(jnp.float32)  # batch-row one-hot (b is traced here)
         hgq = hg * n_rep
-        k8g = kslab[slice(None), pl.ds(base_kv, hg), :]  # (S, hg, D)
-        v8g = vslab[slice(None), pl.ds(base_kv, hg), :]
-        bcol = bsel.T  # (B, 1)
-        # whole head group in two MXU dots, TRANSPOSED scores (hgq, S):
-        # S rides the MXU's 128-lane output dim (full utilisation; the
-        # (S, hgq) orientation used 32 of 128 lanes — 4x the passes, see
-        # _group_attention_t). Scale ROWS gathered by one lane-lane
-        # one-hot dot; the new row's scale (stale in the slab copy) is
-        # masked in by column.
-        s_colsT = jax.lax.broadcasted_iota(jnp.int32, (hgq, S), 1)
-        col_is_new = s_colsT == length
-        selT = _head_sel(Hp, hgq, base_kv, n_rep).T  # (hgq, Hp)
-        ksT = jax.lax.dot_general(
-            selT, ks_slab[...], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (hgq, S)
-        vsT = jax.lax.dot_general(
-            selT, vs_slab[...], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # zero cols past the context: unloaded slab chunks are garbage
-        ksT = jnp.where(s_colsT <= length, ksT, 0.0)
-        vsT = jnp.where(s_colsT <= length, vsT, 0.0)
-        ks_new = jax.lax.dot_general(
-            selT, ksrow[...], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (hgq, 1)
-        vs_new = jax.lax.dot_general(
-            selT, vsrow[...], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ksT = jnp.where(col_is_new, ks_new, ksT)
-        vsT = jnp.where(col_is_new, vs_new, vsT)
-        base_qoff = pl.multiple_of(base_kv * n_rep * D, D)
-        qrow = jnp.dot(bsel, qkv[:, pl.ds(base_qoff, hgq * D)],
-                       preferred_element_type=jnp.float32)  # (1, hgq*D)
-        # INT8 dots (round 4): no bf16 slab casts, and numerically
-        # IDENTICAL to one row of the batched int8 path — B=1 decode and
-        # batched decode agree exactly (serving cross-path token parity)
-        out_g = _group_attention_t_int8(
-            k8g, v8g, qrow.reshape(hgq, D), ksT, vsT, length, n_rep
+
+        # rope + per-head INT8 quant BATCHED over heads: two 16 KB
+        # relayouts ((1, H*D) <-> (H, D)) replace ~2*(Hq+Hkv) serial
+        # (1, D) ops — the round-2 phase profile put this section at
+        # ~20 us/layer at 7B (comparable to the whole attention DMA)
+        qkvb = jnp.dot(bsel, qkv[...],
+                       preferred_element_type=jnp.float32)  # (1, Nq)
+        cosb = jnp.dot(bsel, cosf_ref[...],
+                       preferred_element_type=jnp.float32)  # (1, D)
+        sinb = jnp.dot(bsel, sinf_ref[...],
+                       preferred_element_type=jnp.float32)
+
+        def rope_rows(rows, cosb, sinb):
+            # rotate-half on (H, D) rows, cos/sin broadcast over rows
+            h1_, h2_ = rows[:, : D // 2], rows[:, D // 2:]
+            rot = jnp.concatenate([-h2_, h1_], axis=1)
+            return rows * cosb + rot * sinb
+
+        q_roped = rope_rows(qkvb[:, :HD].reshape(Hq, D), cosb, sinb)
+        kr = rope_rows(
+            qkvb[:, HD:HD + KVD].reshape(Hkv, D), cosb, sinb
+        )  # (Hkv, D)
+        vr = qkvb[:, HD + KVD:HD + 2 * KVD].reshape(Hkv, D)
+        # bf16-ROUNDED scales — same rounding as the batched path and
+        # kv_cache._quant_heads (codes stay consistent with the stored
+        # bf16 scale)
+        ksc = (jnp.maximum(
+            jnp.max(jnp.abs(kr), axis=1, keepdims=True), 1e-8)
+            / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
+        vsc = (jnp.maximum(
+            jnp.max(jnp.abs(vr), axis=1, keepdims=True), 1e-8)
+            / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
+        kq = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(jnp.int8)
+        # emit this row's fresh K/V + scales into the outputs via a
+        # one-hot RMW (1-sublane stores at a traced row index are
+        # rejected by TC; a full-array where costs ~32 KB of VPU). The
+        # first row step of each layer zero-BASES the whole block —
+        # uninitialized bf16 garbage in never-written rows can be NaN,
+        # and the helper's one-hot scale DOT would contract 0*NaN = NaN
+        # (a where-select would discard it, a dot cannot).
+        rowsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0) == b
         )
+        first = t == 0
+        kfl = kq.reshape(1, KVD)
+        vfl = vq.reshape(1, KVD)
+        krows_ref[0] = jnp.where(
+            rowsel, kfl, jnp.where(first, jnp.int8(0), krows_ref[0]))
+        vrows_ref[0] = jnp.where(
+            rowsel, vfl, jnp.where(first, jnp.int8(0), vrows_ref[0]))
+        ksl = jnp.transpose(ksc).astype(jnp.bfloat16)  # (1, Hkv)
+        vsl = jnp.transpose(vsc).astype(jnp.bfloat16)
+        zb = jnp.zeros((), jnp.bfloat16)
+        ksrows_ref[0] = jnp.where(
+            rowsel, ksl, jnp.where(first, zb, ksrows_ref[0]))
+        vsrows_ref[0] = jnp.where(
+            rowsel, vsl, jnp.where(first, zb, vsrows_ref[0]))
+
+        loads = _slab_copies(b)
+        if not prefetch_slabs:  # else started at s == 0
+            _start_copies(loads)
+        _wait_copies(loads)
+
+        # whole-KV-group INT8 attention over the FLAT (S, Hkv*D) slab —
+        # literally the batched formulation with B == 1 (the kernel-level
+        # B=1-vs-batched row-exactness contract), with this row's length
+        # column corrected from the just-computed fresh rows (the slab
+        # copy is stale there; the HBM commit happens outside the kernel)
+        qg = q_roped  # (hgq, D) == (Hq, D)
+        qs_ = jnp.maximum(
+            jnp.max(jnp.abs(qg), axis=1, keepdims=True), 1e-30) / 127.0
+        q8 = jnp.clip(jnp.round(qg / qs_), -127, 127).astype(jnp.int8)
+        qw = jnp.tile(q8, (1, Hkv))
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (hgq, KVD), 1) // D
+        row_h = jax.lax.broadcasted_iota(
+            jnp.int32, (hgq, KVD), 0) // n_rep
+        Qbd8 = jnp.where(col_h == row_h, qw, jnp.int8(0))
+        selT = _head_sel(Hkv, hgq, 0, n_rep).T  # (hgq, Hkv)
+        sel_fresh = (
+            jax.lax.broadcasted_iota(jnp.int32, (hgq, Bp), 1) == b
+        )
+        out_g = _flat_attention_rows_int8(
+            [kslab], [vslab], Qbd8, qs_, [ks_slab], [vs_slab],
+            jnp.stack([length]), n_rep, selT,
+            krows_ref[0], vrows_ref[0],
+            ksrows_ref[0].astype(jnp.float32),
+            vsrows_ref[0].astype(jnp.float32), sel_fresh)
         orow = out_g.reshape(1, hgq * D)
-        aout[:, pl.ds(base_qoff, hgq * D)] = jnp.where(
-            bcol > 0, orow, aout[:, pl.ds(base_qoff, hgq * D)]
-        )
+        bcol = bsel.T  # (B_pad, 1)
+        aout[...] = jnp.where(bcol > 0, orow, aout[...])
 
     # ---- phase 3: Wo tiles + residual + ffn norm ----------------------------
     in_p3 = (s >= T1 + T2) & (s < T1 + T2 + T3)
@@ -916,19 +838,18 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None, wbits=4):
     if gs <= 0 or B > 64 or D % 128 or Fp < F:
         return False
     if B > 1:
-        # batched int8 attention runs over full-S (gb, S, ...) slabs +
-        # the int8 block-diagonal Q scratch
+        # batched int8 attention runs over full-S (gb, S, ...) FLAT slabs
+        # + the int8 block-diagonal Q scratch; scale slabs are bf16
+        # tight-head (VMEM-lane-padded to 128)
         S = s_max or cfg.max_seq_len
-        Hp = 128 if Hkv < 128 else Hkv
+        Hvp = -(-Hkv // 128) * 128
         gb = B if B <= 8 else 8
-        slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
+        slab_bytes = S * Hkv * D * 2 + S * Hvp * 2 * 2
         qbd_bytes = max(8, -(-B // 8) * 8) * Hq * Hkv * D  # B_pad rows
         if gb * slab_bytes + qbd_bytes > 48 * 1024 * 1024:
             return False
-    if Hkv % 4:
-        # the per-token KV row write DMAs a (Hkv, D) int8 slice; Mosaic
-        # requires the sublane dim aligned to the (4, 128) int8 tiling
-        return False
+    # (round 5: the Hkv % 4 row-DMA constraint is gone — fresh rows are
+    # emitted as kernel outputs and committed outside, so any Hkv works)
     if wbits in (2, 3):
         # plane mode: full-N tiles are always row-covering; the pack
         # layout guarantees the lane-padded N (pallas_n_pad), so only the
@@ -954,11 +875,12 @@ def fused_decoder_layer(x, pos, cos, sin, li,
                         attn_norm, ffn_norm, k, v, ks, vs,
                         cfg, gs, interpret=False, debug_out=None,
                         _n_phases=5, signed=False):
-    """x (B, dim) f32 -> (out (B, dim) f32, k, v, ks, vs updated in place).
+    """x (B, dim) f32 -> (out (B, dim) f32, k, v, ks, vs updated).
 
     pos (B,) int32 cache row == attended length; cos/sin (B, D) full-width
     rotate-half rope terms for this position; weight/scale stacks as in
-    ffn_fused; caches as in decode_attention_update (ks/vs lane-padded).
+    ffn_fused; caches in the FLAT serving layout — k/v (L, B, S, Hkv*D)
+    int8, ks/vs (L, B, S, Hkv) bf16 (decode._scan_cache(flat=True)).
     signed=True reads pack_s4_rows containers (nibbles store code-8)."""
     return _fused_call(
         x, pos, cos, sin, li, wq, sq, zq, wo, so, zo, w13, s13, z13,
@@ -981,13 +903,15 @@ def fused_decoder_layers(x, pos, cos, sin,
     next layer while the current one finishes.
 
     x (B, dim) f32 -> (out (B, dim) f32 post-last-layer (pre final norm),
-    k, v, ks, vs updated in place). Weight/scale stacks are (L, ...).
+    k, v, ks, vs updated). Weight/scale stacks are (L, ...).
 
-    Caches: contiguous (L, B, S, ...) when bt is None, else PAGED pools
-    (L, n_blocks, block, ...) with bt (B, n_chunks) int32 mapping row b's
-    logical chunk c to its physical pool block (vLLM-style block table;
-    llm/kv_cache.PagedKVCache + the serving engine's allocator own the
-    tables)."""
+    Caches in the FLAT serving layout: contiguous k/v (L, B, S, Hkv*D)
+    int8 + ks/vs (L, B, S, Hkv) bf16 when bt is None, else PAGED pools
+    (L, n_blocks, block, Hkv*D) / (L, n_blocks, block, Hkv) with bt
+    (B, n_chunks) int32 mapping row b's logical chunk c to its physical
+    pool block (vLLM-style block table; llm/kv_cache.PagedKVCache + the
+    serving engine's allocator own the tables). The kernel reads the
+    caches; the fresh rows are committed here, outside the launch."""
     return _fused_call(
         x, pos, cos, sin, jnp.int32(0), wq, sq, zq, wo, so, zo,
         w13, s13, z13, w2, s2, z2, attn_norm, ffn_norm, k, v, ks, vs,
@@ -1028,7 +952,16 @@ def _fused_call(x, pos, cos, sin, li,
         S = k.shape[2]
         SC = 128 if S % 128 == 0 else S
         bt_arr = jnp.zeros((1, 1), jnp.int32)  # unused
-    Hp = ks.shape[-1]
+    # FLAT serving cache (round 5): k/v trailing dim Hkv*D, scale slabs
+    # bf16 with TIGHT heads (decode._scan_cache(flat=True) /
+    # kv_cache.init_paged_kv_cache produce this layout)
+    KVD = Hkv * D
+    assert k.shape[-1] == KVD and v.shape[-1] == KVD, (
+        "megakernel caches must be FLAT (.., S, Hkv*D); got {} expecting "
+        "last dim {}".format(k.shape, KVD))
+    assert ks.shape[-1] == Hkv and vs.shape[-1] == Hkv, (ks.shape, Hkv)
+    assert ks.dtype == jnp.bfloat16 and vs.dtype == jnp.bfloat16, (
+        "flat cache scale slabs are bf16 (tight-head layout)")
     Lx = k.shape[0]
     n_rep = Hq // Hkv
     # ONE head group: the whole-KV block-diagonal dot pair beats 4x
@@ -1048,7 +981,10 @@ def _fused_call(x, pos, cos, sin, li,
     # gb must be 8 (sublane-aligned group offsets) or the whole batch
     gb = B if B <= 8 else 8
     n_bgroups = -(-B // gb)
-    slab_bytes = S * Hkv * D * 2 + S * Hp * 4 * 2
+    # VMEM slab footprint: flat int8 k/v + bf16 tight-head scale slabs
+    # (lane-padded to 128 in VMEM)
+    Hvp = -(-Hkv // 128) * 128
+    slab_bytes = S * KVD * 2 + S * Hvp * 2 * 2
     qbd_bytes = max(8, -(-B // 8) * 8) * Hq * Hkv * D  # int8, B_pad rows
     batched = (
         B > 1
@@ -1292,10 +1228,16 @@ def _fused_call(x, pos, cos, sin, li,
         ],
         out_specs=[
             pl.BlockSpec((B_pad, dim), lambda l, s, li_r, len_r, bt_r: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            # fresh K/V rows + bf16 scale rows, one block per grid layer
+            # (committed OUTSIDE the kernel — see module docstring)
+            pl.BlockSpec((1, B_pad, KVD),
+                         lambda l, s, li_r, len_r, bt_r: (l, 0, 0)),
+            pl.BlockSpec((1, B_pad, KVD),
+                         lambda l, s, li_r, len_r, bt_r: (l, 0, 0)),
+            pl.BlockSpec((1, B_pad, Hkv),
+                         lambda l, s, li_r, len_r, bt_r: (l, 0, 0)),
+            pl.BlockSpec((1, B_pad, Hkv),
+                         lambda l, s, li_r, len_r, bt_r: (l, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((B_pad, dim), jnp.float32),  # xcur (carried act row)
@@ -1313,20 +1255,13 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad, NT3), jnp.float32),  # acco
             pltpu.VMEM((B_pad, NT4), jnp.float32),  # acc13
             pltpu.VMEM((B_pad, NT5), jnp.float32),  # acc2
-            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # k slab
-            pltpu.VMEM(slab_lead + (S, Hkv, D), jnp.int8),  # v slab
-            pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # ks slab
-            pltpu.VMEM(slab_lead + (S, Hp), jnp.float32),   # vs slab
-            # batched: ALL rows' kv rows / scale rows, 3-D so per-row DMA
-            # srcs slice the UNTILED leading dim
-            pltpu.VMEM((B_pad, Hkv, D) if batched else (Hkv, D),
-                       jnp.int8),                  # k row(s)
-            pltpu.VMEM((B_pad, Hkv, D) if batched else (Hkv, D),
-                       jnp.int8),                  # v row(s)
-            pltpu.VMEM((B_pad, 1, Hp) if batched else (1, Hp),
-                       jnp.float32),               # k scale row(s)
-            pltpu.VMEM((B_pad, 1, Hp) if batched else (1, Hp),
-                       jnp.float32),               # v scale row(s)
+            # FLAT slabs: (S, Hkv*D) int8 + (S, Hkv) bf16 — the dots
+            # consume them directly, no (S, Hkv, D) -> (S, Hkv*D)
+            # sublane->lane relayout (exp23/exp30's B=32 residual)
+            pltpu.VMEM(slab_lead + (S, KVD), jnp.int8),     # k slab
+            pltpu.VMEM(slab_lead + (S, KVD), jnp.int8),     # v slab
+            pltpu.VMEM(slab_lead + (S, Hkv), jnp.bfloat16),  # ks slab
+            pltpu.VMEM(slab_lead + (S, Hkv), jnp.bfloat16),  # vs slab
         ] + ([
             # batched int8 attention operands: block-diagonal q8 + its
             # per-row quantization scales (built once per layer at the
@@ -1334,9 +1269,9 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad * Hq, Hkv * D), jnp.int8),      # qbd8
             pltpu.VMEM((B_pad * Hq, 1), jnp.float32),         # qsc
         ] if batched else [])
-        + [pltpu.SemaphoreType.DMA((8,))] + stream_scratch,
+        + [pltpu.SemaphoreType.DMA((4,))] + stream_scratch,
     )
-    out, k2, v2, ks2, vs2 = pl.pallas_call(
+    out, krows, vrows, ksrows, vsrows = pl.pallas_call(
         functools.partial(
             _layer_kernel, B=B, Hq=Hq, Hkv=Hkv, D=D, dim=dim, F=F, gs=gs,
             eps=cfg.rms_eps, n_rep=n_rep, n_groups=n_groups,
@@ -1351,14 +1286,11 @@ def _fused_call(x, pos, cos, sin, li,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B_pad, dim), jnp.float32),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
-            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+            jax.ShapeDtypeStruct((Lg, B_pad, KVD), jnp.int8),
+            jax.ShapeDtypeStruct((Lg, B_pad, KVD), jnp.int8),
+            jax.ShapeDtypeStruct((Lg, B_pad, Hkv), jnp.bfloat16),
+            jax.ShapeDtypeStruct((Lg, B_pad, Hkv), jnp.bfloat16),
         ],
-        # cache stacks/pools in place (after 3 scalar-prefetch + 17
-        # tensor args, caches are inputs 20..23) -> outputs 1..4
-        input_output_aliases={20: 1, 21: 2, 22: 3, 23: 4},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # five phases' tiles + KV slabs + activation scratch exceed the
@@ -1375,4 +1307,38 @@ def _fused_call(x, pos, cos, sin, li,
       bt_arr,
       x, attn_norm, ffn_norm, cos, sin,
       wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2, k, v, ks, vs)
+
+    # ---- commit the fresh rows OUTSIDE the kernel ---------------------------
+    # Pure-XLA per-row updates on the (carried) caches: in place and
+    # effectively free (exp31: ~1 us/step marginal at 7B shapes). The
+    # profiling grid truncation (_n_phases < 5) still commits — rows are
+    # garbage then, matching the knob's outputs-are-garbage contract.
+    pos_i = pos.astype(jnp.int32)
+    rows_k = krows[:, :B]
+    rows_v = vrows[:, :B]
+    rows_ks = ksrows[:, :B]
+    rows_vs = vsrows[:, :B]
+    if paged:
+        # rows land at [l, bt[b, pos // block], pos % block]
+        blk = jnp.take_along_axis(bt_arr, (pos_i // SC)[:, None], 1)[:, 0]
+        rw = pos_i % SC
+        k2 = k.at[:, blk, rw].set(rows_k)
+        v2 = v.at[:, blk, rw].set(rows_v)
+        ks2 = ks.at[:, blk, rw].set(rows_ks)
+        vs2 = vs.at[:, blk, rw].set(rows_vs)
+    else:
+        li_c0 = jnp.reshape(li if li_cache is None else li_cache,
+                            ()).astype(jnp.int32)
+
+        def _commit(buf, rows):
+            def per_b(col, r, p):  # col (L, S, W); r (Lg, W); p scalar
+                return jax.lax.dynamic_update_slice(
+                    col, r[:, None, :], (li_c0, p, 0))
+            return jax.vmap(per_b, in_axes=(1, 1, 0), out_axes=1)(
+                buf, rows, pos_i)
+
+        k2 = _commit(k, rows_k)
+        v2 = _commit(v, rows_v)
+        ks2 = _commit(ks, rows_ks)
+        vs2 = _commit(vs, rows_vs)
     return out[:B], k2, v2, ks2, vs2

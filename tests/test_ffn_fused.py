@@ -55,13 +55,21 @@ def test_ffn_fused_matches_unfused_a8(dim, F, gs, B):
 
 
 def test_scanned_decode_with_fused_kernels_matches_unrolled():
-    """decode_tokens_scanned with BOTH fused kernels forced (attention
-    quant+update+attend and the FFN megakernel, interpret mode) produces
-    the same tokens as the unrolled XLA decode path."""
+    """Scanned decode with BOTH fused kernels forced (attention
+    quant+update+attend and the FFN megakernel, interpret mode) matches
+    the unrolled XLA decode path step by step.
+
+    Teacher-forced with a margin gate (same discipline as the
+    layer-kernel test): the two paths are DIFFERENT attention
+    formulations (bf16-mul group attention in the update kernel vs the
+    f32 XLA oracle, ~0.04 logit noise at this size), so greedy tokens
+    are only required to agree where the top-2 margin exceeds that
+    noise — a free-running exact-sequence comparison would hinge on
+    near-tie luck."""
     from sparsebit_tpu.llm import decode as D
     from sparsebit_tpu.llm import llama as L
     from sparsebit_tpu.llm.decode import (
-        decode_tokens, decode_tokens_scanned, prefill, prefill_scanned,
+        decode_step, decode_step_scanned, prefill, prefill_scanned,
         stack_layers)
     from sparsebit_tpu.llm.kv_cache import init_kv_cache
 
@@ -75,11 +83,11 @@ def test_scanned_decode_with_fused_kernels_matches_unrolled():
         ),
     )
     prompt = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size)
+    ATOL = 0.1
 
     cache = init_kv_cache(cfg, 1, 32, quantized=True)
     logits, cache_u = prefill(qparams, prompt, cache, cfg)
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
-    toks_ref, _ = decode_tokens(qparams, tok, cache_u, cfg, 6)
 
     old_attn, old_ffn = D.FORCE_ATTN_KERNEL, D.FORCE_FFN_KERNEL
     try:
@@ -88,13 +96,22 @@ def test_scanned_decode_with_fused_kernels_matches_unrolled():
         stacked = stack_layers(qparams)
         cache = init_kv_cache(cfg, 1, 32, quantized=True)
         logits_s, cache_s = prefill_scanned(stacked, prompt, cache, cfg)
-        tok_s = jnp.argmax(logits_s, -1).astype(jnp.int32)
-        toks_s, _ = decode_tokens_scanned(stacked, tok_s, cache_s, cfg, 6)
+        np.testing.assert_allclose(
+            np.asarray(logits_s, np.float32),
+            np.asarray(logits, np.float32), atol=ATOL)
+        for _ in range(6):
+            lg_u, cache_u = decode_step(qparams, tok, cache_u, cfg)
+            lg_s, cache_s = decode_step_scanned(stacked, tok, cache_s, cfg)
+            lu = np.asarray(lg_u, np.float32)
+            ls = np.asarray(lg_s, np.float32)
+            np.testing.assert_allclose(ls, lu, atol=ATOL)
+            top2 = np.sort(lu, -1)[:, -2:]
+            decisive = (top2[:, 1] - top2[:, 0]) > 2 * ATOL
+            np.testing.assert_array_equal(
+                lu.argmax(-1)[decisive], ls.argmax(-1)[decisive])
+            tok = jnp.asarray(lu.argmax(-1), jnp.int32)
     finally:
         D.FORCE_ATTN_KERNEL, D.FORCE_FFN_KERNEL = old_attn, old_ffn
-
-    np.testing.assert_array_equal(np.asarray(tok_s), np.asarray(tok))
-    np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_ref))
 
 
 def test_ffn_fused_stacked_layer_select():

@@ -21,12 +21,27 @@ def _rms(x, w, eps):
 
 
 def _mk_cfg():
-    # n_kv_heads=4: the fused layer's per-token KV row DMA needs the
-    # (Hkv, D) int8 slice sublane-aligned to the (4, 128) tiling — see
-    # fused_layer_supported. head_dim = dim / n_heads = 128.
+    # head_dim = dim / n_heads = 128 (lane-aligned — the megakernel's one
+    # hard shape constraint; the old Hkv % 4 row-DMA constraint is gone
+    # in the round-5 flat layout, fresh rows commit outside the kernel).
     return L.llama_tiny(
         dim=512, n_heads=4, n_kv_heads=4, ffn_dim=384, max_seq_len=64
     )
+
+
+def _flat(k8, v8, kssc, vssc, Hkv):
+    """Head-structured test caches -> the megakernel's FLAT serving
+    layout: k/v (..., S, Hkv*D) int8, scales (..., S, Hkv) bf16 (the
+    f32->bf16 cast is lossless when scales are bf16-rounded)."""
+    return (k8.reshape(k8.shape[:-2] + (-1,)),
+            v8.reshape(v8.shape[:-2] + (-1,)),
+            kssc[..., :Hkv].astype(jnp.bfloat16),
+            vssc[..., :Hkv].astype(jnp.bfloat16))
+
+
+def _bf16r(x):
+    """bf16-round f32 values (so flat-layout casts are lossless)."""
+    return x.astype(jnp.bfloat16).astype(jnp.float32)
 
 
 def _build(cfg, gs, key):
@@ -140,14 +155,16 @@ def test_fused_decoder_layers_matches_sequential(layout):
            for n in names}
     ans = jnp.stack([b[1] for b in built])
     fns = jnp.stack([b[2] for b in built])
-    Hp = 128
     kk, kv, kx = jax.random.split(jax.random.PRNGKey(1), 3)
     k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
                             jnp.int32).astype(jnp.int8)
     v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
                             jnp.int32).astype(jnp.int8)
-    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
-    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    kssc = _bf16r(jax.random.uniform(
+        kk, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    vssc = _bf16r(jax.random.uniform(
+        kv, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    kf, vf, ksf, vsf = _flat(k8, v8, kssc, vssc, Hkv)
     x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
     pos = jnp.asarray([5, 9], jnp.int32)
     inv_freq = L.rope_frequencies(cfg)
@@ -163,7 +180,7 @@ def test_fused_decoder_layers_matches_sequential(layout):
 
     @jax.jit
     def seq():
-        st = (x, k8, v8, kssc, vssc)
+        st = (x, kf, vf, ksf, vsf)
         for li in range(Lx):
             st = fused_decoder_layer(
                 st[0], pos, cosf, sinf, jnp.int32(li), *args,
@@ -173,7 +190,7 @@ def test_fused_decoder_layers_matches_sequential(layout):
     @jax.jit
     def multi():
         return fused_decoder_layers(
-            x, pos, cosf, sinf, *args, k8, v8, kssc, vssc, cfg, gs,
+            x, pos, cosf, sinf, *args, kf, vf, ksf, vsf, cfg, gs,
             interpret=True, signed=sgn)
 
     o1, o2 = seq(), multi()
@@ -265,8 +282,7 @@ def test_fused_decoder_layer_matches_oracle(B, k_pad, sz_bf16, S):
         q["w2"] = q["w2"].with_k_pad(k_pad)
         assert q["w2"].k_padded == 512
         assert fused_layer_supported(cfg, gs, B, f_pad=512)
-    Hp = 128
-    pad = ((0, 0), (0, 0), (0, Hp - Hkv))
+    kfl, vfl, ksfl, vsfl = _flat(k8, v8, kssc, vssc, Hkv)
 
     @jax.jit
     def fused():
@@ -279,8 +295,7 @@ def test_fused_decoder_layer_matches_oracle(B, k_pad, sz_bf16, S):
             u4["w13"], q["w13"].scales[None], q["w13"].zeros[None],
             u4["w2"], q["w2"].scales[None], q["w2"].zeros[None],
             an[None], fn[None],
-            k8[None], v8[None],
-            jnp.pad(kssc, pad)[None], jnp.pad(vssc, pad)[None],
+            kfl[None], vfl[None], ksfl[None], vsfl[None],
             cfg, gs, interpret=True,
         )
         return out, k2, v2, ks2, vs2
@@ -291,11 +306,14 @@ def test_fused_decoder_layer_matches_oracle(B, k_pad, sz_bf16, S):
     # (B_pad*H, D)-vectorized rope/quant's f32 associativity can flip a
     # value sitting exactly on a rounding tie (observed 1/393216 at B=12)
     np.testing.assert_allclose(
-        np.asarray(k2[0], np.int32), np.asarray(k8_u, np.int32), atol=1)
+        np.asarray(k2[0].reshape(B, S, Hkv, D), np.int32),
+        np.asarray(k8_u, np.int32), atol=1)
     np.testing.assert_allclose(
-        np.asarray(v2[0], np.int32), np.asarray(v8_u, np.int32), atol=1)
+        np.asarray(v2[0].reshape(B, S, Hkv, D), np.int32),
+        np.asarray(v8_u, np.int32), atol=1)
     np.testing.assert_allclose(
-        np.asarray(ks2[0][..., :Hkv]), np.asarray(ks_u), rtol=1e-5
+        np.asarray(ks2[0].astype(jnp.float32)), np.asarray(ks_u),
+        rtol=1e-5
     )
     # output: attention runs INT8 end-to-end inside the kernel (per-row
     # q quantization + 7-bit scale-folded probability mix, round 4) vs
@@ -330,14 +348,16 @@ def test_fused_decoder_layers_paged_matches_contiguous():
     zrs = {n: jnp.stack([b[0][n].zeros for b in built]) for n in names}
     ans = jnp.stack([b[1] for b in built])
     fns = jnp.stack([b[2] for b in built])
-    Hp = 128
     kk, kv, kx = jax.random.split(jax.random.PRNGKey(8), 3)
-    k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
-                            jnp.int32).astype(jnp.int8)
-    v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
-                            jnp.int32).astype(jnp.int8)
-    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
-    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    k8h = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    v8h = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    ksh = _bf16r(jax.random.uniform(
+        kk, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    vsh = _bf16r(jax.random.uniform(
+        kv, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    k8, v8, kssc, vssc = _flat(k8h, v8h, ksh, vsh, Hkv)
     x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
     pos = jnp.asarray([5, 130], jnp.int32)  # row 1 -> second chunk
     inv_freq = L.rope_frequencies(cfg)
@@ -513,14 +533,16 @@ def test_plane_megakernel_matches_nibble_container(wbits, B):
 
     ans = jnp.stack([b[1] for b in built])
     fns = jnp.stack([b[2] for b in built])
-    Hp = 128
     kk, kv, kx = jax.random.split(jax.random.PRNGKey(12), 3)
-    k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
-                            jnp.int32).astype(jnp.int8)
-    v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
-                            jnp.int32).astype(jnp.int8)
-    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
-    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    k8h = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    v8h = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    ksh = _bf16r(jax.random.uniform(
+        kk, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    vsh = _bf16r(jax.random.uniform(
+        kv, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    k8, v8, kssc, vssc = _flat(k8h, v8h, ksh, vsh, Hkv)
     x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
     pos = jnp.asarray(np.arange(5, 5 + B), jnp.int32)
     inv_freq = L.rope_frequencies(cfg)
@@ -566,15 +588,17 @@ def test_plane_megakernel_segmented_mixed_stack():
         built.append((q4, an, fn))
 
     names = ("wqkv", "wo", "w13", "w2")
-    Hp = 128
     D, Hkv = cfg.head_dim, cfg.n_kv_heads
     kk, kv, kx = jax.random.split(jax.random.PRNGKey(22), 3)
-    k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
-                            jnp.int32).astype(jnp.int8)
-    v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
-                            jnp.int32).astype(jnp.int8)
-    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
-    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    k8h = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    v8h = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    ksh = _bf16r(jax.random.uniform(
+        kk, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    vsh = _bf16r(jax.random.uniform(
+        kv, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    k8, v8, kssc, vssc = _flat(k8h, v8h, ksh, vsh, Hkv)
     x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
     pos = jnp.asarray([9], jnp.int32)
     inv_freq = L.rope_frequencies(cfg)
@@ -680,10 +704,11 @@ def test_uniform_int3_planes_scanned_decode_matches_nibble():
 def test_b1_and_batched_int8_attention_row_exact():
     """The serving engines' cross-path contract (round 4): decoding a
     request at B=1 and decoding it as row 0 of a padded batched step must
-    produce BIT-IDENTICAL outputs — the int8 attention formulations
-    (_group_attention_t_int8 vs _group_attention_rows_int8) and the
-    B_pad-invariant matmul phases guarantee it. Guards against any future
-    divergence between the two phase-2 implementations."""
+    produce BIT-IDENTICAL outputs — both phase-2 implementations run the
+    same flat INT8 formulation (_flat_attention_rows_int8, incl. the
+    fresh-row length-column corrections) and the matmul phases are
+    B_pad-invariant. Guards against any future divergence between the
+    two phase-2 implementations."""
     from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
 
     cfg = _mk_cfg()
@@ -707,15 +732,17 @@ def test_b1_and_batched_int8_attention_row_exact():
             s4["w13"], scs["w13"], zrs["w13"],
             s4["w2"], scs["w2"], zrs["w2"], ans, fns)
 
-    Hp = 128
     kk, kv, kx = jax.random.split(jax.random.PRNGKey(32), 3)
     B = 3
-    k8 = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
-                            jnp.int32).astype(jnp.int8)
-    v8 = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
-                            jnp.int32).astype(jnp.int8)
-    kssc = jax.random.uniform(kk, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
-    vssc = jax.random.uniform(kv, (Lx, B, S, Hp), jnp.float32, 0.001, 0.01)
+    k8h = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    v8h = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    ksh = _bf16r(jax.random.uniform(
+        kk, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    vsh = _bf16r(jax.random.uniform(
+        kv, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    k8, v8, kssc, vssc = _flat(k8h, v8h, ksh, vsh, Hkv)
     x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
     pos = jnp.asarray([7, 21, 40], jnp.int32)
     inv_freq = L.rope_frequencies(cfg)

@@ -135,15 +135,19 @@ def _fused_quant_model(cfg, gs=64):
 def test_paged_engine_matches_fixed_slot_engine():
     """PagedDecodeEngine (block-table pools, 16-row blocks) produces the
     same greedy tokens as the fixed-slot engine on the same quantized
-    model — including a third request queued behind 2 slots. Both engines
-    are forced onto the decode megakernel (the paged engine always runs
-    it; the fixed-slot engine on CPU would otherwise take the unfused
-    path, whose bf16 attention differs from the megakernel's INT8
-    attention by more than near-tie token margins — round 4). The
-    megakernel's B=1 and batched int8 formulations are row-exact against
-    each other, so tokens must match exactly even when the engines batch
-    a step differently."""
+    model — including a third request queued behind 2 slots. Both
+    engines decode through the megakernel (the fixed-slot engine's
+    decode_chunk_scanned fast path and the paged decode_chunk_paged are
+    row-exact against each other — the int8-attention cross-path
+    contract), so with the ADMISSION path pinned to the same masked
+    prefill (the paged engine's cold admissions otherwise take the
+    flash-bf16 prefill, a different formulation with its own ±1-code
+    rounding), tokens must match EXACTLY even though the engines batch,
+    page, and recycle slots differently."""
+    import types
+
     from sparsebit_tpu.llm import decode as Dmod
+    from sparsebit_tpu.llm.decode import prefill_at
     from sparsebit_tpu.llm.serving import PagedDecodeEngine
 
     cfg = L.llama_tiny(dim=512, n_heads=4, n_kv_heads=4, ffn_dim=384,
@@ -160,12 +164,19 @@ def test_paged_engine_matches_fixed_slot_engine():
     try:
         Dmod.FORCE_LAYER_KERNEL = True
         ref_engine = DecodeEngine(qparams, cfg, max_batch=2, max_len=48)
+        assert ref_engine._stacked_chunks  # megakernel-backed chunks
         rids = [ref_engine.add_request(p, max_new_tokens=n_new)
                 for p in prompts]
         ref = ref_engine.run()
 
         eng = PagedDecodeEngine(qparams, cfg, max_batch=2, block=16,
                                 n_blocks=8, max_len=48)
+        # pin admissions to prefill_at (same formulation as the base
+        # engine) so the comparison isolates the decode contract
+        eng._prefill_call = types.MethodType(
+            lambda self, tokens, scratch, lasts, offsets: prefill_at(
+                self.params, tokens, scratch, self.cfg, lasts, offsets),
+            eng)
         rids_p = [eng.add_request(p, max_new_tokens=n_new) for p in prompts]
         got = eng.run()
     finally:
