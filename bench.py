@@ -193,12 +193,42 @@ def main():
     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     # whole decode loop runs on device (lax.scan) — timing is per-token
-    # device throughput, not host/tunnel dispatch latency
-    toks, cache = decode_tokens_scanned(params, tok, cache, cfg, iters)
+    # device throughput, not host/tunnel dispatch latency. The cache is
+    # pre-converted to the STACKED serving form once (steady-state
+    # serving: the paged engine's pools live in this form across chunks)
+    # and s_active is the STATIC context bucket a serving engine would
+    # dispatch for these lengths (prompt 16 + 3 x iters rows).
+    from sparsebit_tpu.llm import decode as D
+
+    s_act = None
+    if cfg.max_seq_len % 128 == 0:
+        s_act = min(cfg.max_seq_len, -(-(16 + 3 * iters) // 128) * 128)
+    if on_tpu:  # the flat serving cache feeds the megakernel path only
+        decode_fn0 = jax.jit(
+            D.decode_tokens_scanned_kvs.__wrapped__,
+            static_argnames=("cfg", "n_tokens", "quantized", "s_active"),
+            donate_argnums=(2,),
+        )
+        kvs = D._scan_cache(cache, flat=True)
+        length = cache.length
+
+        def run_headline(tok_in):
+            return decode_fn0(params, tok_in, kvs, length, cfg, iters,
+                              "int8", s_act)
+    else:
+        kvs, length = (), None
+
+        def run_headline(tok_in):
+            nonlocal cache
+            tk, cache = decode_tokens_scanned(params, tok_in, cache, cfg,
+                                              iters)
+            return tk, (), None
+
+    toks, kvs, length = run_headline(tok)
     jax.block_until_ready(toks)
     # wall measurement first (untraced: trace streaming wrecks wall time)
     t0 = time.perf_counter()
-    toks, cache = decode_tokens_scanned(params, toks[:, -1], cache, cfg, iters)
+    toks, kvs, length = run_headline(toks[:, -1])
     jax.block_until_ready(toks)
     dt = time.perf_counter() - t0
     wall_toks_per_s = iters * batch / dt
@@ -207,12 +237,12 @@ def main():
     traced = False
     try:
         with jax.profiler.trace(trace_dir):
-            toks, cache = decode_tokens_scanned(
-                params, toks[:, -1], cache, cfg, iters)
+            toks, kvs, length = run_headline(toks[:, -1])
             jax.block_until_ready(toks)
         traced = True
     except Exception:
         pass
+    cache = None
 
     # device-timeline throughput: the tunnel runtime stalls between scan
     # iterations (device idles ~95% of wall time; see docs/perf_notes.md),
@@ -278,31 +308,47 @@ def main():
                         pass
 
     def bench_decode_batch(b, n_iters):
-        # donate the cache: the library jit keeps it (callers reuse caches),
-        # but at B=32/7B in+out caches are 2 x 4.3 GB — donation halves the
-        # batched phases' peak so B32 fits after the earlier phases
+        # donate the stacked cache: at B=32/7B in+out caches are
+        # 2 x 4.3 GB — donation halves the batched phases' peak. The
+        # cache rides the STACKED serving form (steady-state serving,
+        # see the headline phase) with the serving-dispatch context
+        # bucket for these lengths (3 calls x n_iters rows).
         from sparsebit_tpu.llm import decode as D
 
         decode_fn = jax.jit(
-            D.decode_tokens_scanned.__wrapped__,
-            static_argnames=("cfg", "n_tokens"), donate_argnums=(2,),
+            D.decode_tokens_scanned_kvs.__wrapped__,
+            static_argnames=("cfg", "n_tokens", "quantized", "s_active"),
+            donate_argnums=(2,),
         )
         # no prefill: throughput is value-independent, and the non-donated
-        # prefill jit would hold in+out caches simultaneously (2 x 4.3 GB
-        # at B=32/7B) — decode straight off the fresh cache
-        c = init_kv_cache(cfg, b, max_len=cfg.max_seq_len, quantized=True)
+        # prefill jit would hold in+out caches simultaneously
+        s_ab = min(cfg.max_seq_len, -(-(3 * n_iters) // 128) * 128) \
+            if cfg.max_seq_len % 128 == 0 else None
+        # build the stacked serving cache DIRECTLY (a per-layer-list
+        # KVCache + stack would double the peak: 2 x 4.3 GB at B=32,
+        # OOM after earlier phases' fragmentation)
+        Lx, S = cfg.n_layers, cfg.max_seq_len
+        Hkv, hd = cfg.n_kv_heads, cfg.head_dim
+        kv = (jnp.zeros((Lx, b, S, Hkv, hd), jnp.int8),
+              jnp.zeros((Lx, b, S, Hkv, hd), jnp.int8),
+              jnp.zeros((Lx, b, Hkv, S), jnp.bfloat16),
+              jnp.zeros((Lx, b, Hkv, S), jnp.bfloat16))
+        ln = jnp.zeros((b,), jnp.int32)
         t = jnp.zeros((b,), jnp.int32)
-        tk, c = decode_fn(params, t, c, cfg, n_iters)  # warm
+        tk, kv, ln = decode_fn(params, t, kv, ln, cfg, n_iters,
+                               "int8", s_ab)  # warm
         jax.block_until_ready(tk)
         t0 = time.perf_counter()
-        tk, c = decode_fn(params, tk[:, -1], c, cfg, n_iters)
+        tk, kv, ln = decode_fn(params, tk[:, -1], kv, ln, cfg, n_iters,
+                               "int8", s_ab)
         jax.block_until_ready(tk)
         wall = n_iters * b / (time.perf_counter() - t0)
         dev_rate = wall
         try:
             tdir = "/tmp/bench_trace_b%d" % b
             with jax.profiler.trace(tdir):
-                tk, c = decode_fn(params, tk[:, -1], c, cfg, n_iters)
+                tk, kv, ln = decode_fn(params, tk[:, -1], kv, ln, cfg,
+                                       n_iters, "int8", s_ab)
                 jax.block_until_ready(tk)
             ds = _device_seconds(tdir, "jit_decode_tokens_scanned")
             if ds:
@@ -315,7 +361,7 @@ def main():
         mean_len = 2 * n_iters + n_iters // 2
         kv_row = cfg.n_kv_heads * cfg.head_dim * (1.0 + 2.0 / cfg.head_dim)
         step_bytes = bytes_per_tok + 2 * cfg.n_layers * mean_len * kv_row * b
-        _free(c, tk)
+        _free(kv, ln, tk)
         return dev_rate, wall, bw * 1e9 / step_bytes * b
 
     # ---- prefill headline ---------------------------------------------------
@@ -352,8 +398,8 @@ def main():
 
     # Phases in descending value-per-second, each gated on remaining wall
     # budget and emitted as soon as it completes.
-    _free(cache, toks)
-    if budget_left() > 60:
+    _free(kvs, length, toks)
+    if on_tpu and budget_left() > 60:
         try:
             b8, b8_wall, b8_sol = bench_decode_batch(8, iters)
             out["decode_b8_tokens_per_s_chip"] = round(b8, 3)
@@ -376,6 +422,150 @@ def main():
             out["decode_b32_vs_sol"] = round(b32 / b32_sol, 4)
         except Exception as e:  # RESOURCE_EXHAUSTED on smaller-HBM chips
             out["decode_b32"] = "skipped: " + type(e).__name__
+        emit()
+    if on_tpu and budget_left() > 120:
+        # B=64: unlocked by the round-5 bf16 tight-head scale slabs (the
+        # f32 Hp=128 slabs alone were 4.3 GB at B=64/S=512 — VERDICT r4
+        # #3); 12.6 GB total on a 16 GB chip
+        try:
+            b64, b64_wall, b64_sol = bench_decode_batch(64, iters)
+            out["decode_b64_tokens_per_s_chip"] = round(b64, 3)
+            out["decode_b64_vs_sol"] = round(b64 / b64_sol, 4)
+        except Exception as e:
+            out["decode_b64"] = "skipped: " + type(e).__name__
+        emit()
+
+    # ---- paged engine at the perf frontier (VERDICT r4 #8) ------------------
+    # decode_chunk_paged at B=8 over pool blocks + block-table indirection,
+    # priced against the contiguous decode_b8 number above.
+    def bench_paged_b8(n_iters):
+        from sparsebit_tpu.llm import decode as D
+        from sparsebit_tpu.llm.kv_cache import init_paged_kv_cache
+
+        b, blk = 8, 128
+        n_blocks = b * (cfg.max_seq_len // blk) + 1
+        pc = init_paged_kv_cache(cfg, b, n_blocks, blk)
+        # identity-ish table: slot i owns blocks [i*chunks, (i+1)*chunks)
+        chunks = cfg.max_seq_len // blk
+        bt = jnp.arange(b * chunks, dtype=jnp.int32).reshape(b, chunks)
+        pc = pc.__class__(pc.k, pc.v, pc.k_scale, pc.v_scale, bt, pc.length)
+        paged_fn = jax.jit(
+            D.decode_chunk_paged.__wrapped__,
+            static_argnames=("cfg", "n_tokens", "s_active"),
+            donate_argnums=(2,),
+        )
+        s_ab = -(-(3 * n_iters) // blk) * blk
+        t = jnp.zeros((b,), jnp.int32)
+        temps = jnp.zeros((b,), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        tk, pc = paged_fn(params, t, pc, temps, key, cfg, n_iters, s_ab)
+        jax.block_until_ready(tk)
+        t0 = time.perf_counter()
+        tk, pc = paged_fn(params, tk[:, -1], pc, temps, key, cfg, n_iters,
+                          s_ab)
+        jax.block_until_ready(tk)
+        rate = n_iters * b / (time.perf_counter() - t0)
+        try:
+            tdir = "/tmp/bench_trace_paged"
+            with jax.profiler.trace(tdir):
+                tk, pc = paged_fn(params, tk[:, -1], pc, temps, key, cfg,
+                                  n_iters, s_ab)
+                jax.block_until_ready(tk)
+            ds = _device_seconds(tdir, "jit_decode_chunk_paged")
+            if ds:
+                rate = n_iters * b / ds
+        except Exception:
+            pass
+        _free(pc, tk)
+        return rate
+
+    if on_tpu and budget_left() > 120:
+        try:
+            out["decode_paged_b8_tokens_per_s_chip"] = round(
+                bench_paged_b8(iters), 3)
+        except Exception as e:
+            out["decode_paged_b8"] = "skipped: " + type(e).__name__
+        emit()
+
+    # ---- 13B serving config (BASELINE configs[4]; VERDICT r4 #3) -----------
+    # LLaMA-13B INT4-g128: ~6.6 GB packed + INT8 KV fits one chip. The 7B
+    # params are freed first; this phase gets its own SoL denominator.
+    def bench_13b():
+        cfg13 = L.llama_13b()
+        cfg13 = type(cfg13)(**{**cfg13.__dict__, "max_seq_len": 512})
+        p13 = stack_layers(build_quantized_llama(cfg13, bits=4,
+                                                 groupsize=128))
+        bytes13 = packed_param_bytes(p13["layers"]) + packed_param_bytes(
+            p13["lm_head"])
+        sol13 = bw * 1e9 / bytes13
+        from sparsebit_tpu.llm import decode as D
+
+        fn13 = jax.jit(
+            D.decode_tokens_scanned_kvs.__wrapped__,
+            static_argnames=("cfg", "n_tokens", "quantized", "s_active"),
+            donate_argnums=(2,),
+        )
+        results = {}
+        for b in (1, 8):
+            if budget_left() < 120 and b > 1:
+                break
+            Lx, S = cfg13.n_layers, cfg13.max_seq_len
+            Hkv, hd = cfg13.n_kv_heads, cfg13.head_dim
+            kv = (jnp.zeros((Lx, b, S, Hkv, hd), jnp.int8),
+                  jnp.zeros((Lx, b, S, Hkv, hd), jnp.int8),
+                  jnp.zeros((Lx, b, Hkv, S), jnp.bfloat16),
+                  jnp.zeros((Lx, b, Hkv, S), jnp.bfloat16))
+            ln = jnp.zeros((b,), jnp.int32)
+            t = jnp.zeros((b,), jnp.int32)
+            s_ab = -(-(3 * iters) // 128) * 128
+            tk, kv, ln = fn13(p13, t, kv, ln, cfg13, iters, "int8", s_ab)
+            jax.block_until_ready(tk)
+            t0 = time.perf_counter()
+            tk, kv, ln = fn13(p13, tk[:, -1], kv, ln, cfg13, iters,
+                              "int8", s_ab)
+            jax.block_until_ready(tk)
+            rate = iters * b / (time.perf_counter() - t0)
+            try:
+                tdir = "/tmp/bench_trace_13b_b%d" % b
+                with jax.profiler.trace(tdir):
+                    tk, kv, ln = fn13(p13, tk[:, -1], kv, ln, cfg13,
+                                      iters, "int8", s_ab)
+                    jax.block_until_ready(tk)
+                ds = _device_seconds(tdir, "jit_decode_tokens_scanned")
+                if ds:
+                    rate = iters * b / ds
+            except Exception:
+                pass
+            mean_len = 2 * iters + iters // 2
+            kv_row = Hkv * hd * (1.0 + 2.0 / hd)
+            step_b = bytes13 + 2 * cfg13.n_layers * mean_len * kv_row * b
+            results[b] = (rate, bw * 1e9 / step_b * b)
+            _free(kv, ln, tk)
+        _free(p13)
+        return results
+
+    if on_tpu and budget_left() > 240:
+        try:
+            from sparsebit_tpu.ops.layer_fused import fused_layer_supported
+
+            cfg13chk = L.llama_13b()
+            assert fused_layer_supported(
+                type(cfg13chk)(**{**cfg13chk.__dict__, "max_seq_len": 512}),
+                128, 8, s_max=512)
+            _free(params)  # 7B stacks out before the 13B build
+            r13 = bench_13b()
+            if 1 in r13:
+                out["llama13b_int4g128_decode_tokens_per_s_chip"] = round(
+                    r13[1][0], 3)
+                out["llama13b_decode_vs_sol"] = round(
+                    r13[1][0] / r13[1][1], 4)
+            if 8 in r13:
+                out["llama13b_decode_b8_tokens_per_s_chip"] = round(
+                    r13[8][0], 3)
+                out["llama13b_decode_b8_vs_sol"] = round(
+                    r13[8][0] / r13[8][1], 4)
+        except Exception as e:
+            out["llama13b"] = "skipped: " + type(e).__name__
         emit()
 
 

@@ -207,11 +207,11 @@ def _scan_cache(cache, pad_scales=False, flat=False):
     target sub-128-lane slices (ops/attention.decode_attention_update).
 
     flat=True produces the decode MEGAKERNEL's serving layout (round 5):
-    k/v reshaped (L, B, S, Hkv*D) (free — trailing-dim collapse of a
-    row-major HBM array) and scales cast to bf16 with tight heads
-    (LOSSLESS: _quant_heads already rounds int8-cache scales to bf16).
-    The flat slabs feed the kernel's attention dots directly — no
-    (S, Hkv, D) -> (S, Hkv*D) relayout per slab use — and the bf16
+    k/v stay head-structured (the kernel reshapes the HBM refs flat for
+    its slab reads); scales cast to bf16 with tight heads, TRANSPOSED to
+    (L, B, Hkv, S) so the kernel's 128-row lane chunks are tile-aligned
+    (a sub-128 Hkv lane dim is not DMA-sliceable). The cast is LOSSLESS:
+    _quant_heads already rounds int8-cache scales to bf16. The bf16
     tight-head scale slabs stream 8x fewer bytes than the old f32
     Hp=128 layout."""
     k = jnp.stack(cache.k)
@@ -220,11 +220,8 @@ def _scan_cache(cache, pad_scales=False, flat=False):
     vs = jnp.stack(cache.v_scale) if cache.quantized else jnp.zeros((len(cache.k),))
     if flat:
         assert cache.quantized == "int8", "flat layout is int8-KV only"
-        Lx, B, S, Hkv, D = k.shape
-        k = k.reshape(Lx, B, S, Hkv * D)
-        v = v.reshape(Lx, B, S, Hkv * D)
-        ks = ks.astype(jnp.bfloat16)
-        vs = vs.astype(jnp.bfloat16)
+        ks = jnp.swapaxes(ks, 2, 3).astype(jnp.bfloat16)
+        vs = jnp.swapaxes(vs, 2, 3).astype(jnp.bfloat16)
         return k, v, ks, vs
     if pad_scales and cache.quantized:
         Hkv = ks.shape[-1]
@@ -240,11 +237,9 @@ def _unscan_cache(cache, stacked, flat=False):
     k, v, ks, vs = stacked
     n = k.shape[0]
     if flat:
-        Hkv = cache.k[0].shape[2]
-        k = k.reshape(k.shape[:3] + (Hkv, -1))
-        v = v.reshape(v.shape[:3] + (Hkv, -1))
-        ks = ks.astype(jnp.float32)  # lossless (bf16-rounded values)
-        vs = vs.astype(jnp.float32)
+        # un-transpose + lossless upcast (values are bf16-rounded)
+        ks = jnp.swapaxes(ks, 2, 3).astype(jnp.float32)
+        vs = jnp.swapaxes(vs, 2, 3).astype(jnp.float32)
     if cache.quantized:
         Hkv = k.shape[3]
         ks = ks[..., :Hkv]  # drop scale lane padding, if any
@@ -413,7 +408,7 @@ def _scan_uses_ffn_kernel(S, layers, cfg, batch):
 
 
 def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
-                         cfg):
+                         cfg, s_active=None):
     """Scan over LAYER INDICES with the stacked weights closed over as loop
     invariants: compile cost stays O(1) in depth, and (unlike stacked
     weights as scan xs, which XLA dynamic-slices = copies every layer's
@@ -459,6 +454,7 @@ def _forward_scanned_kvs(params, tokens, positions, mask, kvs, quant_mode,
             k, v, ks, vs, cfg, gs, interpret=interp,
             signed=(not pl_mode and _s4_serving(layers["wqkv"])),
             wbits=(layers["wqkv"].bits if pl_mode else 4),
+            s_active=s_active,
         )
         x = out[:, None].astype(x.dtype)
         x = L.rms_norm(x, params["norm"], cfg.rms_eps)
@@ -787,13 +783,50 @@ def prepare_stacked_params_for_decode(params_stacked):
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
-def decode_tokens_scanned(params_stacked, tok0, cache, cfg, n_tokens):
+@partial(jax.jit, static_argnames=("cfg", "n_tokens", "quantized",
+                                   "s_active"))
+def decode_tokens_scanned_kvs(params_stacked, tok0, kvs, length, cfg,
+                              n_tokens, quantized="int8", s_active=None):
+    """Greedy multi-token decode over an ALREADY-STACKED serving cache:
+    ``kvs`` is the _scan_cache(...) tuple and ``length`` the per-row
+    lengths. This is the steady-state serving inner loop — no per-call
+    stack/unstack format conversion (at 7B/B=32 the 4.3 GB restack cost
+    ~0.9 ms/step amortized over a 30-token chunk; the paged engine's
+    pools live in serving form across chunks already). Returns
+    (tokens (B, n), kvs, length)."""
+    params_stacked = prepare_stacked_params_for_decode(params_stacked)
+    S_max = kvs[0].shape[2]
+
+    def body(carry, _):
+        tok, kvs, length = carry
+        positions = length[:, None]
+        valid = jnp.arange(S_max, dtype=jnp.int32)[None, :] <= positions
+        mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+        logits, kvs = _forward_scanned_kvs(
+            params_stacked, tok[:, None], positions, mask, kvs, quantized,
+            cfg, s_active=s_active,
+        )
+        tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        return (tok, kvs, length + 1), tok
+
+    (tok, kvs, length), toks = jax.lax.scan(
+        body, (tok0, kvs, length), None, length=n_tokens)
+    return jnp.swapaxes(toks, 0, 1), kvs, length
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens", "s_active"))
+def decode_tokens_scanned(params_stacked, tok0, cache, cfg, n_tokens,
+                          s_active=None):
     """Greedy multi-token decode with BOTH loops as lax.scan (layers and
     tokens): compile cost is O(1) in depth and token count; packed weights
     stay resident in HBM (scalar-prefetch kernels — no per-layer copies)
     and the KV cache stays layer-STACKED across the whole token loop
-    (stack once / unstack once, not per token)."""
+    (stack once / unstack once, not per token).
+
+    s_active: STATIC context bucket for the megakernel's attention width
+    (multiple of 128; the caller must know host-side that every sequence
+    stays below it for the whole call, i.e. max(length) + n_tokens <=
+    s_active) — bucketed-serving dispatch, see fused_decoder_layers."""
     params_stacked = prepare_stacked_params_for_decode(params_stacked)
     S_max = cache.k[0].shape[1]
     quantized = cache.quantized
@@ -805,7 +838,7 @@ def decode_tokens_scanned(params_stacked, tok0, cache, cfg, n_tokens):
         mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
         logits, kvs = _forward_scanned_kvs(
             params_stacked, tok[:, None], positions, mask, kvs, quantized,
-            cfg,
+            cfg, s_active=s_active,
         )
         tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         return (tok, kvs, length + 1), tok
@@ -859,9 +892,9 @@ def decode_tokens(params, tok0, cache, cfg, n_tokens):
     return jnp.swapaxes(toks, 0, 1), cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+@partial(jax.jit, static_argnames=("cfg", "n_tokens", "s_active"))
 def decode_chunk_paged(params_stacked, tok0, pcache, temps, key, cfg,
-                       n_tokens):
+                       n_tokens, s_active=None):
     """Serving inner loop against a PAGED cache (kv_cache.PagedKVCache):
     n_tokens decode steps fully on device, the whole backbone as ONE
     megakernel launch per token reading/writing pool blocks through the
@@ -894,7 +927,7 @@ def decode_chunk_paged(params_stacked, tok0, pcache, temps, key, cfg,
             x.astype(jnp.float32), length, cosf, sinf, *wargs,
             layers["attn_norm"], layers["ffn_norm"],
             kp, vp, ksp, vsp, cfg, gs, interpret=interp, bt=bt,
-            signed=_s4_serving(layers["wqkv"]),
+            signed=_s4_serving(layers["wqkv"]), s_active=s_active,
         )
         h = L.rms_norm(out[:, None].astype(x.dtype), params["norm"],
                        cfg.rms_eps)
@@ -913,9 +946,9 @@ def decode_chunk_paged(params_stacked, tok0, pcache, temps, key, cfg,
     return jnp.swapaxes(toks, 0, 1), pcache
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+@partial(jax.jit, static_argnames=("cfg", "n_tokens", "s_active"))
 def decode_chunk_scanned(params_stacked, tok0, cache, temps, key, cfg,
-                         n_tokens):
+                         n_tokens, s_active=None):
     """Serving inner loop over STACKED params (decode.stack_layers): the
     whole backbone rides the decode megakernel (one Pallas launch per
     token, flat KV cache kept stacked across the chunk) with per-slot
@@ -933,7 +966,7 @@ def decode_chunk_scanned(params_stacked, tok0, cache, temps, key, cfg,
         mask = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
         logits, kvs = _forward_scanned_kvs(
             params_stacked, tok[:, None], positions, mask, kvs, quantized,
-            cfg,
+            cfg, s_active=s_active,
         )
         tok = sample_logits_vec(logits[:, 0], k_, temps)
         return (tok, kvs, length + 1), tok

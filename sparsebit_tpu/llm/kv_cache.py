@@ -162,10 +162,10 @@ def cache_read(cache, layer_idx, dtype):
          meta_fields=[])
 @dataclass
 class PagedKVCache:
-    k: jnp.ndarray        # (L, n_blocks, block, n_kv * hd) int8, FLAT
-    v: jnp.ndarray        # (L, n_blocks, block, n_kv * hd) int8
-    k_scale: jnp.ndarray  # (L, n_blocks, block, n_kv) bf16, tight heads
-    v_scale: jnp.ndarray  # (L, n_blocks, block, n_kv) bf16
+    k: jnp.ndarray        # (L, n_blocks, block, n_kv, hd) int8
+    v: jnp.ndarray        # (L, n_blocks, block, n_kv, hd) int8
+    k_scale: jnp.ndarray  # (L, n_blocks, n_kv, block) bf16, TRANSPOSED
+    v_scale: jnp.ndarray  # (L, n_blocks, n_kv, block) bf16
     block_table: jnp.ndarray  # (B, max_chunks) int32 physical block ids
     length: jnp.ndarray   # (B,) int32 tokens filled per slot
 
@@ -179,19 +179,22 @@ class PagedKVCache:
 
 
 def init_paged_kv_cache(cfg, batch, n_blocks, block=128, max_chunks=None):
-    """INT8 pools in the decode megakernel's FLAT serving layout (rows
-    (n_kv*hd,) int8, scales (n_kv,) bf16 — round 5) + an all-zeros block
-    table. max_chunks defaults to ceil(max_seq_len / block)."""
+    """INT8 pools in the decode megakernel's serving layout (rows
+    (n_kv, hd) int8 — the kernel reads them through a flat ref reshape
+    and row-commits them 5-D; scales bf16 tight-head, TRANSPOSED
+    (n_kv, block) per pool block so the kernel's lane chunks are
+    tile-aligned — round 5) + an all-zeros block table. max_chunks
+    defaults to ceil(max_seq_len / block)."""
     if max_chunks is None:
         max_chunks = -(-cfg.max_seq_len // block)
     Lx = cfg.n_layers
-    shape = (Lx, n_blocks, block, cfg.n_kv_heads * cfg.head_dim)
+    shape = (Lx, n_blocks, block, cfg.n_kv_heads, cfg.head_dim)
     return PagedKVCache(
         k=jnp.zeros(shape, jnp.int8),
         v=jnp.zeros(shape, jnp.int8),
-        k_scale=jnp.zeros((Lx, n_blocks, block, cfg.n_kv_heads),
+        k_scale=jnp.zeros((Lx, n_blocks, cfg.n_kv_heads, block),
                           jnp.bfloat16),
-        v_scale=jnp.zeros((Lx, n_blocks, block, cfg.n_kv_heads),
+        v_scale=jnp.zeros((Lx, n_blocks, cfg.n_kv_heads, block),
                           jnp.bfloat16),
         block_table=jnp.zeros((batch, max_chunks), jnp.int32),
         length=jnp.zeros((batch,), jnp.int32),
@@ -204,11 +207,13 @@ def paged_write_rows(pcache, slot_blocks, rows_k, rows_v, rows_ks, rows_vs,
     """Scatter ``n_rows`` contiguous logical rows (from a prefill) into one
     slot's blocks starting at logical row ``offset``.
 
-    slot_blocks (max_chunks,) int32; rows_k/v (L, S_buf, n_kv*hd) int8
-    FLAT; rows_ks/vs (L, S_buf, n_kv) bf16; n_rows/offset scalars (S_buf
+    slot_blocks (max_chunks,) int32; rows_k/v (L, S_buf, n_kv, hd) int8;
+    rows_ks/vs (L, S_buf, n_kv) bf16; n_rows/offset scalars (S_buf
     static). Rows land at pool[blk[(offset+i)//block], (offset+i) %
     block]; rows >= n_rows are masked out (scatter drops out-of-range
-    indices)."""
+    indices). Scale pools are TRANSPOSED (L, n_blocks, n_kv, block) —
+    the non-adjacent advanced indices move the row dim to the front, so
+    those values are passed (S_buf, L, n_kv)."""
     block = pcache.block
     S_buf = rows_k.shape[1]
     i = jnp.arange(S_buf, dtype=jnp.int32)
@@ -220,6 +225,8 @@ def paged_write_rows(pcache, slot_blocks, rows_k, rows_v, rows_ks, rows_vs,
     blk = jnp.where(i < n_rows, blk, pcache.n_blocks)
     k = pcache.k.at[:, blk, row].set(rows_k, mode="drop")
     v = pcache.v.at[:, blk, row].set(rows_v, mode="drop")
-    ks = pcache.k_scale.at[:, blk, row].set(rows_ks, mode="drop")
-    vs = pcache.v_scale.at[:, blk, row].set(rows_vs, mode="drop")
+    ks = pcache.k_scale.at[:, blk, :, row].set(
+        jnp.swapaxes(rows_ks, 0, 1), mode="drop")
+    vs = pcache.v_scale.at[:, blk, :, row].set(
+        jnp.swapaxes(rows_vs, 0, 1), mode="drop")
     return PagedKVCache(k, v, ks, vs, pcache.block_table, pcache.length)

@@ -107,11 +107,13 @@ def _seed_from_pool_jit(scratch, pk, pv, pks, pvs, bids, row):
     Lx = pk.shape[0]
     P = bids.shape[0] * pk.shape[2]
     Hkv = scratch.k[0].shape[2]
-    hd = scratch.k[0].shape[3]
-    kk = pk[:, bids].reshape(Lx, P, Hkv, hd)
-    vv = pv[:, bids].reshape(Lx, P, Hkv, hd)
-    kss = pks[:, bids].reshape(Lx, P, Hkv).astype(jnp.float32)
-    vss = pvs[:, bids].reshape(Lx, P, Hkv).astype(jnp.float32)
+    kk = pk[:, bids].reshape((Lx, P) + pk.shape[3:])
+    vv = pv[:, bids].reshape((Lx, P) + pv.shape[3:])
+    # scale pools are transposed (L, nblk, Hkv, block) -> (L, P, Hkv)
+    kss = jnp.swapaxes(pks[:, bids], 2, 3).reshape(
+        Lx, P, Hkv).astype(jnp.float32)
+    vss = jnp.swapaxes(pvs[:, bids], 2, 3).reshape(
+        Lx, P, Hkv).astype(jnp.float32)
     k, v = list(scratch.k), list(scratch.v)
     ks, vs = list(scratch.k_scale), list(scratch.v_scale)
     for li in range(Lx):
@@ -130,12 +132,8 @@ def _paged_scatter_row_jit(pcache, scratch, row, slot_blocks, total_len):
     paged_write_rows scatter fused into ONE dispatch (VERDICT r2 #7)."""
     from sparsebit_tpu.llm.kv_cache import paged_write_rows
 
-    Lx = len(scratch.k)
-    S_buf = scratch.k[0].shape[1]
-    rows_k = jnp.stack([kl[row] for kl in scratch.k]).reshape(
-        Lx, S_buf, -1)  # (L, S_buf, Hkv*hd) flat
-    rows_v = jnp.stack([vl[row] for vl in scratch.v]).reshape(
-        Lx, S_buf, -1)
+    rows_k = jnp.stack([kl[row] for kl in scratch.k])  # (L, S_buf, H, hd)
+    rows_v = jnp.stack([vl[row] for vl in scratch.v])
     rows_ks = jnp.stack(
         [s[row] for s in scratch.k_scale]).astype(jnp.bfloat16)
     rows_vs = jnp.stack(
@@ -298,13 +296,25 @@ class DecodeEngine:
         return prefill_at(self.params, tokens, scratch, self.cfg, lasts,
                           offsets)
 
+    def _context_bucket(self, lengths_active, n, chunk_rows=128):
+        """STATIC attention-width bucket for a decode chunk of n tokens
+        (bucketed-serving dispatch — fused_decoder_layers s_active): must
+        cover every ACTIVE slot's rows through the whole chunk; idle
+        slots' stale positions are clamped/dead inside the kernel. One
+        compile per distinct bucket (few: multiples of chunk_rows)."""
+        need = (max(lengths_active) if lengths_active else 0) + n
+        return int(min(self.max_len, -(-need // chunk_rows) * chunk_rows))
+
     def _decode_chunk_call(self, temps, key, n):
         if self._stacked_chunks:
             from sparsebit_tpu.llm.decode import decode_chunk_scanned
 
+            lengths = np.asarray(self.cache.length)
+            act = [int(lengths[i]) for i, s in enumerate(self.slots)
+                   if s is not None]
             return decode_chunk_scanned(
                 self.params_stacked, self.next_tok, self.cache, temps,
-                key, self.cfg, n,
+                key, self.cfg, n, s_active=self._context_bucket(act, n),
             )
         return decode_chunk(
             self.params, self.next_tok, self.cache, temps, key, self.cfg, n
@@ -858,9 +868,13 @@ class PagedDecodeEngine(DecodeEngine):
             jnp.float32,
         )
         self._key, sub = jax.random.split(self._key)
+        act = [int(self._len[i]) for i, s in enumerate(self.slots)
+               if s is not None]
+        s_act = min(self.max_chunks * self.block,
+                    self._context_bucket(act, n, chunk_rows=self.block))
         toks, self.pcache = decode_chunk_paged(
             self.params_stacked, self.next_tok, self.pcache, temps, sub,
-            self.cfg, n,
+            self.cfg, n, s_active=s_act,
         )
         toks_np = np.asarray(toks)
         self.next_tok = toks[:, -1]

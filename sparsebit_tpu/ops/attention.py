@@ -316,18 +316,21 @@ def _flat_attention_rows_int8(kslabs, vslabs, q8_rows, qsc, ks_slabs,
     kslabs/vslabs: length-B sequence of (S, KVD) int8 slabs (values or
     refs indexable per row) — STALE at each row's length column;
     q8_rows (B*hgq, KVD) int8 block-diagonal; qsc (B*hgq, 1) f32 per-row
-    q scales; ks_slabs/vs_slabs: length-B sequence of (S, Hkv) bf16
-    scale slabs (tight heads — the f32 Hp=128 lane-padded slabs were 8x
-    the bytes, VERDICT r4 #2); len_vec (B,) int32; selT (hgq, Hkv)
-    one-hot head gather; kf_all/vf_all (B_pad, KVD) int8 fresh rows;
-    ksf_all/vsf_all (B_pad, Hkv) f32 fresh scale rows; sel_fresh
-    (B*hgq, B_pad) {0,1} mapping each q row to its fresh-rows index.
+    q scales; ks_slabs/vs_slabs: length-B sequence of (Hkv, S) bf16
+    TRANSPOSED scale slabs (tight heads, 8x fewer bytes than the f32
+    Hp=128 lane-padded slabs — VERDICT r4 #2; heads on sublanes because
+    Mosaic rejects DMA slices whose lane dim is a sub-128 Hkv, while
+    128-row lane chunks of (Hkv, S) are tile-aligned by construction);
+    len_vec (B,) int32; selT (hgq, Hkv) one-hot head gather;
+    kf_all/vf_all (B_pad, KVD) int8 fresh rows; ksf_all/vsf_all
+    (B_pad, Hkv) f32 fresh scale rows; sel_fresh (B*hgq, B_pad) {0,1}
+    mapping each q row to its fresh-rows index.
     Returns (B, hgq, D) f32.
     """
     B = len(kslabs)
     S, KVD = kslabs[0].shape[-2], kslabs[0].shape[-1]
     hgq = q8_rows.shape[0] // B
-    Hkv = ks_slabs[0].shape[-1]
+    Hkv = ks_slabs[0].shape[-2]
     D = KVD // Hkv
     R = B * hgq
     selT_b = selT.astype(jnp.bfloat16)  # exact one-hot in bf16
@@ -342,30 +345,41 @@ def _flat_attention_rows_int8(kslabs, vslabs, q8_rows, qsc, ks_slabs,
         ))  # (hgq, S) int32 — exact
         ks_parts.append(jax.lax.dot_general(
             selT_b, ks_slabs[b][...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))  # (hgq, S)
         vs_parts.append(jax.lax.dot_general(
             selT_b, vs_slabs[b][...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     scoresT_i = jnp.concatenate(scores_parts, axis=0)  # (R, S) int32
     ksT = jnp.concatenate(ks_parts, axis=0)
     vsT = jnp.concatenate(vs_parts, axis=0)
 
     # fresh-row corrections: raw scores vs ALL fresh rows, own col picked
-    # by sel_fresh (int arithmetic == a patched slab's column exactly)
-    fresh_all = jax.lax.dot_general(
-        q8_rows, kf_all, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)  # (R, B_pad)
-    sel_i = sel_fresh.astype(jnp.int32)
-    fresh_own = jnp.sum(
-        jnp.where(sel_i > 0, fresh_all, 0), axis=1, keepdims=True)
-    # fresh scale per q row: its fresh row's scales, own head extracted
-    sel_f = sel_fresh.astype(jnp.float32)
-    ks_rows_f = jnp.dot(sel_f, ksf_all,
-                        preferred_element_type=jnp.float32)  # (R, Hkv)
-    vs_rows_f = jnp.dot(sel_f, vsf_all,
-                        preferred_element_type=jnp.float32)
+    # by sel_fresh (int arithmetic == a patched slab's column exactly).
+    # A single fresh row (the B=1 fast path) uses exact elementwise
+    # forms — Mosaic rejects K=1/N=1 int32 dots, and the one-hot selects
+    # degenerate to broadcasts anyway.
+    single = kf_all.shape[0] == 1
+    if single:
+        fresh_own = jnp.sum(
+            q8_rows.astype(jnp.int32) * kf_all.astype(jnp.int32),
+            axis=1, keepdims=True)  # (R, 1) — exact, == the dot
+        ks_rows_f = jnp.broadcast_to(ksf_all, (R, Hkv))
+        vs_rows_f = jnp.broadcast_to(vsf_all, (R, Hkv))
+    else:
+        fresh_all = jax.lax.dot_general(
+            q8_rows, kf_all, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)  # (R, B_pad)
+        sel_i = sel_fresh.astype(jnp.int32)
+        fresh_own = jnp.sum(
+            jnp.where(sel_i > 0, fresh_all, 0), axis=1, keepdims=True)
+        # fresh scale per q row: its fresh row's scales, own head picked
+        sel_f = sel_fresh.astype(jnp.float32)
+        ks_rows_f = jnp.dot(sel_f, ksf_all,
+                            preferred_element_type=jnp.float32)  # (R, Hkv)
+        vs_rows_f = jnp.dot(sel_f, vsf_all,
+                            preferred_element_type=jnp.float32)
     head_own = (
         jax.lax.broadcasted_iota(jnp.int32, (R, Hkv), 1)
         == (jax.lax.broadcasted_iota(jnp.int32, (R, Hkv), 0) % hgq)
@@ -417,10 +431,14 @@ def _flat_attention_rows_int8(kslabs, vslabs, q8_rows, qsc, ks_slabs,
     outs_i = jnp.concatenate(out_parts, axis=0)
     # rank-1 fresh-V term: pval * own fresh row (int32, exact — max
     # magnitude 127*127 per element)
-    v_fresh_rows = jax.lax.dot_general(
-        sel_fresh.astype(jnp.int8), vf_all,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)  # (R, KVD)
+    if single:
+        v_fresh_rows = jnp.broadcast_to(
+            vf_all.astype(jnp.int32), (R, KVD))
+    else:
+        v_fresh_rows = jax.lax.dot_general(
+            sel_fresh.astype(jnp.int8), vf_all,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)  # (R, KVD)
     outs = (outs_i + pval * v_fresh_rows).astype(jnp.float32) * psc
     o3 = outs.reshape(R, Hkv, D)
     own = (

@@ -7,20 +7,34 @@ once per token instead of once per layer).
     x' = x + Wo(attn(rope(Wqkv(rms_norm(x))), cache))          (attn half)
     out = x' + W2(glu(W13(rms_norm(x'))))                      (ffn half)
 
-with the INT8 KV cache in the FLAT serving layout (round 5): k/v are
-(L, B, S, Hkv*D) int8 (paged: (L, n_blocks, block, Hkv*D)) and the scale
-slabs are (L, B, S, Hkv) bf16 tight-head (the f32 Hp=128 lane-padded
-slabs were 8x the bytes and capped single-chip batch at 32 — VERDICT r4
-#2/#3). The kernel READS the cache; the current token's K/V rows are
-emitted as outputs and committed OUTSIDE the kernel by the wrapper with
-pure-XLA per-row dynamic_update_slice (in place on the scan carry —
-measured free, experiments/exp31_commit_cost.py). In-kernel commits are
-impossible in this layout: 1-row dynamic-sublane stores/DMA are rejected
-by TC tiling rules (probe_toolchain vmem_row_store_dyn /
-hbm_row_dma_dyn), which is also why the attention corrects each row's
-``length`` column from the fresh-rows buffer instead of patching the
-VMEM slab (ops/attention._flat_attention_rows_int8 — bit-exact to a
-patched formulation).
+with the INT8 KV cache in the round-5 serving layout:
+
+- k/v stay (L, B, S, Hkv, D) int8 in HBM (paged: (L, n_blocks, block,
+  Hkv, D)); the kernel RESHAPES the HBM ref to (.., S, Hkv*D) for the
+  slab loads (free — HBM is linear), so the attention dots consume FLAT
+  (S, Hkv*D) slabs with no sublane->lane relayout (the ~209 us/layer
+  B=32 residual of round 4, exp23/exp30), while the current token's
+  rows commit IN-KERNEL as (Hkv, D) DMA writes at the untiled S index
+  (the round-4 pattern — aliased outputs, no XLA-side commit cost).
+- scale slabs are bf16 tight-head TRANSPOSED (L, B, Hkv, S) — 8x fewer
+  bytes than round 4's f32 Hp=128 lane padding, which capped
+  single-chip batch at 32 (VERDICT r4 #2/#3). Mosaic rejects EVERY
+  1-row store/DMA a bf16 row commit would need (probe_row_writes:
+  only f32 (S,128) rows and int8 (Hkv,D)-at-untiled-S blocks pass), so
+  fresh scale rows are emitted as small outputs and committed OUTSIDE
+  by the wrapper (one advanced-index scatter per buffer — the scale
+  buffers are ~100x smaller than k/v, the scatter's operand copy is
+  noise; scattering the multi-GB k/v buffers this way copied 4x1.6
+  ms/step, and per-row DUS chains paid this fabric's per-dependency
+  latency x B).
+
+Because the in-VMEM slabs cannot be patched with the current token's
+row either (1-row dynamic-sublane stores rejected), the attention
+CORRECTS each row's ``length`` column from the fresh-rows scratch
+(ops/attention._flat_attention_rows_int8 — integer-exact vs a patched
+formulation). The HBM row writes may race the slab loads of LATER
+grid steps in the same layer — benign, that column is corrected from
+scratch regardless of which bytes the load saw.
 
 Why one launch: decode on this fabric pays a fixed per-dispatch turnaround
 (~30 us measured — docs/perf_notes.md) and on real TPUs every kernel
@@ -201,16 +215,18 @@ def _layer_kernel(
     x_ref, an_ref, fn_ref, cosf_ref, sinf_ref,
     wq_ref, sq_ref, zq_ref, wo_ref, so_ref, zo_ref,
     w13_ref, s13_ref, z13_ref, w2_ref, s2_ref, z2_ref,
-    k_hbm, v_hbm, ks_hbm, vs_hbm,
-    o_ref, krows_ref, vrows_ref, ksrows_ref, vsrows_ref,
+    k_hbm5, v_hbm5, ks_hbm, vs_hbm,
+    o_ref, ksrows_ref, vsrows_ref, ko_hbm, vo_hbm, ks_thru, vs_thru,
     xcur, xq8, xs, qkv, aout, a8, as_, xmid, h1, g8buf, gs8,
     accq, acco, acc13, acc2,
     kslab, vslab, ks_slab, vs_slab,
+    krow3, vrow3, kflat, vflat, krow1, vrow1,
     *tail, B, Hq, Hkv, D, dim, F, gs, eps, n_rep, n_groups,
     k1_t, n1_t, G81, k3_t, G83, k4_t, n4_t, G84, k5_t, G85,
     debug_out=None, prefetch_slabs=False, paged=False, sc=128,
     signed=False, stream=False, stream_ns=(2, 2, 2, 2), batched=False,
-    gb=0, s_full=0, wbits=4, np_t=(0, 0, 0, 0), _ablate="",
+    gb=0, s_full=0, s_wmax=0, n_sb=1, wbits=4, np_t=(0, 0, 0, 0),
+    _ablate="",
 ):
     # trailing scratch: [int8 block-diag Q + its row scales (batched
     # only)], sems, [stream ring bufs + wsem (stream only)]
@@ -254,6 +270,12 @@ def _layer_kernel(
     S = s_full if batched else kslab.shape[-2]
     HD = Hq * D
     KVD = Hkv * D
+    # FLAT read views of the 5-D caches: an HBM ref reshape is free (HBM
+    # is linear), so slab loads land (sc, Hkv*D) chunks with no relayout
+    # while the row WRITES below go through the 5-D refs at the untiled
+    # S index (the only 1-row write shape Mosaic accepts for int8)
+    k_hbm = k_hbm5.reshape(k_hbm5.shape[:-2] + (KVD,))
+    v_hbm = v_hbm5.reshape(v_hbm5.shape[:-2] + (KVD,))
     T1 = n1_t * k1_t
     n_bgroups = -(-B // gb) if batched else 0
     T2 = (1 + n_bgroups) if batched else B * n_groups
@@ -399,12 +421,14 @@ def _layer_kernel(
                         ks_hbm.at[lic, blk], vs_hbm.at[lic, blk])
             else:
                 srcs = (k_hbm.at[lic, b, sl], v_hbm.at[lic, b, sl],
-                        ks_hbm.at[lic, b, sl], vs_hbm.at[lic, b, sl])
+                        ks_hbm.at[lic, b, slice(None), sl],
+                        vs_hbm.at[lic, b, slice(None), sl])
             dsts = (kslab.at[sl], vslab.at[sl],
-                    ks_slab.at[sl], vs_slab.at[sl])
+                    ks_slab.at[slice(None), sl],
+                    vs_slab.at[slice(None), sl])
             for i, (src, dst) in enumerate(zip(srcs, dsts)):
                 out.append((cond, pltpu.make_async_copy(
-                    src, dst, sems.at[i])))
+                    src, dst, sems.at[0, i])))
         return out
 
     def _start_copies(copies):
@@ -448,9 +472,11 @@ def _layer_kernel(
     if batched:
         selT_b = _head_sel(Hkv, hg * n_rep, 0, n_rep).T  # (hgq, Hkv)
 
-        def _group_copies(g):
+        def _group_copies(g, bank):
             """Length-gated chunked loads of group g's rows' caches into
-            the (gb, S, ...) flat slabs; g may be a traced scalar."""
+            slab BANK ``bank`` ((n_sb, gb, S, ...) scratch); g/bank may
+            be traced scalars (banked semaphores keep concurrent groups'
+            completions apart)."""
             out = []
             for jr in range(gb):
                 b_idx = jnp.minimum(g * gb + jr, B - 1)
@@ -465,24 +491,30 @@ def _layer_kernel(
                         slc = pl.ds(c * sc, sc)
                         srcs = (k_hbm.at[lic, b_idx, slc],
                                 v_hbm.at[lic, b_idx, slc],
-                                ks_hbm.at[lic, b_idx, slc],
-                                vs_hbm.at[lic, b_idx, slc])
+                                ks_hbm.at[lic, b_idx, slice(None), slc],
+                                vs_hbm.at[lic, b_idx, slice(None), slc])
                     dsl = pl.ds(c * sc, sc)
-                    dsts = (kslab.at[jr, dsl], vslab.at[jr, dsl],
-                            ks_slab.at[jr, dsl], vs_slab.at[jr, dsl])
+                    dsts = (kslab.at[bank, jr, dsl],
+                            vslab.at[bank, jr, dsl],
+                            ks_slab.at[bank, jr, slice(None), dsl],
+                            vs_slab.at[bank, jr, slice(None), dsl])
                     for i, (src, dst) in enumerate(zip(srcs, dsts)):
                         out.append((cond, pltpu.make_async_copy(
-                            src, dst, sems.at[i])))
+                            src, dst, sems.at[bank, i])))
             return out
 
-        # group 0's loads depend only on scalar-prefetched lengths: start
+        # the group loads depend only on scalar-prefetched lengths: start
         # them at each layer's first grid step so the whole Wqkv phase
-        # covers them (no write race — the cache is read-only here; the
-        # stale length column is corrected from the fresh-rows outputs)
+        # covers them (no write race — the stale length column is
+        # corrected from the fresh-rows scratch). With enough VMEM every
+        # group gets its own slab bank and ALL loads start here —
+        # otherwise (n_sb == 1, huge buckets) group g > 0 loads start at
+        # its own step and serialize against the attention compute.
         if "ropeq" not in _ablate:
             @pl.when(s == 0)
             def _():
-                _start_copies(_group_copies(0))
+                for g0 in range(n_sb if n_sb > 1 else 1):
+                    _start_copies(_group_copies(g0, g0))
 
         @pl.when(s == T1)
         def _():
@@ -541,15 +573,42 @@ def _layer_kernel(
             vsc = (jnp.maximum(
                 jnp.max(jnp.abs(vr), axis=1, keepdims=True), 1e-8)
                 / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
-            # fresh rows are emitted FLAT as kernel outputs — the wrapper
-            # commits them outside (pure-XLA per-row DUS); group steps
-            # read them back for the length-column corrections
+            # fresh K/V rows: the 3-D scratch feeds the per-row in-place
+            # commit DMAs (untiled leading dim — free reshape), the flat
+            # scratch feeds the group steps' length-column corrections
+            # (one 32 KB sublane->lane relayout per layer); fresh SCALE
+            # rows are emitted as small outputs for the wrapper's
+            # outside scatter (no bf16 1-row write shape compiles)
             kq = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(jnp.int8)
             vq = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(jnp.int8)
-            krows_ref[0] = kq.reshape(Bp, KVD)
-            vrows_ref[0] = vq.reshape(Bp, KVD)
+            krow3[...] = kq.reshape(Bp, Hkv, D)
+            vrow3[...] = vq.reshape(Bp, Hkv, D)
+            kflat[...] = kq.reshape(Bp, KVD)
+            vflat[...] = vq.reshape(Bp, KVD)
             ksrows_ref[0] = ksc.reshape(Bp, Hkv).astype(jnp.bfloat16)
             vsrows_ref[0] = vsc.reshape(Bp, Hkv).astype(jnp.bfloat16)
+
+            writes = []
+            for b in range(B):
+                # clamp the WRITE index to the full cache (an idle
+                # serving slot's length can run past it — dead rows,
+                # but the DMA must stay in bounds)
+                lw = jnp.minimum(len_ref[b], s_wmax - 1)
+                if paged:
+                    blk_w = bt_ref[b, lw // sc]
+                    row_w = lw % sc
+                writes += [
+                    pltpu.make_async_copy(
+                        krow3.at[b],
+                        (ko_hbm.at[lic, blk_w, row_w] if paged
+                         else ko_hbm.at[lic, b, lw]), sems.at[0, 4]),
+                    pltpu.make_async_copy(
+                        vrow3.at[b],
+                        (vo_hbm.at[lic, blk_w, row_w] if paged
+                         else vo_hbm.at[lic, b, lw]), sems.at[0, 5]),
+                ]
+            for cp in writes:
+                cp.start()
 
         # ---- attention group steps: rows [g*gb, (g+1)*gb) per step -------
         in_p2b = (s >= T1 + 1) & (s < T1 + T2)
@@ -560,12 +619,14 @@ def _layer_kernel(
             if "ropeq" in _ablate:  # whole phase ablated (exp22)
                 return
             g = s - T1 - 1
+            bank = (g if n_sb > 1 else 0)
             rows = [jnp.minimum(g * gb + jr, B - 1) for jr in range(gb)]
-            copies = _group_copies(g)
+            copies = _group_copies(g, bank)
 
-            @pl.when(g > 0)  # group 0 prefetched at s == 0
-            def _():
-                _start_copies(copies)
+            if n_sb == 1:
+                @pl.when(g > 0)  # group 0 prefetched at s == 0
+                def _():
+                    _start_copies(copies)
             _wait_copies(copies)
             if "attn" not in _ablate:
                 len_vec = jnp.stack([len_ref[b] for b in rows])
@@ -578,8 +639,8 @@ def _layer_kernel(
                     qs_g = qsc[pl.ds(off, gb * hgq), :]
                 # each q row's fresh-rows index (clamped like ``rows``);
                 # the slabs are stale at each row's length column — the
-                # helper corrects from the fresh-rows outputs
-                Bp = krows_ref.shape[1]
+                # helper corrects from the fresh-rows scratch
+                Bp = kflat.shape[0]
                 Rg = gb * hgq
                 row_jr = jax.lax.broadcasted_iota(
                     jnp.int32, (Rg, Bp), 0) // hgq
@@ -588,13 +649,13 @@ def _layer_kernel(
                     == jnp.minimum(g * gb + row_jr, B - 1)
                 )
                 out_rows = _flat_attention_rows_int8(
-                    [kslab.at[jr] for jr in range(gb)],
-                    [vslab.at[jr] for jr in range(gb)],
+                    [kslab.at[bank, jr] for jr in range(gb)],
+                    [vslab.at[bank, jr] for jr in range(gb)],
                     Qg8, qs_g,
-                    [ks_slab.at[jr] for jr in range(gb)],
-                    [vs_slab.at[jr] for jr in range(gb)],
+                    [ks_slab.at[bank, jr] for jr in range(gb)],
+                    [vs_slab.at[bank, jr] for jr in range(gb)],
                     len_vec, n_rep, selT_b,
-                    krows_ref[0], vrows_ref[0],
+                    kflat[...], vflat[...],
                     ksrows_ref[0].astype(jnp.float32),
                     vsrows_ref[0].astype(jnp.float32), sel_fresh)
                 if n_bgroups == 1:
@@ -602,6 +663,30 @@ def _layer_kernel(
                 else:
                     goff = pl.multiple_of(g * gb, gb)
                     aout[pl.ds(goff, gb), :] = out_rows.reshape(gb, HD)
+
+            @pl.when(s == T1 + T2 - 1)
+            def _():
+                # the KV row writes started at the rope/quant step; all
+                # attention reads correct the length column from scratch,
+                # so the only ordering requirement is completion before
+                # the row scratch is reused next layer
+                for b in range(B):
+                    lw = jnp.minimum(len_ref[b], s_wmax - 1)
+                    if paged:
+                        blk_w = bt_ref[b, lw // sc]
+                        row_w = lw % sc
+                    wr = [
+                        pltpu.make_async_copy(
+                            krow3.at[b],
+                            (ko_hbm.at[lic, blk_w, row_w] if paged
+                             else ko_hbm.at[lic, b, lw]), sems.at[0, 4]),
+                        pltpu.make_async_copy(
+                            vrow3.at[b],
+                            (vo_hbm.at[lic, blk_w, row_w] if paged
+                             else vo_hbm.at[lic, b, lw]), sems.at[0, 5]),
+                    ]
+                    for cp in wr:
+                        cp.wait()
 
     in_p2 = (s >= T1) & (s < T1 + T2) & jnp.bool_(not batched)
 
@@ -651,34 +736,73 @@ def _layer_kernel(
             / 127.0).astype(jnp.bfloat16).astype(jnp.float32)
         kq = jnp.clip(jnp.round(kr / ksc), -128, 127).astype(jnp.int8)
         vq = jnp.clip(jnp.round(vr / vsc), -128, 127).astype(jnp.int8)
-        # emit this row's fresh K/V + scales into the outputs via a
-        # one-hot RMW (1-sublane stores at a traced row index are
-        # rejected by TC; a full-array where costs ~32 KB of VPU). The
-        # first row step of each layer zero-BASES the whole block —
-        # uninitialized bf16 garbage in never-written rows can be NaN,
+        # this row's fresh K/V + scales land in the correction operands.
+        # B == 1 (the common serving fast path): no scratch RMW at all —
+        # the single row's values ARE the correction operands, and the
+        # scale output block is written whole (rows past B are dropped
+        # by the wrapper's [:B]). B > 1 (VMEM-fallback per-row mode):
+        # one-hot RMW into the (B_pad, ...) scratch (1-sublane stores at
+        # a traced row index are rejected by TC; a full-array where
+        # costs ~32 KB of VPU), with the first row step of each layer
+        # zero-BASING the block — uninitialized bf16 garbage can be NaN,
         # and the helper's one-hot scale DOT would contract 0*NaN = NaN
         # (a where-select would discard it, a dot cannot).
-        rowsel = (
-            jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0) == b
-        )
-        first = t == 0
         kfl = kq.reshape(1, KVD)
         vfl = vq.reshape(1, KVD)
-        krows_ref[0] = jnp.where(
-            rowsel, kfl, jnp.where(first, jnp.int8(0), krows_ref[0]))
-        vrows_ref[0] = jnp.where(
-            rowsel, vfl, jnp.where(first, jnp.int8(0), vrows_ref[0]))
         ksl = jnp.transpose(ksc).astype(jnp.bfloat16)  # (1, Hkv)
         vsl = jnp.transpose(vsc).astype(jnp.bfloat16)
-        zb = jnp.zeros((), jnp.bfloat16)
-        ksrows_ref[0] = jnp.where(
-            rowsel, ksl, jnp.where(first, zb, ksrows_ref[0]))
-        vsrows_ref[0] = jnp.where(
-            rowsel, vsl, jnp.where(first, zb, vsrows_ref[0]))
+        if B == 1:
+            kf_all, vf_all = kfl, vfl
+            ksf_all = jnp.transpose(ksc)  # (1, Hkv) f32
+            vsf_all = jnp.transpose(vsc)
+            ksrows_ref[0] = jnp.broadcast_to(ksl, (Bp, Hkv))
+            vsrows_ref[0] = jnp.broadcast_to(vsl, (Bp, Hkv))
+        else:
+            rowsel = (
+                jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0) == b
+            )
+            first = t == 0
+            kflat[...] = jnp.where(
+                rowsel, kfl, jnp.where(first, jnp.int8(0), kflat[...]))
+            vflat[...] = jnp.where(
+                rowsel, vfl, jnp.where(first, jnp.int8(0), vflat[...]))
+            zb = jnp.zeros((), jnp.bfloat16)
+            ksrows_ref[0] = jnp.where(
+                rowsel, ksl, jnp.where(first, zb, ksrows_ref[0]))
+            vsrows_ref[0] = jnp.where(
+                rowsel, vsl, jnp.where(first, zb, vsrows_ref[0]))
+            kf_all = kflat[...]
+            vf_all = vflat[...]
+            ksf_all = ksrows_ref[0].astype(jnp.float32)
+            vsf_all = vsrows_ref[0].astype(jnp.float32)
 
+        # in-place K/V row commit from the dedicated (Hkv, D) scratch
+        # (round-4 pattern: DMA at the untiled S index of the 5-D ref);
+        # waited in-step — the next row step reuses the scratch. Write
+        # index clamped to the full cache (idle-slot safety).
+        krow1[...] = kq
+        vrow1[...] = vq
+        lw = jnp.minimum(length, s_wmax - 1)
+        if paged:
+            blk_w = bt_ref[b, lw // sc]
+            row_w = lw % sc
+        row_writes = [
+            pltpu.make_async_copy(
+                krow1,
+                (ko_hbm.at[lic, blk_w, row_w] if paged
+                 else ko_hbm.at[lic, b, lw]), sems.at[0, 4]),
+            pltpu.make_async_copy(
+                vrow1,
+                (vo_hbm.at[lic, blk_w, row_w] if paged
+                 else vo_hbm.at[lic, b, lw]), sems.at[0, 5]),
+        ]
         loads = _slab_copies(b)
+        for cw in row_writes:
+            cw.start()
         if not prefetch_slabs:  # else started at s == 0
             _start_copies(loads)
+        for cw in row_writes:
+            cw.wait()
         _wait_copies(loads)
 
         # whole-KV-group INT8 attention over the FLAT (S, Hkv*D) slab —
@@ -696,15 +820,15 @@ def _layer_kernel(
             jnp.int32, (hgq, KVD), 0) // n_rep
         Qbd8 = jnp.where(col_h == row_h, qw, jnp.int8(0))
         selT = _head_sel(Hkv, hgq, 0, n_rep).T  # (hgq, Hkv)
+        Bf = kf_all.shape[0]  # 1 (fast path) or B_pad
         sel_fresh = (
-            jax.lax.broadcasted_iota(jnp.int32, (hgq, Bp), 1) == b
+            jax.lax.broadcasted_iota(jnp.int32, (hgq, Bf), 1)
+            == (0 if Bf == 1 else b)
         )
         out_g = _flat_attention_rows_int8(
             [kslab], [vslab], Qbd8, qs_, [ks_slab], [vs_slab],
             jnp.stack([length]), n_rep, selT,
-            krows_ref[0], vrows_ref[0],
-            ksrows_ref[0].astype(jnp.float32),
-            vsrows_ref[0].astype(jnp.float32), sel_fresh)
+            kf_all, vf_all, ksf_all, vsf_all, sel_fresh)
         orow = out_g.reshape(1, hgq * D)
         bcol = bsel.T  # (B_pad, 1)
         aout[...] = jnp.where(bcol > 0, orow, aout[...])
@@ -848,8 +972,10 @@ def fused_layer_supported(cfg, gs, B=1, f_pad=None, s_max=None, wbits=4):
         qbd_bytes = max(8, -(-B // 8) * 8) * Hq * Hkv * D  # B_pad rows
         if gb * slab_bytes + qbd_bytes > 48 * 1024 * 1024:
             return False
-    # (round 5: the Hkv % 4 row-DMA constraint is gone — fresh rows are
-    # emitted as kernel outputs and committed outside, so any Hkv works)
+    if Hkv % 4:
+        # the per-token KV row commit DMAs a (Hkv, D) int8 slice; Mosaic
+        # requires the sublane dim aligned to the (4, 128) int8 tiling
+        return False
     if wbits in (2, 3):
         # plane mode: full-N tiles are always row-covering; the pack
         # layout guarantees the lane-padded N (pallas_n_pad), so only the
@@ -894,7 +1020,7 @@ def fused_decoder_layers(x, pos, cos, sin,
                          wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2,
                          attn_norm, ffn_norm, k, v, ks, vs,
                          cfg, gs, interpret=False, bt=None, signed=False,
-                         wbits=4, li_cache=0):
+                         wbits=4, li_cache=0, s_active=None):
     """The WHOLE backbone in one launch: grid (n_layers, T) walks every
     decoder layer's five phases with the activation row carried in VMEM
     scratch between layers. vs. one launch per layer this saves the
@@ -910,14 +1036,23 @@ def fused_decoder_layers(x, pos, cos, sin,
     (L, n_blocks, block, Hkv*D) / (L, n_blocks, block, Hkv) with bt
     (B, n_chunks) int32 mapping row b's logical chunk c to its physical
     pool block (vLLM-style block table; llm/kv_cache.PagedKVCache + the
-    serving engine's allocator own the tables). The kernel reads the
-    caches; the fresh rows are committed here, outside the launch."""
+    serving engine's allocator own the tables).
+
+    s_active: STATIC context bucket (multiple of the chunk size) — the
+    attention slabs, dots and length-gated loads cover only the first
+    s_active cache rows instead of the full max_seq_len, the bucketed-
+    serving dispatch (every pos must satisfy pos < s_active; the caller
+    picks the bucket from host-known lengths). At 7B/B=32 with ~100-row
+    contexts this is the difference between 512-wide and 128-wide
+    attention dots — the dots' cost is context-INDEPENDENT otherwise
+    (exp24: branch-skipping dead compute doesn't pay on this toolchain,
+    so the width must shrink statically)."""
     return _fused_call(
         x, pos, cos, sin, jnp.int32(0), wq, sq, zq, wo, so, zo,
         w13, s13, z13, w2, s2, z2, attn_norm, ffn_norm, k, v, ks, vs,
         cfg, gs, interpret=interpret, debug_out=None, _n_phases=5,
         n_grid_layers=attn_norm.shape[0], bt=bt, signed=signed,
-        wbits=wbits, li_cache=jnp.int32(li_cache),
+        wbits=wbits, li_cache=jnp.int32(li_cache), s_active=s_active,
     )
 
 
@@ -926,7 +1061,7 @@ def _fused_call(x, pos, cos, sin, li,
                 attn_norm, ffn_norm, k, v, ks, vs,
                 cfg, gs, interpret=False, debug_out=None,
                 _n_phases=5, n_grid_layers=1, bt=None, signed=False,
-                wbits=4, li_cache=None, _ablate=""):
+                wbits=4, li_cache=None, s_active=None, _ablate=""):
     B, dim = x.shape
     D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     F = cfg.ffn_dim
@@ -952,16 +1087,28 @@ def _fused_call(x, pos, cos, sin, li,
         S = k.shape[2]
         SC = 128 if S % 128 == 0 else S
         bt_arr = jnp.zeros((1, 1), jnp.int32)  # unused
-    # FLAT serving cache (round 5): k/v trailing dim Hkv*D, scale slabs
-    # bf16 with TIGHT heads (decode._scan_cache(flat=True) /
-    # kv_cache.init_paged_kv_cache produce this layout)
+    S_cache = S  # full cache rows (write-index clamp bound)
+    if s_active is not None and SC != S:
+        # STATIC context bucket (bucketed serving dispatch): slabs, dots
+        # and chunked loads cover rows [0, s_active) only — the caller
+        # guarantees every pos < s_active
+        assert s_active % SC == 0 and 0 < s_active <= S, (s_active, SC, S)
+        S = s_active
+    # round-5 serving cache: k/v 5-D head-structured (the kernel reshapes
+    # the HBM refs flat for the slab reads and writes rows 5-D); scale
+    # slabs bf16 TRANSPOSED (.., Hkv, S) — tight heads with tile-aligned
+    # lane chunks (decode._scan_cache(flat=True) /
+    # kv_cache.init_paged_kv_cache produce this; Mosaic rejects DMA
+    # slices whose lane dim is a sub-128 Hkv, so heads live on sublanes)
     KVD = Hkv * D
-    assert k.shape[-1] == KVD and v.shape[-1] == KVD, (
-        "megakernel caches must be FLAT (.., S, Hkv*D); got {} expecting "
-        "last dim {}".format(k.shape, KVD))
-    assert ks.shape[-1] == Hkv and vs.shape[-1] == Hkv, (ks.shape, Hkv)
+    assert k.shape[-2:] == (Hkv, D) and v.shape[-2:] == (Hkv, D), (
+        "megakernel caches must be (.., S, Hkv, D); got {}".format(k.shape))
+    assert ks.shape[-2] == Hkv and vs.shape[-2] == Hkv, (
+        "scale slabs must be TRANSPOSED (.., Hkv, S); got {}".format(
+            ks.shape))
+    assert ks.shape[-1] == k.shape[-3] and vs.shape[-1] == k.shape[-3]
     assert ks.dtype == jnp.bfloat16 and vs.dtype == jnp.bfloat16, (
-        "flat cache scale slabs are bf16 (tight-head layout)")
+        "serving cache scale slabs are bf16 (tight-head layout)")
     Lx = k.shape[0]
     n_rep = Hq // Hkv
     # ONE head group: the whole-KV block-diagonal dot pair beats 4x
@@ -981,9 +1128,9 @@ def _fused_call(x, pos, cos, sin, li,
     # gb must be 8 (sublane-aligned group offsets) or the whole batch
     gb = B if B <= 8 else 8
     n_bgroups = -(-B // gb)
-    # VMEM slab footprint: flat int8 k/v + bf16 tight-head scale slabs
-    # (lane-padded to 128 in VMEM)
-    Hvp = -(-Hkv // 128) * 128
+    # VMEM slab footprint: flat int8 k/v + transposed bf16 (Hkv, S) scale
+    # slabs (sublane-padded to the bf16 16-row tile)
+    Hvp = -(-Hkv // 16) * 16
     slab_bytes = S * KVD * 2 + S * Hvp * 2 * 2
     qbd_bytes = max(8, -(-B // 8) * 8) * Hq * Hkv * D  # int8, B_pad rows
     batched = (
@@ -992,7 +1139,15 @@ def _fused_call(x, pos, cos, sin, li,
         and _n_phases >= 2
         and gb * slab_bytes + qbd_bytes <= 48 * 1024 * 1024
     )
-    slab_lead = (gb,) if batched else ()
+    # slab BANKS: with enough VMEM every 8-row group gets its own slab
+    # bank so ALL groups' loads start at each layer's first grid step
+    # (covered by the Wqkv phase) instead of serializing against the
+    # attention compute group by group
+    n_sb = 1
+    if batched and n_bgroups > 1 and (
+            n_bgroups * gb * slab_bytes + qbd_bytes <= 48 * 1024 * 1024):
+        n_sb = n_bgroups
+    slab_lead = (n_sb, gb) if batched else ()
 
     if plane:
         # TRUE-width 2/3-bit: FULL-N tiles, k-only steps (a plane covers
@@ -1228,16 +1383,22 @@ def _fused_call(x, pos, cos, sin, li,
         ],
         out_specs=[
             pl.BlockSpec((B_pad, dim), lambda l, s, li_r, len_r, bt_r: (0, 0)),
-            # fresh K/V rows + bf16 scale rows, one block per grid layer
-            # (committed OUTSIDE the kernel — see module docstring)
-            pl.BlockSpec((1, B_pad, KVD),
-                         lambda l, s, li_r, len_r, bt_r: (l, 0, 0)),
-            pl.BlockSpec((1, B_pad, KVD),
-                         lambda l, s, li_r, len_r, bt_r: (l, 0, 0)),
+            # fresh bf16 scale rows, one block per grid layer (committed
+            # OUTSIDE the kernel — no bf16 1-row write shape compiles)
             pl.BlockSpec((1, B_pad, Hkv),
                          lambda l, s, li_r, len_r, bt_r: (l, 0, 0)),
             pl.BlockSpec((1, B_pad, Hkv),
                          lambda l, s, li_r, len_r, bt_r: (l, 0, 0)),
+            # k/v: ALIASED outputs written in-kernel (per-row (Hkv, D)
+            # DMA at the untiled S index — the round-4 commit pattern)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            # scale pass-throughs (never written in-kernel): the outside
+            # scatter runs on THESE, whose only consumer it is — XLA
+            # then updates in place; scattering on the kernel's *input*
+            # buffers made copy-insertion duplicate them per step
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((B_pad, dim), jnp.float32),  # xcur (carried act row)
@@ -1255,13 +1416,23 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad, NT3), jnp.float32),  # acco
             pltpu.VMEM((B_pad, NT4), jnp.float32),  # acc13
             pltpu.VMEM((B_pad, NT5), jnp.float32),  # acc2
-            # FLAT slabs: (S, Hkv*D) int8 + (S, Hkv) bf16 — the dots
-            # consume them directly, no (S, Hkv, D) -> (S, Hkv*D)
-            # sublane->lane relayout (exp23/exp30's B=32 residual)
+            # FLAT slabs: (S, Hkv*D) int8 + TRANSPOSED (Hkv, S) bf16 —
+            # the dots consume them directly, no (S, Hkv, D) ->
+            # (S, Hkv*D) sublane->lane relayout (exp23/exp30's B=32
+            # residual)
             pltpu.VMEM(slab_lead + (S, KVD), jnp.int8),     # k slab
             pltpu.VMEM(slab_lead + (S, KVD), jnp.int8),     # v slab
-            pltpu.VMEM(slab_lead + (S, Hkv), jnp.bfloat16),  # ks slab
-            pltpu.VMEM(slab_lead + (S, Hkv), jnp.bfloat16),  # vs slab
+            pltpu.VMEM(slab_lead + (Hkv, S), jnp.bfloat16),  # ks slab
+            pltpu.VMEM(slab_lead + (Hkv, S), jnp.bfloat16),  # vs slab
+            # fresh rows: 3-D (untiled leading dim) for the commit DMAs,
+            # flat for the corrections; (Hkv, D) singles for the per-row
+            # path's traced-row DMA source
+            pltpu.VMEM((B_pad, Hkv, D), jnp.int8),          # krow3
+            pltpu.VMEM((B_pad, Hkv, D), jnp.int8),          # vrow3
+            pltpu.VMEM((B_pad, KVD), jnp.int8),             # kflat
+            pltpu.VMEM((B_pad, KVD), jnp.int8),             # vflat
+            pltpu.VMEM((Hkv, D), jnp.int8),                 # krow1
+            pltpu.VMEM((Hkv, D), jnp.int8),                 # vrow1
         ] + ([
             # batched int8 attention operands: block-diagonal q8 + its
             # per-row quantization scales (built once per layer at the
@@ -1269,9 +1440,9 @@ def _fused_call(x, pos, cos, sin, li,
             pltpu.VMEM((B_pad * Hq, Hkv * D), jnp.int8),      # qbd8
             pltpu.VMEM((B_pad * Hq, 1), jnp.float32),         # qsc
         ] if batched else [])
-        + [pltpu.SemaphoreType.DMA((4,))] + stream_scratch,
+        + [pltpu.SemaphoreType.DMA((max(n_sb, 1), 8))] + stream_scratch,
     )
-    out, krows, vrows, ksrows, vsrows = pl.pallas_call(
+    out, ksrows, vsrows, k2, v2, ks_t, vs_t = pl.pallas_call(
         functools.partial(
             _layer_kernel, B=B, Hq=Hq, Hkv=Hkv, D=D, dim=dim, F=F, gs=gs,
             eps=cfg.rms_eps, n_rep=n_rep, n_groups=n_groups,
@@ -1281,16 +1452,24 @@ def _fused_call(x, pos, cos, sin, li,
             prefetch_slabs=(B == 1 and _n_phases >= 2 and not batched),
             paged=paged, sc=SC, signed=signed, stream=stream,
             stream_ns=stream_ns, batched=batched, gb=gb, s_full=S,
-            wbits=wbits, np_t=np_t, _ablate=_ablate,
+            s_wmax=S_cache, n_sb=n_sb, wbits=wbits, np_t=np_t,
+            _ablate=_ablate,
         ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B_pad, dim), jnp.float32),
-            jax.ShapeDtypeStruct((Lg, B_pad, KVD), jnp.int8),
-            jax.ShapeDtypeStruct((Lg, B_pad, KVD), jnp.int8),
             jax.ShapeDtypeStruct((Lg, B_pad, Hkv), jnp.bfloat16),
             jax.ShapeDtypeStruct((Lg, B_pad, Hkv), jnp.bfloat16),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
         ],
+        # caches alias through (inputs 20..23 -> outputs 3..6, after 3
+        # scalar-prefetch + 17 tensor args): k/v rows are written
+        # in-kernel; the scale pair passes through untouched so the
+        # commit below scatters on single-consumer buffers
+        input_output_aliases={20: 3, 21: 4, 22: 5, 23: 6},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # five phases' tiles + KV slabs + activation scratch exceed the
@@ -1308,37 +1487,53 @@ def _fused_call(x, pos, cos, sin, li,
       x, attn_norm, ffn_norm, cos, sin,
       wq, sq, zq, wo, so, zo, w13, s13, z13, w2, s2, z2, k, v, ks, vs)
 
-    # ---- commit the fresh rows OUTSIDE the kernel ---------------------------
-    # Pure-XLA per-row updates on the (carried) caches: in place and
-    # effectively free (exp31: ~1 us/step marginal at 7B shapes). The
+    # ---- commit the fresh SCALE rows OUTSIDE the kernel ---------------------
+    # (k/v rows were written in-kernel through the aliased outputs.) One
+    # advanced-index scatter per scale buffer: the TPU scatter lowering
+    # copies its operand, but these buffers are Hkv*2 bytes/row — ~100x
+    # smaller than k/v — so the copy is noise (~0.04 ms at B=8/7B). The
     # profiling grid truncation (_n_phases < 5) still commits — rows are
     # garbage then, matching the knob's outputs-are-garbage contract.
-    pos_i = pos.astype(jnp.int32)
-    rows_k = krows[:, :B]
-    rows_v = vrows[:, :B]
+    pos_i = jnp.minimum(pos.astype(jnp.int32), S_cache - 1)  # idle clamp
     rows_ks = ksrows[:, :B]
     rows_vs = vsrows[:, :B]
     if paged:
-        # rows land at [l, bt[b, pos // block], pos % block]
+        # scale rows land at [l, bt[b, pos // block], :, pos % block];
+        # the non-adjacent advanced indices move the batch dim to the
+        # front, so the value arrives (B, Lg, Hkv)
         blk = jnp.take_along_axis(bt_arr, (pos_i // SC)[:, None], 1)[:, 0]
         rw = pos_i % SC
-        k2 = k.at[:, blk, rw].set(rows_k)
-        v2 = v.at[:, blk, rw].set(rows_v)
-        ks2 = ks.at[:, blk, rw].set(rows_ks)
-        vs2 = vs.at[:, blk, rw].set(rows_vs)
+        ks2 = ks_t.at[:, blk, :, rw].set(jnp.swapaxes(rows_ks, 0, 1))
+        vs2 = vs_t.at[:, blk, :, rw].set(jnp.swapaxes(rows_vs, 0, 1))
     else:
         li_c0 = jnp.reshape(li if li_cache is None else li_cache,
                             ()).astype(jnp.int32)
-
-        def _commit(buf, rows):
-            def per_b(col, r, p):  # col (L, S, W); r (Lg, W); p scalar
-                return jax.lax.dynamic_update_slice(
-                    col, r[:, None, :], (li_c0, p, 0))
-            return jax.vmap(per_b, in_axes=(1, 1, 0), out_axes=1)(
-                buf, rows, pos_i)
-
-        k2 = _commit(k, rows_k)
-        v2 = _commit(v, rows_v)
-        ks2 = _commit(ks, rows_ks)
-        vs2 = _commit(vs, rows_vs)
+        if B == 1:
+            # one provably-in-place DUS per buffer (no scatter op cost —
+            # it showed up as ~0.1 ms/step on the B=1 headline)
+            ks2 = jax.lax.dynamic_update_slice(
+                ks_t, rows_ks[:, :, :, None],
+                (li_c0, jnp.int32(0), jnp.int32(0), pos_i[0]))
+            vs2 = jax.lax.dynamic_update_slice(
+                vs_t, rows_vs[:, :, :, None],
+                (li_c0, jnp.int32(0), jnp.int32(0), pos_i[0]))
+        elif B <= 16:
+            # advanced-index scatter: one op per buffer; its functional
+            # operand copy is cheap at these sizes (~0.04 ms at B=8/7B)
+            li_idx = (li_c0 + jnp.arange(Lg, dtype=jnp.int32))[:, None]
+            b_idx = jnp.arange(B, dtype=jnp.int32)[None, :]
+            ks2 = ks_t.at[li_idx, b_idx, :, pos_i[None, :]].set(rows_ks)
+            vs2 = vs_t.at[li_idx, b_idx, :, pos_i[None, :]].set(rows_vs)
+        else:
+            # unrolled per-row DUS chain: at B=32 the scatter's operand
+            # copies cost ~0.95 ms/step (4 x 33.5 MB buffers round-trip);
+            # 2 parallel chains of B in-place DUS ops are cheaper
+            ks2, vs2 = ks_t, vs_t
+            for b in range(B):
+                ks2 = jax.lax.dynamic_update_slice(
+                    ks2, rows_ks[:, b][:, None, :, None],
+                    (li_c0, jnp.int32(b), jnp.int32(0), pos_i[b]))
+                vs2 = jax.lax.dynamic_update_slice(
+                    vs2, rows_vs[:, b][:, None, :, None],
+                    (li_c0, jnp.int32(b), jnp.int32(0), pos_i[b]))
     return out[:B], k2, v2, ks2, vs2

@@ -30,13 +30,13 @@ def _mk_cfg():
 
 
 def _flat(k8, v8, kssc, vssc, Hkv):
-    """Head-structured test caches -> the megakernel's FLAT serving
-    layout: k/v (..., S, Hkv*D) int8, scales (..., S, Hkv) bf16 (the
-    f32->bf16 cast is lossless when scales are bf16-rounded)."""
-    return (k8.reshape(k8.shape[:-2] + (-1,)),
-            v8.reshape(v8.shape[:-2] + (-1,)),
-            kssc[..., :Hkv].astype(jnp.bfloat16),
-            vssc[..., :Hkv].astype(jnp.bfloat16))
+    """Head-structured test caches -> the megakernel's round-5 serving
+    layout: k/v unchanged (the kernel reshapes its HBM refs flat for
+    reads), scales TRANSPOSED (..., Hkv, S) bf16 (the f32->bf16 cast is
+    lossless when scales are bf16-rounded)."""
+    return (k8, v8,
+            jnp.swapaxes(kssc[..., :Hkv], -1, -2).astype(jnp.bfloat16),
+            jnp.swapaxes(vssc[..., :Hkv], -1, -2).astype(jnp.bfloat16))
 
 
 def _bf16r(x):
@@ -306,14 +306,12 @@ def test_fused_decoder_layer_matches_oracle(B, k_pad, sz_bf16, S):
     # (B_pad*H, D)-vectorized rope/quant's f32 associativity can flip a
     # value sitting exactly on a rounding tie (observed 1/393216 at B=12)
     np.testing.assert_allclose(
-        np.asarray(k2[0].reshape(B, S, Hkv, D), np.int32),
-        np.asarray(k8_u, np.int32), atol=1)
+        np.asarray(k2[0], np.int32), np.asarray(k8_u, np.int32), atol=1)
     np.testing.assert_allclose(
-        np.asarray(v2[0].reshape(B, S, Hkv, D), np.int32),
-        np.asarray(v8_u, np.int32), atol=1)
+        np.asarray(v2[0], np.int32), np.asarray(v8_u, np.int32), atol=1)
     np.testing.assert_allclose(
-        np.asarray(ks2[0].astype(jnp.float32)), np.asarray(ks_u),
-        rtol=1e-5
+        np.asarray(jnp.swapaxes(ks2[0], 1, 2).astype(jnp.float32)),
+        np.asarray(ks_u), rtol=1e-5
     )
     # output: attention runs INT8 end-to-end inside the kernel (per-row
     # q quantization + 7-bit scale-folded probability mix, round 4) vs
@@ -387,8 +385,17 @@ def test_fused_decoder_layers_paged_matches_contiguous():
                     cache[:, b, c * SC:(c + 1) * SC])
         return pool
 
+    def to_pool_sc(cache, fill):
+        # transposed scale layout: (Lx, B, Hkv, S) -> (Lx, NBLK, Hkv, SC)
+        pool = jnp.full((Lx, NBLK, cache.shape[2], SC), fill, cache.dtype)
+        for b in range(B):
+            for c in range(n_sc):
+                pool = pool.at[:, int(bt[b, c])].set(
+                    cache[:, b, :, c * SC:(c + 1) * SC])
+        return pool
+
     kp, vp = to_pool(k8, 0), to_pool(v8, 0)
-    ksp, vsp = to_pool(kssc, jnp.nan), to_pool(vssc, jnp.nan)
+    ksp, vsp = to_pool_sc(kssc, jnp.nan), to_pool_sc(vssc, jnp.nan)
 
     @jax.jit
     def paged(kp, vp, ksp, vsp):
@@ -401,13 +408,15 @@ def test_fused_decoder_layers_paged_matches_contiguous():
     np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_ref),
                                rtol=1e-5, atol=1e-5)
 
-    def from_pool(pool):
-        rows = [jnp.concatenate([pool[:, int(bt[b, c])] for c in range(n_sc)],
-                                axis=1) for b in range(B)]
+    def from_pool(pool, axis=1):
+        rows = [jnp.concatenate(
+            [pool[:, int(bt[b, c])] for c in range(n_sc)], axis=axis)
+            for b in range(B)]
         return jnp.stack(rows, axis=1)
 
     for got, want in ((from_pool(kp2), k_r), (from_pool(vp2), v_r),
-                      (from_pool(ksp2), ks_r), (from_pool(vsp2), vs_r)):
+                      (from_pool(ksp2, axis=2), ks_r),
+                      (from_pool(vsp2, axis=2), vs_r)):
         np.testing.assert_allclose(np.asarray(got, np.float64),
                                    np.asarray(want, np.float64),
                                    rtol=1e-6, atol=1e-6)
