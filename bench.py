@@ -432,7 +432,7 @@ def main():
             out["decode_b64_tokens_per_s_chip"] = round(b64, 3)
             out["decode_b64_vs_sol"] = round(b64 / b64_sol, 4)
         except Exception as e:
-            out["decode_b64"] = "skipped: " + type(e).__name__
+            out["decode_b64"] = "skipped: {}: {}".format(type(e).__name__, str(e)[:160].replace(chr(10), " "))
         emit()
 
     # ---- paged engine at the perf frontier (VERDICT r4 #8) ------------------
@@ -565,7 +565,7 @@ def main():
                 out["llama13b_decode_b8_vs_sol"] = round(
                     r13[8][0] / r13[8][1], 4)
         except Exception as e:
-            out["llama13b"] = "skipped: " + type(e).__name__
+            out["llama13b"] = "skipped: {}: {}".format(type(e).__name__, str(e)[:160].replace(chr(10), " "))
         emit()
 
 

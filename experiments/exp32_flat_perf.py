@@ -28,16 +28,30 @@ from sparsebit_tpu.llm.kv_cache import init_kv_cache  # noqa: E402
 
 
 def run(params, cfg, B, iters=20):
-    cache = init_kv_cache(cfg, B, max_len=cfg.max_seq_len, quantized=True)
-    decode_fn = jax.jit(
-        decode_tokens_scanned.__wrapped__,
-        static_argnames=("cfg", "n_tokens", "s_active"),
+    # build the stacked serving cache DIRECTLY (list+stack doubles peak)
+    Lx, S = cfg.n_layers, cfg.max_seq_len
+    Hkv, hd = cfg.n_kv_heads, cfg.head_dim
+    kvs = (jnp.zeros((Lx, B, S, Hkv, hd), jnp.int8),
+           jnp.zeros((Lx, B, S, Hkv, hd), jnp.int8),
+           jnp.zeros((Lx, B, Hkv, S), jnp.bfloat16),
+           jnp.zeros((Lx, B, Hkv, S), jnp.bfloat16))
+    ln = jnp.zeros((B,), jnp.int32)
+    from sparsebit_tpu.llm.decode import decode_tokens_scanned_kvs
+    decode_fn0 = jax.jit(
+        decode_tokens_scanned_kvs.__wrapped__,
+        static_argnames=("cfg", "n_tokens", "quantized", "s_active"),
         donate_argnums=(2,),
     )
+    def decode_fn(params, tok, kvs_ln, cfg, iters, s_act):
+        kvs, ln = kvs_ln
+        tk, kvs, ln = decode_fn0(params, tok, kvs, ln, cfg, iters,
+                                 "int8", s_act)
+        return tk, (kvs, ln)
     import os
     s_act = (None if os.environ.get("EXP32_NO_BUCKET")
              else min(cfg.max_seq_len, -(-(3 * iters) // 128) * 128))
     tok = jnp.zeros((B,), jnp.int32)
+    cache = (kvs, ln)
     toks, cache = decode_fn(params, tok, cache, cfg, iters, s_act)
     jax.block_until_ready(toks)
     t0 = time.perf_counter()

@@ -65,7 +65,8 @@ def run(ablate):
             out, k8, v8, ks, vs = _fused_call(
                 x, pos, cosf, sinf, jnp.int32(0), *wargs,
                 k8, v8, ks, vs, cfg, gsz,
-                n_grid_layers=Lx, signed=True, _ablate=ablate,
+                n_grid_layers=Lx, signed=True, s_active=128,
+                _ablate=ablate,
             )
             return (out, k8, v8, ks, vs), None
         carry, _ = jax.lax.scan(tok, (x, k8, v8, ks, vs), None, length=ITERS)

@@ -553,10 +553,13 @@ def _layer_kernel(
                 jnp.max(jnp.abs(q2), axis=1, keepdims=True), 1e-30) / 127.0
             q8 = jnp.clip(jnp.round(q2 / qs_), -127, 127).astype(jnp.int8)
             qw = jnp.tile(q8, (1, Hkv))
+            # block-diag mask from BROADCAST-shaped iotas: two full
+            # (Bp*Hq, Hkv*D) int32 iotas cost 64 MB of VMEM stack at
+            # B=64 and pushed the kernel over the scoped limit
             col_h = jax.lax.broadcasted_iota(
-                jnp.int32, (Bp * Hq, Hkv * D), 1) // D
+                jnp.int32, (1, Hkv * D), 1) // D
             row_h = (jax.lax.broadcasted_iota(
-                jnp.int32, (Bp * Hq, Hkv * D), 0) % Hq) // n_rep
+                jnp.int32, (Bp * Hq, 1), 0) % Hq) // n_rep
             qbd8[...] = jnp.where(col_h == row_h, qw, jnp.int8(0))
             qsc[...] = qs_
             kr = rope_rows(
