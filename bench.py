@@ -487,87 +487,115 @@ def main():
             out["decode_paged_b8"] = "skipped: " + type(e).__name__
         emit()
 
-    # ---- 13B serving config (BASELINE configs[4]; VERDICT r4 #3) -----------
-    # LLaMA-13B INT4-g128: ~6.6 GB packed + INT8 KV fits one chip. The 7B
-    # params are freed first; this phase gets its own SoL denominator.
-    def bench_13b():
-        cfg13 = L.llama_13b()
-        cfg13 = type(cfg13)(**{**cfg13.__dict__, "max_seq_len": 512})
-        p13 = stack_layers(build_quantized_llama(cfg13, bits=4,
-                                                 groupsize=128))
-        bytes13 = packed_param_bytes(p13["layers"]) + packed_param_bytes(
-            p13["lm_head"])
-        sol13 = bw * 1e9 / bytes13
-        from sparsebit_tpu.llm import decode as D
-
-        fn13 = jax.jit(
-            D.decode_tokens_scanned_kvs.__wrapped__,
-            static_argnames=("cfg", "n_tokens", "quantized", "s_active"),
-            donate_argnums=(2,),
-        )
-        results = {}
-        for b in (1, 8):
-            if budget_left() < 120 and b > 1:
-                break
-            Lx, S = cfg13.n_layers, cfg13.max_seq_len
-            Hkv, hd = cfg13.n_kv_heads, cfg13.head_dim
-            kv = (jnp.zeros((Lx, b, S, Hkv, hd), jnp.int8),
-                  jnp.zeros((Lx, b, S, Hkv, hd), jnp.int8),
-                  jnp.zeros((Lx, b, Hkv, S), jnp.bfloat16),
-                  jnp.zeros((Lx, b, Hkv, S), jnp.bfloat16))
-            ln = jnp.zeros((b,), jnp.int32)
-            t = jnp.zeros((b,), jnp.int32)
-            s_ab = -(-(3 * iters) // 128) * 128
-            tk, kv, ln = fn13(p13, t, kv, ln, cfg13, iters, "int8", s_ab)
-            jax.block_until_ready(tk)
-            t0 = time.perf_counter()
-            tk, kv, ln = fn13(p13, tk[:, -1], kv, ln, cfg13, iters,
-                              "int8", s_ab)
-            jax.block_until_ready(tk)
-            rate = iters * b / (time.perf_counter() - t0)
-            try:
-                tdir = "/tmp/bench_trace_13b_b%d" % b
-                with jax.profiler.trace(tdir):
-                    tk, kv, ln = fn13(p13, tk[:, -1], kv, ln, cfg13,
-                                      iters, "int8", s_ab)
-                    jax.block_until_ready(tk)
-                ds = _device_seconds(tdir, "jit_decode_tokens_scanned")
-                if ds:
-                    rate = iters * b / ds
-            except Exception:
-                pass
-            mean_len = 2 * iters + iters // 2
-            kv_row = Hkv * hd * (1.0 + 2.0 / hd)
-            step_b = bytes13 + 2 * cfg13.n_layers * mean_len * kv_row * b
-            results[b] = (rate, bw * 1e9 / step_b * b)
-            _free(kv, ln, tk)
-        _free(p13)
-        return results
-
     if on_tpu and budget_left() > 240:
-        try:
-            from sparsebit_tpu.ops.layer_fused import fused_layer_supported
+        # fresh SUBPROCESS: in-process the 13B build hits
+        # RESOURCE_EXHAUSTED on the HBM fragmentation the earlier phases
+        # leave behind (it runs clean standalone); the compile cache is
+        # shared so the warm cost is seconds
+        import subprocess
+        import sys as _sys
 
-            cfg13chk = L.llama_13b()
-            assert fused_layer_supported(
-                type(cfg13chk)(**{**cfg13chk.__dict__, "max_seq_len": 512}),
-                128, 8, s_max=512)
-            _free(params)  # 7B stacks out before the 13B build
-            r13 = bench_13b()
-            if 1 in r13:
-                out["llama13b_int4g128_decode_tokens_per_s_chip"] = round(
-                    r13[1][0], 3)
-                out["llama13b_decode_vs_sol"] = round(
-                    r13[1][0] / r13[1][1], 4)
-            if 8 in r13:
-                out["llama13b_decode_b8_tokens_per_s_chip"] = round(
-                    r13[8][0], 3)
-                out["llama13b_decode_b8_vs_sol"] = round(
-                    r13[8][0] / r13[8][1], 4)
+        try:
+            r = subprocess.run(
+                [_sys.executable, os.path.abspath(__file__), "--13b-only"],
+                capture_output=True, text=True,
+                timeout=max(240, budget_left()),
+            )
+            line = None
+            for ln in reversed(r.stdout.strip().splitlines()):
+                if ln.startswith("{"):
+                    line = ln
+                    break
+            if r.returncode == 0 and line:
+                out.update(json.loads(line))
+            else:
+                out["llama13b"] = "skipped: rc={} {}".format(
+                    r.returncode, (r.stderr or "")[-160:].replace("\n", " "))
         except Exception as e:
-            out["llama13b"] = "skipped: {}: {}".format(type(e).__name__, str(e)[:160].replace(chr(10), " "))
+            out["llama13b"] = "skipped: {}: {}".format(
+                type(e).__name__, str(e)[:160].replace(chr(10), " "))
         emit()
 
 
+def main_13b_only():
+    """Standalone 13B phase (fresh HBM): prints ONE JSON line with the
+    llama13b_* keys."""
+    import os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache_bench"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sparsebit_tpu.llm import llama as L
+    from sparsebit_tpu.llm import decode as D
+    from sparsebit_tpu.llm.decode import stack_layers
+
+    iters = 30
+    cfg13 = L.llama_13b()
+    cfg13 = type(cfg13)(**{**cfg13.__dict__, "max_seq_len": 512})
+    p13 = stack_layers(build_quantized_llama(cfg13, bits=4, groupsize=128))
+    bytes13 = packed_param_bytes(p13["layers"]) + packed_param_bytes(
+        p13["lm_head"])
+    dev = jax.devices()[0]
+    kindstr = getattr(dev, "device_kind", "").lower()
+    bw = next((v for k, v in HBM_BW.items() if k in kindstr), 819.0)
+    fn13 = jax.jit(
+        D.decode_tokens_scanned_kvs.__wrapped__,
+        static_argnames=("cfg", "n_tokens", "quantized", "s_active"),
+        donate_argnums=(2,),
+    )
+    out = {}
+    for b in (1, 8):
+        Lx, S = cfg13.n_layers, cfg13.max_seq_len
+        Hkv, hd = cfg13.n_kv_heads, cfg13.head_dim
+        kv = (jnp.zeros((Lx, b, S, Hkv, hd), jnp.int8),
+              jnp.zeros((Lx, b, S, Hkv, hd), jnp.int8),
+              jnp.zeros((Lx, b, Hkv, S), jnp.bfloat16),
+              jnp.zeros((Lx, b, Hkv, S), jnp.bfloat16))
+        ln = jnp.zeros((b,), jnp.int32)
+        t = jnp.zeros((b,), jnp.int32)
+        s_ab = -(-(3 * iters) // 128) * 128
+        tk, kv, ln = fn13(p13, t, kv, ln, cfg13, iters, "int8", s_ab)
+        jax.block_until_ready(tk)
+        t0 = time.perf_counter()
+        tk, kv, ln = fn13(p13, tk[:, -1], kv, ln, cfg13, iters, "int8",
+                          s_ab)
+        jax.block_until_ready(tk)
+        rate = iters * b / (time.perf_counter() - t0)
+        try:
+            tdir = "/tmp/bench_trace_13b_b%d" % b
+            with jax.profiler.trace(tdir):
+                tk, kv, ln = fn13(p13, tk[:, -1], kv, ln, cfg13, iters,
+                                  "int8", s_ab)
+                jax.block_until_ready(tk)
+            ds = _device_seconds(tdir, "jit_decode_tokens_scanned")
+            if ds:
+                rate = iters * b / ds
+        except Exception:
+            pass
+        mean_len = 2 * iters + iters // 2
+        kv_row = Hkv * hd * (1.0 + 2.0 / hd)
+        step_b = bytes13 + 2 * cfg13.n_layers * mean_len * kv_row * b
+        sol = bw * 1e9 / step_b * b
+        tag = "" if b == 1 else "_b%d" % b
+        out["llama13b_int4g128_decode%s_tokens_per_s_chip" % tag] = round(
+            rate, 3)
+        out["llama13b_decode%s_vs_sol" % tag] = round(rate / sol, 4)
+        for leaf in jax.tree.leaves((kv, ln, tk)):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+
+    if "--13b-only" in _s.argv:
+        main_13b_only()
+    else:
+        main()
