@@ -138,6 +138,56 @@ def build_quantized_llama(cfg, bits=4, groupsize=128, impl="a8", fused=True):
     }
 
 
+def build_quantized_llama_stacked(cfg, groupsize=128):
+    """Layer-STACKED random packed 4-bit weights built DIRECTLY (one
+    (L, ...) allocation per weight kind): the per-layer-list +
+    stack_layers route holds list AND stack simultaneously — 2 x 6.9 GB
+    at 13B, RESOURCE_EXHAUSTED on a 16 GB chip."""
+    from sparsebit_tpu.llm.quant import DenseLinear, QuantLinear
+
+    key = jax.random.PRNGKey(0)
+    dt = cfg.jnp_dtype
+    hd = cfg.head_dim
+    Lx = cfg.n_layers
+
+    def qlin_stacked(key, K, N, k_pad=None):
+        Kp = (-(-K // k_pad) * k_pad) if k_pad else K
+        k1, k2 = jax.random.split(key)
+        # signed row-pair container directly: (L, Kp//2, N) u8; pad rows
+        # (with_k_pad semantics) must dequant to exact 0 — s4r nibbles
+        # store code-8 signed, so code 8 == nibble 0x0 == byte 0x00
+        rows = jax.random.randint(k1, (Lx, K // 2, N), 0, 256,
+                                  jnp.int32).astype(jnp.uint8)
+        if Kp != K:
+            pad = jnp.zeros((Lx, (Kp - K) // 2, N), jnp.uint8)
+            rows = jnp.concatenate([rows, pad], axis=1)
+        G = Kp // groupsize
+        scales = jax.random.uniform(
+            k2, (Lx, G, N), jnp.float32, 0.001, 0.01).astype(jnp.bfloat16)
+        zeros = jnp.full((Lx, G, N), 8.0, jnp.bfloat16)
+        return QuantLinear({"s4r": rows}, scales, zeros, 4, groupsize, N,
+                           impl="a8")
+
+    ks = jax.random.split(key, 6)
+    Nq = (cfg.n_heads + 2 * cfg.n_kv_heads) * hd
+    layers = {
+        "attn_norm": jnp.ones((Lx, cfg.dim), dt),
+        "ffn_norm": jnp.ones((Lx, cfg.dim), dt),
+        "wqkv": qlin_stacked(ks[0], cfg.dim, Nq),
+        "wo": qlin_stacked(ks[1], cfg.n_heads * hd, cfg.dim),
+        "w13": qlin_stacked(ks[2], cfg.dim, 2 * cfg.ffn_dim),
+        "w2": qlin_stacked(ks[3], cfg.ffn_dim, cfg.dim, k_pad=1024),
+    }
+    emb = (jax.random.normal(ks[4], (cfg.vocab_size, cfg.dim),
+                             jnp.float32) * 0.02).astype(dt)
+    return {
+        "tok_embed": emb,
+        "layers": layers,
+        "norm": jnp.ones((cfg.dim,), dt),
+        "lm_head": DenseLinear(emb.T),
+    }
+
+
 def main():
     import os
 
@@ -535,7 +585,7 @@ def main_13b_only():
     iters = 30
     cfg13 = L.llama_13b()
     cfg13 = type(cfg13)(**{**cfg13.__dict__, "max_seq_len": 512})
-    p13 = stack_layers(build_quantized_llama(cfg13, bits=4, groupsize=128))
+    p13 = build_quantized_llama_stacked(cfg13, groupsize=128)
     bytes13 = packed_param_bytes(p13["layers"]) + packed_param_bytes(
         p13["lm_head"])
     dev = jax.devices()[0]

@@ -340,8 +340,9 @@ def run_bert_fixture(steps=400, n_train=4096, n_eval=1024, batch=128, lr=1e-3,
     )
 
 
-def run_vit_qat_fixture(steps=150, qat_steps=150, n_train=2048, n_eval=512,
-                        batch=128, lr=1e-3, qat_lr=2e-4, seed=0, verbose=False):
+def run_vit_qat_fixture(steps=150, qat_steps=800, n_train=2048, n_eval=512,
+                        batch=128, lr=1e-3, qat_lr=5e-4, qat_schedule="cosine",
+                        seed=0, verbose=False):
     """QAT-DeiT-regime gate: the fixture ViT at LSQ 4w4a — low enough that
     plain PTQ visibly hurts — trained THROUGH the quantizers so LSQ scales
     learn on the quantized attention path (QMatmul/softmax inputs), which
@@ -423,8 +424,16 @@ def run_vit_qat_fixture(steps=150, qat_steps=150, n_train=2048, n_eval=512,
     acc_ptq = _accuracy(q_eval, qmodel.params(), x_ev, y_ev, batch=batch)
 
     # ---- QAT: train weights + LSQ scales through the fake-quant graph ------
+    # defaults tuned by experiments/exp35_vit_qat_ablation.py (round 5):
+    # the fixture SATURATES at ~0.711 top-1 (800-step cosine @ 5e-4 ==
+    # 1600-step; 400 const @ 5e-4 -> 0.697; the round-4 run — 120 @
+    # 2e-4 const — stopped at 0.582, a half-trained schedule)
     qmodel.train()
-    qat_opt = optax.adam(qat_lr)
+    if qat_schedule == "cosine":
+        qat_opt = optax.adam(
+            optax.cosine_decay_schedule(qat_lr, qat_steps, alpha=0.05))
+    else:
+        qat_opt = optax.adam(qat_lr)
     qstep = make_qat_step(qmodel, cross_entropy, qat_opt)
     trainable, qat_state = init_qat_state(qmodel, qat_opt)
     for i in range(qat_steps):

@@ -69,16 +69,21 @@ def test_bert_w4_degrades_gracefully(bert_results):
 def vit_qat_results():
     from sparsebit_tpu.quantization.tools.fixture import run_vit_qat_fixture
 
-    return run_vit_qat_fixture(steps=150, qat_steps=120, n_train=2048,
+    # CI runs the 400-step point of the round-5 schedule ablation
+    # (exp35: 0.652 top-1; the recorded-artifact default is 800 steps ->
+    # 0.711, where the fixture SATURATES — 1600 steps measures the same)
+    return run_vit_qat_fixture(steps=150, qat_steps=400, n_train=2048,
                                n_eval=512)
 
 
 def test_vit_qat_recovers_over_ptq(vit_qat_results):
     """QAT (LSQ 4w4a trained through the quantized attention path) must
-    recover SUBSTANTIALLY over the calibrated PTQ starting point (VERDICT
-    r3 #5). Recorded artifact run (accuracy/ACCURACY.json vit_qat key):
-    float 0.885, PTQ-at-init 0.328, QAT 0.582 at 120 steps — the +0.10
-    floor is far below the observed +0.25 but still rules out a QAT step
-    that trains nothing."""
+    recover SUBSTANTIALLY over the calibrated PTQ starting point —
+    round 5 raised the gate from "QAT > PTQ + 0.10" (which a
+    half-trained run satisfied) to an ABSOLUTE floor: the 400-step
+    cosine schedule measures 0.652 top-1 (float 0.885, PTQ-at-init
+    0.328; saturation 0.711 at 800+ steps — exp35 ablation, recorded in
+    accuracy/ACCURACY.json vit_qat)."""
     r = vit_qat_results
-    assert r["acc_qat"] >= r["acc_ptq"] + 0.10, r
+    assert r["acc_qat"] >= 0.60, r
+    assert r["acc_qat"] >= r["acc_ptq"] + 0.25, r
