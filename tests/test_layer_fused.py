@@ -773,3 +773,60 @@ def test_b1_and_batched_int8_attention_row_exact():
                                   np.asarray(kb[:, 0]))
     np.testing.assert_array_equal(np.asarray(ks1[:, 0]),
                                   np.asarray(ksb[:, 0]))
+
+
+def test_s_active_bucket_matches_full_width():
+    """The STATIC s_active context bucket (bucketed-serving dispatch,
+    round 5) must be a pure optimization: with every position inside
+    the bucket, outputs and committed cache rows are IDENTICAL to the
+    full-width launch (slabs/dots/loads cover fewer rows, the math
+    doesn't change)."""
+    from sparsebit_tpu.ops.layer_fused import fused_decoder_layers
+    from sparsebit_tpu.ops.packing import pack_s4_rows, unpack_columns
+
+    cfg = _mk_cfg()
+    gs = 64
+    D, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    B, S, Lx = 3, 256, 2
+    keys = jax.random.split(jax.random.PRNGKey(41), Lx)
+    built = [_build(cfg, gs, k) for k in keys]
+    names = ("wqkv", "wo", "w13", "w2")
+    s4 = {n: jnp.stack([
+        pack_s4_rows(unpack_columns(b[0][n].packed, 4, b[0][n].n_padded))
+        for b in built]) for n in names}
+    scs = {n: jnp.stack([b[0][n].scales for b in built]) for n in names}
+    zrs = {n: jnp.stack([b[0][n].zeros for b in built]) for n in names}
+    args = (s4["wqkv"], scs["wqkv"], zrs["wqkv"],
+            s4["wo"], scs["wo"], zrs["wo"],
+            s4["w13"], scs["w13"], zrs["w13"],
+            s4["w2"], scs["w2"], zrs["w2"],
+            jnp.stack([b[1] for b in built]),
+            jnp.stack([b[2] for b in built]))
+    kk, kv, kx = jax.random.split(jax.random.PRNGKey(42), 3)
+    k8h = jax.random.randint(kk, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    v8h = jax.random.randint(kv, (Lx, B, S, Hkv, D), -127, 127,
+                             jnp.int32).astype(jnp.int8)
+    ksh = _bf16r(jax.random.uniform(
+        kk, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    vsh = _bf16r(jax.random.uniform(
+        kv, (Lx, B, S, Hkv), jnp.float32, 0.001, 0.01))
+    k8, v8, kssc, vssc = _flat(k8h, v8h, ksh, vsh, Hkv)
+    x = jax.random.normal(kx, (B, cfg.dim), jnp.float32)
+    pos = jnp.asarray([5, 90, 126], jnp.int32)  # all inside bucket 128
+    inv_freq = L.rope_frequencies(cfg)
+    angles = pos[:, None].astype(jnp.float32) * inv_freq
+    cosf = jnp.concatenate([jnp.cos(angles)] * 2, axis=1)
+    sinf = jnp.concatenate([jnp.sin(angles)] * 2, axis=1)
+
+    def run(s_act):
+        return fused_decoder_layers(
+            x, pos, cosf, sinf, *args, k8, v8, kssc, vssc, cfg, gs,
+            interpret=True, signed=True, s_active=s_act)
+
+    o_full, kf_, vf_, ksf_, vsf_ = run(None)
+    o_b, kb_, vb_, ksb_, vsb_ = run(128)
+    np.testing.assert_array_equal(np.asarray(o_b), np.asarray(o_full))
+    np.testing.assert_array_equal(np.asarray(kb_), np.asarray(kf_))
+    np.testing.assert_array_equal(np.asarray(ksb_), np.asarray(ksf_))
+    np.testing.assert_array_equal(np.asarray(vsb_), np.asarray(vsf_))

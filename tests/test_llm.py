@@ -554,3 +554,50 @@ def test_plane_only_container_per_matmul_paths():
         np.testing.assert_allclose(
             np.asarray(pl_lin.dequantize()), np.asarray(lin.dequantize()),
             atol=0)
+
+
+def test_decode_tokens_scanned_kvs_matches_cache_api():
+    """decode_tokens_scanned_kvs (the steady-state serving inner loop
+    over an already-stacked cache — what bench.py measures) produces the
+    same tokens and cache as decode_tokens_scanned over the KVCache
+    API."""
+    from sparsebit_tpu.llm import llama as L
+    from sparsebit_tpu.llm.decode import (
+        _scan_cache, _unscan_cache, decode_tokens_scanned,
+        decode_tokens_scanned_kvs, prefill, stack_layers)
+    from sparsebit_tpu.llm.kv_cache import init_kv_cache
+    from sparsebit_tpu.llm.quant import QuantLinear
+
+    cfg = L.llama_tiny(dim=512, n_heads=4, n_kv_heads=4, ffn_dim=384,
+                       max_seq_len=64)
+    params = L.init_llama_params(cfg, jax.random.PRNGKey(0))
+    params = L.fuse_llama_params(params)
+    qparams = L.quantize_llama_params(
+        params, lambda p, lin: QuantLinear.from_dense(
+            lin.w.astype(jnp.float32), bits=4, groupsize=64))
+    stacked = stack_layers(qparams)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 0,
+                                cfg.vocab_size)
+
+    from sparsebit_tpu.llm import decode as Dmod
+
+    old = Dmod.FORCE_LAYER_KERNEL
+    try:
+        Dmod.FORCE_LAYER_KERNEL = True
+        cache = init_kv_cache(cfg, 2, 32, quantized=True)
+        logits, cache = prefill(qparams, prompt, cache, cfg)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+
+        toks_a, cache_a = decode_tokens_scanned(stacked, tok, cache, cfg, 4)
+        kvs = _scan_cache(cache, flat=True)
+        toks_b, kvs_b, length_b = decode_tokens_scanned_kvs(
+            stacked, tok, kvs, cache.length, cfg, 4)
+    finally:
+        Dmod.FORCE_LAYER_KERNEL = old
+
+    np.testing.assert_array_equal(np.asarray(toks_b), np.asarray(toks_a))
+    cache_b = _unscan_cache(cache, kvs_b, flat=True)
+    np.testing.assert_array_equal(np.asarray(cache_b.k[0]),
+                                  np.asarray(cache_a.k[0]))
+    np.testing.assert_array_equal(np.asarray(length_b),
+                                  np.asarray(cache_a.length))
